@@ -1,0 +1,4 @@
+"""Plan module dedup — populated incrementally (see SURVEY.md §2)."""
+
+QUERIES: dict = {}
+ORACLES: dict = {}

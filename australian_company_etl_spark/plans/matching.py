@@ -1,0 +1,4 @@
+"""Plan module matching — populated incrementally (see SURVEY.md §2)."""
+
+QUERIES: dict = {}
+ORACLES: dict = {}

@@ -1,0 +1,4 @@
+"""Plan module quality — populated incrementally (see SURVEY.md §2)."""
+
+QUERIES: dict = {}
+ORACLES: dict = {}

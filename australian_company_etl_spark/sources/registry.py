@@ -1,0 +1,43 @@
+"""Parquet source registry for the test corpus.
+
+One parquet file per table (TPC-H-ish star schema + events/documents/
+embeddings). At 100 TB each "table" would be a partitioned parquet dataset —
+`spark.read.parquet(dir)` is identical either way; filters/projections push
+down to the scan and partition pruning applies when the layout is
+`.../table/dt=.../part-*.parquet`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: spark.read.parquet(table_path(sf_dir, n)) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view so plans can be written in SQL."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

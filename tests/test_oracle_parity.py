@@ -1,0 +1,38 @@
+"""THE gate: every queries() entry must hash-match its DuckDB oracle twin.
+
+Same comparison the driver performs at sf0.01 (run here at sf0.001 for
+speed; set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for the full run).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_compare import compare, duckdb_connect
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_query_has_oracle_or_is_declared():
+    missing = [k for k in QUERIES if k not in ORACLES]
+    # rows-only queries (non-SQL-expressible) must be explicitly listed here
+    allowed_rows_only: set[str] = set()
+    assert set(missing) <= allowed_rows_only, f"queries missing oracle twin: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(name, spark, sf_dir):
+    if name not in ORACLES:
+        df = QUERIES[name](spark, sf_dir)
+        assert df.count() >= 0
+        return
+    con = duckdb_connect(sf_dir)
+    res = compare(QUERIES[name](spark, sf_dir), con, ORACLES[name])
+    assert res["ok"], f"{name}: {res}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
