@@ -1,0 +1,75 @@
+"""Dual-dialect text primitives shared by matching/dedup/text-analysis ops.
+
+Every primitive has a Spark-Column form and a DuckDB-SQL form generated from
+the same constants, so oracle parity holds by construction. All Spark forms
+are built-in `pyspark.sql.functions` (JVM, codegen) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ── portable 60-bit hash: first 15 hex chars of md5 ─────────────────────────
+# Spark: conv(hex, 16, 10) → decimal string → bigint
+# DuckDB: ('0x' || hex)::BIGINT
+# Both interpret the same 15 hex chars (60 bits, always positive, fits i64).
+
+
+def phash_spark(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def phash_sql(expr: str) -> str:
+    return f"(('0x' || substring(md5({expr}), 1, 15))::BIGINT)"
+
+
+# ── tokenization: lowercase word split ──────────────────────────────────────
+
+
+def tokens_spark(col: Column) -> Column:
+    """Distinct lowercase word tokens, empties removed, sorted."""
+    toks = F.split(F.lower(F.trim(col)), r"[^a-z0-9]+")
+    return F.array_sort(F.array_distinct(F.filter(toks, lambda x: x != "")))
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_sort(list_distinct(list_filter("
+        f"string_split_regex(lower(trim({expr})), '[^a-z0-9]+'), x -> x <> '')))"
+    )
+
+
+# ── levenshtein ratio (rapidfuzz fuzz.ratio analog, 0-100 int) ──────────────
+
+
+def lev_ratio_spark(a: Column, b: Column) -> Column:
+    m = F.greatest(F.length(a), F.length(b))
+    return F.when(m == 0, F.lit(100)).otherwise(
+        F.floor(100 * (m - F.levenshtein(a, b)) / m)
+    ).cast("int")
+
+
+def lev_ratio_sql(a: str, b: str) -> str:
+    return (
+        f"(CASE WHEN greatest(length({a}), length({b})) = 0 THEN 100 "
+        f"ELSE floor(100 * (greatest(length({a}), length({b})) - levenshtein({a}, {b})) "
+        f"/ greatest(length({a}), length({b}))) END)::INT"
+    )
+
+
+# ── jaccard percent over token arrays (entity_matching.py:155-170) ──────────
+
+
+def jaccard_pct_spark(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union == 0, F.lit(0)).otherwise(F.floor(100 * inter / union)).cast("int")
+
+
+def jaccard_pct_sql(a: str, b: str) -> str:
+    inter = f"len(list_intersect({a}, {b}))"
+    union = f"(len({a}) + len({b}) - {inter})"
+    return (
+        f"(CASE WHEN {union} = 0 THEN 0 ELSE floor(100 * {inter} / {union}) END)::INT"
+    )

@@ -1,0 +1,62 @@
+"""Entity-matching operators (reference parity: scripts/entity_matching.py).
+
+The reference loads all Common Crawl candidates into driver memory and runs
+rapidfuzz ``process.extractOne`` per ABR row — a driver-side O(N·M) loop.
+Spark-first re-expression:
+
+- ``best_fuzzy_match``   — extractOne semantics: broadcast the candidate set,
+  score every pair with the JVM ``levenshtein`` expression, keep the best
+  per left row (window). Correct for dim-sized candidate sets (the
+  reference's own regime: ~2k CC rows vs 10k ABR rows).
+- ``blocked_fuzzy_pairs`` — the 100 TB path: candidates are generated per
+  blocking key (equi-join ⇒ shuffle hash/sort-merge, never cartesian), so
+  cost is Σ|block|² instead of N·M and AQE splits skewed blocks.
+- ``first_wins``          — Postgres ``ON CONFLICT (key) DO NOTHING`` analog:
+  keep the first row per key in a deterministic insertion order (window
+  row_number, not dropDuplicates which is order-nondeterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from australian_company_etl_spark.functions.textfns import lev_ratio_spark
+
+
+def first_wins(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
+    """Keep the first row per key under an explicit deterministic order."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def best_fuzzy_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    left_name: str,
+    right_key: str,
+    right_name: str,
+) -> DataFrame:
+    """extractOne: best levenshtein-ratio candidate per left row; ties break
+    to the lowest right key. Right side is broadcast (candidate dim)."""
+    scored = left.crossJoin(F.broadcast(right)).withColumn(
+        "score", lev_ratio_spark(F.col(left_name), F.col(right_name))
+    )
+    w = Window.partitionBy(left_key).orderBy(F.desc("score"), F.asc(right_key))
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def blocked_fuzzy_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    left_name: str,
+    right_name: str,
+    threshold: int,
+) -> DataFrame:
+    """Scalable fuzzy join: equi-join on blocking key(s), then score."""
+    joined = left.join(right, on=block_cols)
+    return joined.withColumn(
+        "score", lev_ratio_spark(F.col(left_name), F.col(right_name))
+    ).filter(F.col("score") >= threshold)

@@ -1,4 +1,124 @@
-"""Plan module etl — populated incrementally (see SURVEY.md §2)."""
+"""Group A — extract/ingest (reference t1+t2).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+- A1: regex field extraction from raw text ≈ the `<title>`/`<meta industry>`
+  grab in extract_commoncrawl.py:26-50, as pushdown-friendly column exprs.
+- A2: source filter + processed-files ledger anti-join ≈ the `.au` URL
+  filter and `processed_files` skip logic (extract_commoncrawl.py:66,89-93).
+- A3: nested-record parse to typed columns ≈ the ABR XML iterparse field
+  extraction (extract_abr.py:107-148), on the events.props JSON column.
+- A4: first-row-wins keyed upsert ≈ `ON CONFLICT (abn) DO NOTHING`
+  (extract_abr.py:57-66) under explicit deterministic insertion order.
+
+Scale: A1/A3 are stateless column expressions (codegen, no shuffle); A2 is
+a broadcast-able anti-join on the ledger; A4 is one window shuffle on the
+key — the same plan shape works on a 100 TB ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from australian_company_etl_spark.operators.matching import first_wins
+from australian_company_etl_spark.sources.registry import load_tables
+
+TITLE_RE = r"^(\w+ \w+ \w+)"
+INDUSTRY_RE = r"(spark \w+)"
+
+
+def extract_regex_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — title/industry regex grab over raw document text."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.select(
+        "doc_id",
+        F.nullif(F.regexp_extract(F.col("text"), TITLE_RE, 1), F.lit("")).alias("title"),
+        F.nullif(F.regexp_extract(F.col("text"), INDUSTRY_RE, 1), F.lit("")).alias("industry"),
+    )
+
+
+EXTRACT_REGEX_SQL = f"""
+SELECT doc_id,
+       nullif(coalesce(regexp_extract(text, '{TITLE_RE}', 1), ''), '') AS title,
+       nullif(coalesce(regexp_extract(text, '{INDUSTRY_RE}', 1), ''), '') AS industry
+FROM documents
+"""
+
+
+def extract_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — domain filter + processed-file ledger skip (anti-join)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ledger = (
+        docs.filter(F.col("doc_id") % 100 == 0).select("source").distinct()
+    )
+    return (
+        docs.filter(F.col("lang") == "en")
+        .join(F.broadcast(ledger), "source", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
+URL_FILTER_SQL = """
+SELECT doc_id, source
+FROM documents
+WHERE lang = 'en'
+  AND source NOT IN (SELECT DISTINCT source FROM documents WHERE doc_id % 100 = 0)
+"""
+
+
+def extract_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — nested-record parse to typed columns + rollup."""
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg(k), 2) AS avg_k, sum(k) AS sum_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def extract_first_wins_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — ON CONFLICT DO NOTHING: first order per customer in key order."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return first_wins(orders, ["o_custkey"], [F.asc("o_orderkey")]).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+FIRST_WINS_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "extract_regex_fields": extract_regex_fields,
+    "extract_url_filter": extract_url_filter,
+    "extract_json_props": extract_json_props,
+    "extract_first_wins_upsert": extract_first_wins_upsert,
+}
+
+ORACLES = {
+    "extract_regex_fields": EXTRACT_REGEX_SQL,
+    "extract_url_filter": URL_FILTER_SQL,
+    "extract_json_props": JSON_PROPS_SQL,
+    "extract_first_wins_upsert": FIRST_WINS_SQL,
+}

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -34,7 +35,15 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
-    return {n: spark.read.parquet(table_path(sf_dir, n)) for n in (names or TABLES)}
+    out = {}
+    for n in names or TABLES:
+        df = spark.read.parquet(table_path(sf_dir, n))
+        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP(NANOS) read as epoch-nanos long (see session.py);
+            # truncate to micros — same precision DuckDB surfaces.
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        out[n] = df
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
