@@ -40,6 +40,39 @@ def tokens_sql(expr: str) -> str:
     )
 
 
+# ── ordered (non-distinct) token stream — for counting / shingling ──────────
+
+
+def tokens_all_spark(col: Column) -> Column:
+    toks = F.split(F.lower(F.trim(col)), r"[^a-z0-9]+")
+    return F.filter(toks, lambda x: x != "")
+
+
+def tokens_all_sql(expr: str) -> str:
+    return f"list_filter(string_split_regex(lower(trim({expr})), '[^a-z0-9]+'), x -> x <> '')"
+
+
+# ── word k-gram shingles (distinct) over an ordered token array ─────────────
+# Guard: Spark `sequence(1, n)` ramps DOWN when n < 1, so short docs must be
+# short-circuited to an empty array; DuckDB `range(1, n)` is empty for n <= 1.
+
+
+def shingles_spark(tok_col: Column, k: int) -> Column:
+    n = F.size(tok_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(tok_col, i, k)),
+    )
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(F.array_distinct(grams))
+
+
+def shingles_sql(tok_expr: str, k: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, len({tok_expr}) - {k} + 2), "
+        f"i -> array_to_string(list_slice({tok_expr}, i, i + {k} - 1), ' ')))"
+    )
+
+
 # ── levenshtein ratio (rapidfuzz fuzz.ratio analog, 0-100 int) ──────────────
 
 

@@ -1,4 +1,190 @@
-"""Plan module text — populated incrementally (see SURVEY.md §2)."""
+"""Group H — text analysis for LLM-training-data pipelines.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+- H1 `text_langid`      — stopword-vote language ID (entity_matching.py-style
+  heuristic scoring, applied to language evidence instead of name tokens).
+- H2 `text_quality_score` — length/punct/stopword-ratio quality score, the
+  doc-level analog of the reference's per-row quality checks
+  (run_quality_checks.py:54-78).
+- H3 `text_token_count` — whitespace + BPE-ish regex token counts.
+- H4 `text_fingerprint` — normalized md5 + min-shingle-hash fingerprint
+  (the ledger-style identity key, extract_commoncrawl.py:89-93).
+
+Scale: every op is a stateless built-in column expression — whole-stage
+codegen, zero shuffle, filters/projections push into the parquet scan. At
+100 TB this family is scan-bound, exactly what you want.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from australian_company_etl_spark.functions.textfns import (
+    phash_spark,
+    phash_sql,
+    shingles_spark,
+    shingles_sql,
+    tokens_all_spark,
+    tokens_all_sql,
+)
+from australian_company_etl_spark.sources.registry import load_tables
+
+# stopword evidence lists, checked in fixed order (de, en, es, fr) for a
+# deterministic argmax tie-break in BOTH dialects
+STOPWORDS = {
+    "de": ["der", "die", "und", "das", "ist", "ein", "mit", "nicht"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "los", "las", "y", "es", "una", "que", "por"],
+    "fr": ["le", "les", "des", "et", "est", "une", "dans", "pas"],
+}
+LANG_ORDER = ["de", "en", "es", "fr"]
+
+BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+def _vote_spark(toks, words: list[str]):
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _vote_sql(toks: str, words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, x -> x IN ({inlist})))"
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 — language ID by stopword vote; 'und' when no evidence."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = tokens_all_spark(F.col("text"))
+    d = docs.select(
+        "doc_id", *[_vote_spark(toks, STOPWORDS[lg]).alias(f"v_{lg}") for lg in LANG_ORDER]
+    )
+    best = F.greatest(*[F.col(f"v_{lg}") for lg in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in LANG_ORDER:
+        pred = pred.when(F.col(f"v_{lg}") == best, F.lit(lg))
+    return d.select("doc_id", pred.alias("lang_pred"), best.cast("int").alias("best_score"))
+
+
+def _langid_sql() -> str:
+    toks = tokens_all_sql("text")
+    votes = ", ".join(f"{_vote_sql('t', STOPWORDS[lg])} AS v_{lg}" for lg in LANG_ORDER)
+    best = "greatest(" + ", ".join(f"v_{lg}" for lg in LANG_ORDER) + ")"
+    whens = " ".join(f"WHEN v_{lg} = {best} THEN '{lg}'" for lg in LANG_ORDER)
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+votes AS (SELECT doc_id, {votes} FROM toks)
+SELECT doc_id,
+       CASE WHEN {best} = 0 THEN 'und' {whens} END AS lang_pred,
+       ({best})::INT AS best_score
+FROM votes
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 — heuristic quality score from length/punct/stopword ratios."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = tokens_all_spark(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = _vote_spark(toks, STOPWORDS["en"]) / F.greatest(n_tok, F.lit(1))
+    quality = F.least(
+        F.lit(1.0),
+        F.lit(0.25) + 0.5 * stop_ratio + 0.25 * F.least(F.lit(1.0), n_tok / F.lit(128.0)) - punct_ratio,
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def _quality_sql() -> str:
+    toks = tokens_all_sql("text")
+    en = _vote_sql("t", STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS t,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct
+  FROM documents
+), r AS (
+  SELECT doc_id, len(t) AS n_tok,
+         punct / greatest(n_chars, 1) AS punct_ratio,
+         {en} / greatest(len(t), 1) AS stop_ratio
+  FROM base
+)
+SELECT doc_id, n_tok::INT AS n_tokens,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stop_ratio, 4) AS stop_ratio,
+       round(least(1.0::DOUBLE, 0.25 + 0.5 * stop_ratio
+                   + 0.25 * least(1.0::DOUBLE, n_tok::DOUBLE / 128.0) - punct_ratio), 4) AS quality
+FROM r
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 — whitespace token count + BPE-ish regex token count."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ws = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("int").alias("n_ws_tokens"),
+        bpe.cast("int").alias("n_bpe_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::INT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}'))::INT AS n_bpe_tokens
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 — md5 of normalized text + min word-3gram hash fingerprint."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    d = docs.select("doc_id", norm.alias("norm"))
+    toks = tokens_all_spark(F.col("norm"))
+    sh = shingles_spark(toks, 3)
+    min_sh = F.array_min(F.transform(sh, lambda s: phash_spark(s)))
+    return d.select("doc_id", F.md5("norm").alias("fp_md5"), min_sh.alias("min_shingle"))
+
+
+FINGERPRINT_SQL = f"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+  FROM documents
+), s AS (
+  SELECT doc_id, norm, {shingles_sql(tokens_all_sql('norm'), 3)} AS sh FROM n
+)
+SELECT doc_id, md5(norm) AS fp_md5,
+       list_min(list_transform(sh, s -> {phash_sql('s')})) AS min_shingle
+FROM s
+"""
+
+
+QUERIES = {
+    "text_langid": text_langid,
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_langid": _langid_sql(),
+    "text_quality_score": _quality_sql(),
+    "text_token_count": TOKEN_COUNT_SQL,
+    "text_fingerprint": FINGERPRINT_SQL,
+}

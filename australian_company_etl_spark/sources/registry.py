@@ -41,7 +41,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         if n == "events" and dict(df.dtypes).get("ts") == "bigint":
             # TIMESTAMP(NANOS) read as epoch-nanos long (see session.py);
             # truncate to micros — same precision DuckDB surfaces.
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         out[n] = df
     return out
 
