@@ -1,4 +1,353 @@
-"""Plan module dedup — populated incrementally (see SURVEY.md §2)."""
+"""Group F — deduplication family for LLM-training-data pipelines.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+- F1 `dedup_exact`          — hash-groupBy exact dedup (keep lowest doc_id),
+  the scalable form of the reference's `ON CONFLICT DO NOTHING` identity
+  dedup (extract_abr.py:57-66) applied to content instead of keys.
+- F2 `dedup_minhash_lsh`    — word-3gram shingles → 8-perm minhash signature
+  → 4 LSH bands → bucket self-join candidates → verified Jaccard ≥ 0.2.
+- F3 `dedup_simhash`        — 32-bit simhash fingerprint (per-bit token
+  votes) → blocked hamming-near pairs (≤ 8 bits).
+- F4 `dedup_ngram_jaccard`  — first-token-blocked pairwise word-3gram
+  Jaccard ≥ 0.2 (the blocked-fuzzy plan shape, entity_matching.py:142-170,
+  on shingle sets).
+- F5 `dedup_embedding_cosine` — label-blocked near-dup pairs by embedding
+  cosine ≥ 0.25.
+
+All hashing uses the portable 60-bit md5 hash (`textfns.phash_*`) so Spark
+and the DuckDB oracle agree bit-for-bit.
+
+Scale: candidate generation is NEVER cartesian — every pair generator is an
+equi-join on a blocking key (LSH band value, simhash half, first token,
+label), so cost is Σ|bucket|², not N². Minhash signatures are built with one
+explode + one groupBy (single shuffle, map-side combine on min()); at 100 TB
+the band join is the dominant shuffle and AQE skew-split handles hot bands
+(e.g. boilerplate-heavy shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from australian_company_etl_spark.functions.textfns import (
+    phash_spark,
+    phash_sql,
+    shingles_spark,
+    shingles_sql,
+    tokens_all_spark,
+    tokens_all_sql,
+)
+from australian_company_etl_spark.sources.registry import load_tables
+
+SHINGLE_K = 3
+NUM_HASHES = 8
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+JACCARD_T = 0.2
+HAMMING_T = 8
+COSINE_T = 0.25
+U32 = (1 << 32) - 1
+
+
+# ── shared shingle-set projection ───────────────────────────────────────────
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = shingles_spark(tokens_all_spark(F.col("text")), SHINGLE_K)
+    return docs.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
+
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {tokens_all_sql('text')} AS t FROM documents),
+sh AS (SELECT doc_id, {shingles_sql('t', SHINGLE_K)} AS sh FROM toks
+       WHERE len({shingles_sql('t', SHINGLE_K)}) > 0)
+"""
+
+
+def _jaccard_spark(a, b):
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter / union
+
+
+def _jaccard_sql(a: str, b: str) -> str:
+    inter = f"len(list_intersect({a}, {b}))"
+    return f"({inter}::DOUBLE / (len({a}) + len({b}) - {inter}))"
+
+
+# ── F1 exact ────────────────────────────────────────────────────────────────
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — exact content dedup: one row per distinct text hash."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# ── F2 minhash + LSH ────────────────────────────────────────────────────────
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — minhash/LSH candidate pairs with verified Jaccard ≥ 0.2."""
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(phash_spark(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("bh"),
+        )
+        for b in range(NUM_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("x")).select(
+        "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    jac = _jaccard_spark(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        "min({h}) AS h{i}".format(h=phash_sql("'%d:' || s" % i), i=i) for i in range(NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {expr} AS bh FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"h{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
+    jac = _jaccard_sql("sa.sh", "sb.sh")
+    return f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, round({jac}, 4) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_id_a
+JOIN sh sb ON sb.doc_id = cand.doc_id_b
+WHERE round({jac}, 4) >= {JACCARD_T}
+"""
+
+
+# ── F3 simhash ──────────────────────────────────────────────────────────────
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — 32-bit simhash + blocked hamming-near pairs (≤ 8 bits)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_all_spark(F.col("text")))).alias("tok"),
+    )
+    h32 = phash_spark(F.col("tok")).bitwiseAND(F.lit(U32))
+    votes = toks.select("doc_id", h32.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(32)
+        ]
+    )
+    fp = sum(
+        [F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(32)],
+        F.lit(0),
+    ).cast("bigint")
+    fps = votes.select("doc_id", fp.alias("fp"))
+    hi = F.shiftright(F.col("fp"), 16)
+    lo = F.col("fp").bitwiseAND(F.lit(0xFFFF))
+    keyed = fps.select("doc_id", "fp", hi.alias("hi"), lo.alias("lo"))
+    pairs = None
+    for key in ("hi", "lo"):
+        a, b = keyed.alias("a"), keyed.alias("b")
+        p = a.join(
+            b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.distinct()
+        .select("doc_id_a", "doc_id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_T)
+    )
+
+
+def _simhash_sql() -> str:
+    h = phash_sql("tok")
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({tokens_all_sql('text')})) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, {h} & {U32} AS h FROM toks),
+votes AS (SELECT doc_id, {vote_cols} FROM hashed GROUP BY doc_id),
+fps AS (SELECT doc_id, ({fp})::BIGINT AS fp FROM votes),
+keyed AS (SELECT doc_id, fp, fp >> 16 AS hi, fp & 65535 AS lo FROM fps),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.fp, b.fp
+  FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
+FROM pairs
+WHERE bit_count(xor(fp_a, fp_b)) <= {HAMMING_T}
+"""
+
+
+# ── F4 blocked n-gram jaccard ───────────────────────────────────────────────
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — first-token-blocked pairwise word-3gram Jaccard ≥ 0.2."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = tokens_all_spark(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("blk"),
+        shingles_spark(toks, SHINGLE_K).alias("sh"),
+    ).filter(F.col("blk").isNotNull() & (F.size("sh") > 0))
+    a, b = base.alias("a"), base.alias("b")
+    jac = _jaccard_spark(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _ngram_sql() -> str:
+    jac = _jaccard_sql("a.sh", "b.sh")
+    return f"""
+WITH toks AS (SELECT doc_id, {tokens_all_sql('text')} AS t FROM documents),
+base AS (
+  SELECT doc_id, t[1] AS blk, {shingles_sql('t', SHINGLE_K)} AS sh
+  FROM toks WHERE len(t) >= {SHINGLE_K}
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, round({jac}, 4) AS jaccard
+FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE round({jac}, 4) >= {JACCARD_T}
+"""
+
+
+# ── F5 embedding cosine near-dup ────────────────────────────────────────────
+
+
+def _cosine_spark(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — label-blocked embedding near-dup pairs, cosine ≥ 0.25."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    base = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    a, b = base.alias("a"), base.alias("b")
+    cos = _cosine_spark(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_T)
+    )
+
+
+def _emb_cosine_sql() -> str:
+    cos = _cosine_sql("a.e", "b.e")
+    return f"""
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
+       round({cos}, 4) AS cosine
+FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({cos}, 4) >= {COSINE_T}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": _ngram_sql(),
+    "dedup_embedding_cosine": _emb_cosine_sql(),
+}

@@ -1,4 +1,255 @@
-"""Plan module similarity — populated incrementally (see SURVEY.md §2)."""
+"""Group G — similarity search over the embedding column.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+- G1 `ann_brute_topk` — brute-force cosine top-k per query vector: the
+  correctness baseline. Queries (a tiny set) are broadcast; one pass over
+  the corpus, per-query row_number top-k.
+- G2 `ann_lsh_topk`   — random-hyperplane LSH: 8 deterministic md5-seeded
+  planes → 8-bit sign bucket → in-bucket top-k. The scale path: candidate
+  set shrinks ~2^P per query.
+- G3 `ann_ivf_topk`   — IVF: coarse quantizer = every 50th vector as a
+  centroid (deterministic, data-derived); assign vectors to their nearest
+  cell, probe the query's 2 nearest cells.
+
+Scores are computed in double and rounded to 6 dp BEFORE ranking, with
+vec_id as tie-break, so Spark and DuckDB rank identically.
+
+Scale: centroids/planes/queries are broadcast dims; the corpus is never
+replicated. G2/G3 shuffle once on the bucket/cell key; at 100 TB per-cell
+top-k is the map-side-reducible pattern (partial top-k per partition via
+AQE-coalesced window partitions).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from australian_company_etl_spark.sources.registry import load_tables
+
+N_QUERIES = 10  # query set: vec_id < 10
+TOP_K = 5
+N_PLANES = 8
+EMB_DIM = 64  # testdata embedding dimensionality
+CENTROID_STRIDE = 50  # vec_id % 50 == 0 → coarse centroids
+N_PROBE = 2
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1)^EMB_DIM from md5 —
+    reproducible in any engine, no RNG state."""
+    out = []
+    for d in range(EMB_DIM):
+        h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+    return out
+
+
+PLANES = [_plane(p) for p in range(N_PLANES)]
+
+
+# ── cosine, both dialects (double, sequential fold) ─────────────────────────
+
+
+def _cos_spark(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+
+
+def _topk(pairs: DataFrame) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "n_id", "score", "rank")
+    )
+
+
+_TOPK_SQL_TAIL = f"""
+SELECT q_id, n_id, score, rank FROM (
+  SELECT q_id, n_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+# ── G1 brute force ──────────────────────────────────────────────────────────
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — exact cosine top-k per query vector (broadcast queries)."""
+    base = _base(spark, sf_dir)
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(_cos_spark(F.col("qe"), F.col("e")), 6).alias("score"),
+    )
+    return _topk(pairs)
+
+
+BRUTE_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qe FROM base WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, base.vec_id AS n_id, round({_cos_sql('q.qe', 'base.e')}, 6) AS score
+  FROM base JOIN q ON base.vec_id <> q.q_id
+)
+{_TOPK_SQL_TAIL}
+"""
+
+
+# ── G2 random-hyperplane LSH ────────────────────────────────────────────────
+
+
+def _bucket_spark(e):
+    bucket = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        lits = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(e, lits, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def _bucket_sql(e: str) -> str:
+    terms = []
+    for p, plane in enumerate(PLANES):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product({e}, {arr}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::INT"
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — sign-LSH bucketed top-k (candidates share the query's bucket)."""
+    base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e")))
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+    )
+    pairs = base.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id"))
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(_cos_spark(F.col("qe"), F.col("e")), 6).alias("score"),
+    )
+    return _topk(pairs)
+
+
+def _lsh_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, e AS qe, bucket AS qb FROM base WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, base.vec_id AS n_id, round({_cos_sql('q.qe', 'base.e')}, 6) AS score
+  FROM base JOIN q ON base.bucket = q.qb AND base.vec_id <> q.q_id
+)
+{_TOPK_SQL_TAIL}
+"""
+
+
+# ── G3 IVF ──────────────────────────────────────────────────────────────────
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — IVF coarse-quantized search, probing the 2 nearest cells."""
+    base = _base(spark, sf_dir)
+    cents = base.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
+    )
+    # assign every vector to its nearest centroid (broadcast centroids)
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id",
+        "e",
+        "c_id",
+        F.round(_cos_spark(F.col("e"), F.col("ce")), 6).alias("cscore"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("c_id"))
+    assigned = scored.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") == 1).select(
+        "vec_id", "e", F.col("c_id").alias("cell")
+    )
+    # queries probe their N_PROBE nearest cells
+    qprobe = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("cell"))
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    pairs = (
+        assigned.join(F.broadcast(qprobe), "cell")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(_cos_spark(F.col("qe"), F.col("e")), 6).alias("score"),
+        )
+        .distinct()
+    )
+    return _topk(pairs)
+
+
+def _ivf_sql() -> str:
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS c_id, e AS ce FROM base WHERE vec_id % {CENTROID_STRIDE} = 0),
+cscored AS (
+  SELECT base.vec_id, base.e, cents.c_id,
+         round({_cos_sql('base.e', 'cents.ce')}, 6) AS cscore,
+         row_number() OVER (PARTITION BY base.vec_id
+                            ORDER BY round({_cos_sql('base.e', 'cents.ce')}, 6) DESC,
+                                     cents.c_id ASC) AS rn
+  FROM base CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, e, c_id AS cell FROM cscored WHERE rn = 1),
+qprobe AS (SELECT vec_id AS q_id, c_id AS cell FROM cscored
+           WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+q AS (SELECT vec_id AS q_id, e AS qe FROM base WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT DISTINCT qprobe.q_id, assigned.vec_id AS n_id,
+         round({_cos_sql('q.qe', 'assigned.e')}, 6) AS score
+  FROM assigned
+  JOIN qprobe ON assigned.cell = qprobe.cell
+  JOIN q ON q.q_id = qprobe.q_id
+  WHERE assigned.vec_id <> qprobe.q_id
+)
+{_TOPK_SQL_TAIL}
+"""
+
+
+QUERIES = {
+    "ann_brute_topk": ann_brute_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+}
+
+ORACLES = {
+    "ann_brute_topk": BRUTE_SQL,
+    "ann_lsh_topk": _lsh_sql(),
+    "ann_ivf_topk": _ivf_sql(),
+}
