@@ -1,4 +1,57 @@
-"""Plan module multimodal — populated incrementally (see SURVEY.md §2)."""
+"""Group I — multimodal columns: opaque binary payloads + typed metadata.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+- I1 `mm_binary_meta` — build a binary payload column (deterministically
+  derived from document text, standing in for image/audio bytes) and extract
+  typed metadata: byte length, magic-prefix hex, content digest, and
+  hash-derived fake decode dims (width/height/frames).
+
+The decode/resize/frame-sample plumbing (I2) lives in
+`australian_company_etl_spark/operators/multimodal.py` — real mapInPandas
+schema/batch plumbing, stubbed decoder (no image libs in this environment).
+
+Scale: stateless column expressions over a binary column — the 100 TB story
+is parquet binary chunks scanned with column pruning (payload column only
+read where needed) and all metadata derivable without shipping bytes to
+Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from australian_company_etl_spark.functions.textfns import phash_spark, phash_sql
+from australian_company_etl_spark.sources.registry import load_tables
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 — binary payload + typed metadata (hash-derived decode dims)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    payload = F.encode(F.col("text"), "UTF-8")
+    d = docs.withColumn("h", phash_spark(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("byte_len"),
+        F.lower(F.hex(F.encode(F.substring(F.col("text"), 1, 8), "UTF-8"))).alias("magic_hex"),
+        F.md5("text").alias("digest"),
+        (64 + F.col("h") % 1857).cast("int").alias("width"),
+        # integer div: double division would lose precision on 60-bit hashes
+        (64 + F.expr("h div 1857") % 1017).cast("int").alias("height"),
+        (1 + F.col("h") % 240).cast("int").alias("n_frames"),
+    )
+
+
+MM_BINARY_META_SQL = f"""
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       lower(hex(encode(substring(text, 1, 8)))) AS magic_hex,
+       md5(text) AS digest,
+       (64 + {phash_sql('text')} % 1857)::INT AS width,
+       (64 + ({phash_sql('text')} // 1857) % 1017)::INT AS height,
+       (1 + {phash_sql('text')} % 240)::INT AS n_frames
+FROM documents
+"""
+
+
+QUERIES = {"mm_binary_meta": mm_binary_meta}
+ORACLES = {"mm_binary_meta": MM_BINARY_META_SQL}

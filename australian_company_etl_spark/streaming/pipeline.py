@@ -1,0 +1,118 @@
+"""J3 — Structured Streaming pipeline over the events log.
+
+Streaming twin of `plans/streaming_batch.py`: file source → event-time
+watermark → 1-hour tumbling window aggregation → sink. Plus a custom
+stateful operator (`applyInPandasWithState`) maintaining per-user running
+totals — the pattern for operators Spark's built-in stateful ops can't
+express.
+
+The reference's ingest loop (extract_commoncrawl.py: poll file list →
+process new → record in ledger) is exactly a file-source stream with
+exactly-once bookkeeping; Structured Streaming's checkpoint/ledger replaces
+the hand-rolled `processed_files` table.
+
+Scale: watermark bounds state (late events beyond 1h dropped from state);
+window+event_type state keys shard across executors; file source at 100 TB
+is `maxFilesPerTrigger`-throttled with checkpointed offsets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos ts → timestamp)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg_stream(events: DataFrame) -> DataFrame:
+    """Watermarked 1h tumbling window x event_type — streaming J1."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_tumbling_to_memory(spark: SparkSession, sf_dir: str, name: str = "tumbling") -> DataFrame:
+    """Run the streaming agg to completion on the static dir (memory sink)."""
+    q = (
+        tumbling_agg_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]})
+
+
+def user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful op: per-user running (count, sum) via
+    applyInPandasWithState — state survives across triggers."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=USER_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_user_totals_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "user_totals"
+) -> DataFrame:
+    q = (
+        user_totals_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
