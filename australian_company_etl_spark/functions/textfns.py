@@ -73,6 +73,28 @@ def shingles_sql(tok_expr: str, k: int) -> str:
     )
 
 
+# ── row-form shingles: posexplode + window lead (whole-stage codegen) ───────
+# The array-lambda form (`shingles_spark`) runs interpreted (Spark HOFs skip
+# codegen) — ~4x slower per token. Produces (id, shingle) rows WITH
+# positional duplicates: min-hash and collect_set downstream are duplicate-
+# insensitive, and skipping the distinct keeps the id partitioning intact
+# (posexplode + window preserve it), so the groupBy(id) that follows needs
+# NO shuffle.
+
+
+def shingle_rows_spark(df, k: int, id_col: str = "doc_id", tok_col: str = "t", out_col: str = "s"):
+    from pyspark.sql import Window
+
+    ex = df.select(id_col, F.posexplode(tok_col).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"_l{j}") for j in range(1, k)]
+    r = ex.select(id_col, "tok", *leads)
+    if k > 1:
+        r = r.filter(F.col(f"_l{k - 1}").isNotNull())
+    gram = F.concat_ws(" ", "tok", *[f"_l{j}" for j in range(1, k)])
+    return r.select(id_col, gram.alias(out_col))
+
+
 # ── levenshtein ratio (rapidfuzz fuzz.ratio analog, 0-100 int) ──────────────
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from australian_company_etl_spark.functions.textfns import (
     phash_spark,
     phash_sql,
-    shingles_spark,
+    shingle_rows_spark,
     shingles_sql,
     tokens_all_spark,
     tokens_all_sql,
@@ -48,14 +48,47 @@ HAMMING_T = 8
 COSINE_T = 0.25
 U32 = (1 << 32) - 1
 
+# affine minhash permutations h_i = (a_i * h + b_i) mod P over ONE base md5
+# hash per shingle — 8x fewer md5 evaluations than hashing (seed, shingle)
+# pairs. P = 2^31 - 1 keeps a*h + b < 2^62 (no int64 overflow).
+MH_P = 2_147_483_647
+
+
+def _mh_coeffs() -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(NUM_HASHES):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:15], 16) % (MH_P - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16) % MH_P
+        out.append((a, b))
+    return out
+
+
+MH_COEFFS = _mh_coeffs()
+
 
 # ── shared shingle-set projection ───────────────────────────────────────────
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, s) word-3gram rows via posexplode + window lead —
+    stays in whole-stage codegen, unlike the array-lambda form."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    sh = shingles_spark(tokens_all_spark(F.col("text")), SHINGLE_K)
-    return docs.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
+    # the corpus arrives in few large file-partitions; spread the expensive
+    # per-doc shingle/hash work across all cores (at 100 TB the scan already
+    # yields thousands of partitions and this is a no-op knob)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t"))
+    return shingle_rows_spark(toks, SHINGLE_K)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle SETS per doc, built from the row form (no extra shuffle —
+    the rows are already partitioned by doc_id)."""
+    return _doc_shingle_rows(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_set("s").alias("sh")
+    )
 
 
 _SHINGLES_CTE = f"""
@@ -103,12 +136,18 @@ GROUP BY 1
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 — minhash/LSH candidate pairs with verified Jaccard ≥ 0.2."""
-    sh = _doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    sig = ex.groupBy("doc_id").agg(
+    # the shingle table feeds three branches (signature build + both sides
+    # of the verify join) — persist it instead of recomputing the scan +
+    # shingle expressions per branch. At cluster scale this is the
+    # "materialize the shingle table" step of any production minhash run.
+    rows = _doc_shingle_rows(spark, sf_dir).persist()
+    sh = rows.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+    h0 = (phash_spark(F.col("s")) % MH_P).alias("h0")
+    hashed = rows.select("doc_id", h0)
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(phash_spark(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-            for i in range(NUM_HASHES)
+            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(MH_COEFFS)
         ]
     )
     band_structs = [
@@ -120,8 +159,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(NUM_BANDS)
     ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("x")).select(
-        "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("x"))
+        .select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+        .persist()
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -147,7 +188,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mins = ", ".join(
-        "min({h}) AS h{i}".format(h=phash_sql("'%d:' || s" % i), i=i) for i in range(NUM_HASHES)
+        f"min(({a} * h0 + {b}) % {MH_P}) AS h{i}" for i, (a, b) in enumerate(MH_COEFFS)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {expr} AS bh FROM sig".format(
@@ -162,7 +203,8 @@ def _minhash_sql() -> str:
     return f"""
 WITH {_SHINGLES_CTE},
 ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+hashed AS (SELECT doc_id, {phash_sql('s')} % {MH_P} AS h0 FROM ex),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
@@ -183,6 +225,7 @@ WHERE round({jac}, 4) >= {JACCARD_T}
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 — 32-bit simhash + blocked hamming-near pairs (≤ 8 bits)."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens_all_spark(F.col("text")))).alias("tok"),
@@ -203,7 +246,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = votes.select("doc_id", fp.alias("fp"))
     hi = F.shiftright(F.col("fp"), 16)
     lo = F.col("fp").bitwiseAND(F.lit(0xFFFF))
-    keyed = fps.select("doc_id", "fp", hi.alias("hi"), lo.alias("lo"))
+    keyed = fps.select("doc_id", "fp", hi.alias("hi"), lo.alias("lo")).persist()
     pairs = None
     for key in ("hi", "lo"):
         a, b = keyed.alias("a"), keyed.alias("b")
@@ -257,12 +300,10 @@ WHERE bit_count(xor(fp_a, fp_b)) <= {HAMMING_T}
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — first-token-blocked pairwise word-3gram Jaccard ≥ 0.2."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    toks = tokens_all_spark(F.col("text"))
-    base = docs.select(
-        "doc_id",
-        F.element_at(toks, 1).alias("blk"),
-        shingles_spark(toks, SHINGLE_K).alias("sh"),
-    ).filter(F.col("blk").isNotNull() & (F.size("sh") > 0))
+    blk = docs.select(
+        "doc_id", F.element_at(tokens_all_spark(F.col("text")), 1).alias("blk")
+    )
+    base = _doc_shingles(spark, sf_dir).join(blk, "doc_id").persist()
     a, b = base.alias("a"), base.alias("b")
     jac = _jaccard_spark(F.col("a.sh"), F.col("b.sh"))
     return (

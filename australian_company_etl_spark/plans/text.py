@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from australian_company_etl_spark.functions.textfns import (
     phash_spark,
     phash_sql,
-    shingles_spark,
+    shingle_rows_spark,
     shingles_sql,
     tokens_all_spark,
     tokens_all_sql,
@@ -149,16 +149,24 @@ FROM documents
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H4 — md5 of normalized text + min word-3gram hash fingerprint."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # spread the per-doc shingle-hash work across cores (single small file
+    # otherwise scans as one partition; no-op on a real many-file dataset)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
         )
     )
     d = docs.select("doc_id", norm.alias("norm"))
-    toks = tokens_all_spark(F.col("norm"))
-    sh = shingles_spark(toks, 3)
-    min_sh = F.array_min(F.transform(sh, lambda s: phash_spark(s)))
-    return d.select("doc_id", F.md5("norm").alias("fp_md5"), min_sh.alias("min_shingle"))
+    # row-form shingles (codegen) instead of the interpreted array-lambda
+    # path; tokens(norm) == tokens(text) since the tokenizer drops punct
+    toks = d.select("doc_id", tokens_all_spark(F.col("norm")).alias("t"))
+    mins = (
+        shingle_rows_spark(toks, 3)
+        .groupBy("doc_id")
+        .agg(F.min(phash_spark(F.col("s"))).alias("min_shingle"))
+    )
+    return d.select("doc_id", F.md5("norm").alias("fp_md5")).join(mins, "doc_id", "left")
 
 
 FINGERPRINT_SQL = f"""
