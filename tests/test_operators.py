@@ -1,0 +1,73 @@
+"""Unit semantics for normalization / matching / text primitives —
+executable versions of the reference's documented behaviors
+(entity_matching.py:42-97, 142-170, 405-425; extract_abr.py:57-66)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from australian_company_etl_spark.functions.normalize import norm_name_spark
+from australian_company_etl_spark.functions.textfns import (
+    jaccard_pct_spark,
+    lev_ratio_spark,
+    tokens_spark,
+)
+from australian_company_etl_spark.operators.matching import best_fuzzy_match, first_wins
+
+
+def _norm_one(spark, s: str) -> str:
+    df = spark.createDataFrame([(s,)], "name string")
+    return df.select(norm_name_spark(F.col("name")).alias("n")).first().n
+
+
+def test_norm_abbrev_expansion(spark):
+    assert _norm_one(spark, "Acme Pty Ltd") == "ACME PROPRIETARY LIMITED"
+    assert _norm_one(spark, "acme PTY. LTD.") == "ACME PROPRIETARY LIMITED"
+    assert _norm_one(spark, "Widget Co") == "WIDGET COMPANY"
+
+
+def test_norm_entities_and_noise(spark):
+    assert _norm_one(spark, "Bob &amp; Sons") == "BOB AND SONS"
+    assert _norm_one(spark, "Bob & Co") == "BOB AND COMPANY"
+    assert _norm_one(spark, "The Widget Shop (Sydney)") == "WIDGET SHOP"
+    assert _norm_one(spark, "  spaced   out  name ") == "SPACED OUT NAME"
+
+
+def test_lev_ratio_bounds(spark):
+    df = spark.createDataFrame(
+        [("ACME", "ACME"), ("ACME", "ACMES"), ("ABCD", "WXYZ"), ("", "")],
+        "a string, b string",
+    )
+    rows = df.select("a", "b", lev_ratio_spark(F.col("a"), F.col("b")).alias("r")).collect()
+    by = {(r.a, r.b): r.r for r in rows}
+    assert by[("ACME", "ACME")] == 100
+    assert by[("", "")] == 100
+    assert by[("ABCD", "WXYZ")] == 0
+    assert 0 < by[("ACME", "ACMES")] < 100
+
+
+def test_jaccard_pct(spark):
+    df = spark.createDataFrame([("red blue green", "blue green yellow")], "a string, b string")
+    r = df.select(
+        jaccard_pct_spark(tokens_spark(F.col("a")), tokens_spark(F.col("b"))).alias("j")
+    ).first()
+    assert r.j == 50  # |{blue,green}| / |{red,blue,green,yellow}|
+
+
+def test_first_wins_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 20), (1, "a", 10), (2, "c", 30)], "k int, v string, o int"
+    )
+    out = first_wins(df, ["k"], [F.asc("o")]).collect()
+    by = {r.k: r.v for r in out}
+    assert by == {1: "a", 2: "c"}
+
+
+def test_best_fuzzy_match_extractone(spark):
+    left = spark.createDataFrame([(1, "ACME LIMITED")], "lk int, lname string")
+    right = spark.createDataFrame(
+        [(10, "ACME LIMITED"), (11, "ACME LIMITER"), (12, "ZZZZ")], "rk int, rname string"
+    )
+    out = best_fuzzy_match(left, right, "lk", "lname", "rk", "rname").collect()
+    assert len(out) == 1
+    assert out[0].rk == 10 and out[0].score == 100

@@ -1,0 +1,83 @@
+"""Explain-plan assertions — the 100 TB posture, checked mechanically.
+
+- parquet scans must push filters and prune columns (a scan reading all
+  columns for a 2-column projection is wrong at any scale);
+- dimension joins must be broadcast hash joins;
+- NO query may plan a CartesianProduct; nested-loop joins are allowed only
+  where one side is a bounded broadcast dim (query sets, candidate dims).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+# queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# one side is a tiny bounded set (ANN query vectors / the reference's
+# dim-sized fuzzy candidate list), broadcast by construction.
+NESTED_LOOP_OK = {
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "match_fuzzy_levenshtein",
+    "unify_entities",
+}
+
+
+def _spark_plan(df) -> str:
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_product(name, spark, sf_dir):
+    plan = _spark_plan(QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join without a bounded broadcast side"
+        )
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_dir):
+    from australian_company_etl_spark.plans.tpch import q6_forecast_revenue
+
+    plan = _spark_plan(q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # the shipdate/discount/quantity predicates reach the parquet reader
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # column pruning: untouched wide columns never leave the scan
+    read_schema = plan.split("ReadSchema")[1]
+    for needed in ("l_extendedprice", "l_discount"):
+        assert needed in read_schema
+    for pruned in ("l_comment", "l_shipmode", "l_orderkey"):
+        assert pruned not in read_schema
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    from australian_company_etl_spark.plans.tpch import (
+        q3_shipping_priority,
+        q5_local_supplier,
+        q10_returned_items,
+    )
+
+    for fn in (q3_shipping_priority, q5_local_supplier, q10_returned_items):
+        plan = _spark_plan(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{fn.__name__} lost its broadcast dim join"
+
+
+def test_dedup_pairgen_is_equijoin(spark, sf_dir):
+    """Candidate generation in every dedup family member must be an
+    equi-join (hash/sort-merge), never a cartesian expansion."""
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+    ):
+        plan = _spark_plan(QUERIES[name](spark, sf_dir))
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+            "BroadcastHashJoin" in plan
+        ), f"{name} has no equi-join pair generator"
+        assert "CartesianProduct" not in plan
