@@ -30,6 +30,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles hard: below this size extra partitions are
+        # pure scheduling overhead; at 100 TB shuffles dwarf it so the
+        # advisory (64m) target takes over and this is a no-op
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark refuses;
