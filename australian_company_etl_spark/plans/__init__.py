@@ -33,6 +33,7 @@ def _plan_modules():
         etl,
         matching,
         multimodal,
+        pipeline,
         quality,
         similarity,
         streaming_batch,
@@ -40,4 +41,16 @@ def _plan_modules():
         tpch,
     )
 
-    return [etl, matching, quality, api, tpch, dedup, similarity, text, multimodal, streaming_batch]
+    return [
+        etl,
+        matching,
+        quality,
+        api,
+        tpch,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        streaming_batch,
+        pipeline,
+    ]
