@@ -103,6 +103,80 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_id bigint, session_start_us bigint, "
+    "session_end_us bigint, n_events bigint, sum_value double"
+)
+_SESSION_STATE_SCHEMA = "last_ts bigint, start bigint, n bigint, total double, sid bigint"
+
+
+def _sessionize_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionization with cross-batch state: closed sessions are
+    final; the trailing open session is re-emitted each batch (update mode)
+    so a static one-batch run equals the batch twin exactly."""
+    (user_id,) = key
+    last_ts, start, n, total, sid = (
+        state.get if state.exists else (None, None, 0, 0.0, 0)
+    )
+    batch = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
+    out = []
+    for us, value in zip(batch["us"], batch["value"]):
+        if last_ts is None or us - last_ts > SESSION_GAP_US:
+            if n:
+                out.append((user_id, sid, start, last_ts, n, round(total, 2)))
+            sid += 1
+            start, n, total = us, 0, 0.0
+        n += 1
+        total += float(value)
+        last_ts = us
+    if n:
+        out.append((user_id, sid, start, last_ts, n, round(total, 2)))
+    state.update((last_ts, start, n, total, sid))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "user_id",
+            "session_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "sum_value",
+        ],
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful sessionizer — the streaming twin of J2."""
+    keyed = events.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _sessionize_update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "sessions"
+) -> DataFrame:
+    q = (
+        sessionize_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_user_totals_to_memory(
     spark: SparkSession, sf_dir: str, name: str = "user_totals"
 ) -> DataFrame:

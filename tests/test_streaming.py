@@ -4,9 +4,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from australian_company_etl_spark.plans.streaming_batch import events_tumbling_agg
+from australian_company_etl_spark.plans.streaming_batch import (
+    events_sessionize,
+    events_tumbling_agg,
+)
 from australian_company_etl_spark.sources.registry import load_tables
 from australian_company_etl_spark.streaming.pipeline import (
+    run_sessionize_to_memory,
     run_tumbling_to_memory,
     run_user_totals_to_memory,
 )
@@ -19,6 +23,12 @@ def _rows(df):
 def test_streaming_tumbling_equals_batch(spark, sf_dir):
     stream_res = run_tumbling_to_memory(spark, sf_dir, name="t_tumbling")
     batch_res = events_tumbling_agg(spark, sf_dir)
+    assert _rows(stream_res) == _rows(batch_res)
+
+
+def test_stateful_sessionize_equals_batch(spark, sf_dir):
+    stream_res = run_sessionize_to_memory(spark, sf_dir, name="t_sessions")
+    batch_res = events_sessionize(spark, sf_dir)
     assert _rows(stream_res) == _rows(batch_res)
 
 
