@@ -39,8 +39,13 @@ def best_fuzzy_match(
     right_name: str,
 ) -> DataFrame:
     """extractOne: best levenshtein-ratio candidate per left row; ties break
-    to the lowest right key. Right side is broadcast (candidate dim)."""
-    scored = left.crossJoin(F.broadcast(right)).withColumn(
+    to the lowest right key. Right side is broadcast (candidate dim).
+
+    The left side is re-spread across all cores first: a dim-sized left
+    often arrives as ONE file partition, which would serialize every
+    left×right score evaluation into a single task."""
+    spread = left.repartition(left.sparkSession.sparkContext.defaultParallelism)
+    scored = spread.crossJoin(F.broadcast(right)).withColumn(
         "score", lev_ratio_spark(F.col(left_name), F.col(right_name))
     )
     w = Window.partitionBy(left_key).orderBy(F.desc("score"), F.asc(right_key))

@@ -97,33 +97,35 @@ SELECT s_suppkey, c_custkey, score FROM scored WHERE rn = 1
 
 def match_keyword_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 — keyword-overlap Jaccard score (entity_matching.py:142-170):
-    part-name pairs blocked on their last word, Jaccard ≥ threshold."""
+    DISTINCT part names (the reference matches unique entity names, and
+    deduping first keeps pair-gen sub-quadratic in row duplication — the
+    100 TB posture), blocked on the last word, Jaccard ≥ threshold."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
-    base = part.select(
-        F.col("p_partkey").alias("pk"),
+    base = part.select("p_name").distinct().select(
+        F.col("p_name").alias("name"),
         tokens_spark(F.col("p_name")).alias("toks"),
         F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
     )
-    a = base.select(F.col("pk").alias("pk_a"), F.col("toks").alias("toks_a"), "block")
-    b = base.select(F.col("pk").alias("pk_b"), F.col("toks").alias("toks_b"), "block")
+    a = base.select(F.col("name").alias("name_a"), F.col("toks").alias("toks_a"), "block")
+    b = base.select(F.col("name").alias("name_b"), F.col("toks").alias("toks_b"), "block")
     return (
         a.join(b, "block")
-        .filter(F.col("pk_a") < F.col("pk_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
         .withColumn("jaccard_pct", jaccard_pct_spark(F.col("toks_a"), F.col("toks_b")))
         .filter(F.col("jaccard_pct") >= JACCARD_THRESHOLD)
-        .select("pk_a", "pk_b", "jaccard_pct")
+        .select("name_a", "name_b", "jaccard_pct")
     )
 
 
 MATCH_KEYWORD_SQL = f"""
 WITH base AS (
-  SELECT p_partkey AS pk, {tokens_sql('p_name')} AS toks,
+  SELECT p_name AS name, {tokens_sql('p_name')} AS toks,
          string_split(p_name, ' ')[-1] AS block
-  FROM part
+  FROM (SELECT DISTINCT p_name FROM part)
 )
-SELECT a.pk AS pk_a, b.pk AS pk_b,
+SELECT a.name AS name_a, b.name AS name_b,
        {jaccard_pct_sql('a.toks', 'b.toks')} AS jaccard_pct
-FROM base a JOIN base b ON a.block = b.block AND a.pk < b.pk
+FROM base a JOIN base b ON a.block = b.block AND a.name < b.name
 WHERE {jaccard_pct_sql('a.toks', 'b.toks')} >= {JACCARD_THRESHOLD}
 """
 
