@@ -334,26 +334,25 @@ WHERE round({jac}, 4) >= {JACCARD_T}
 # ── F5 embedding cosine near-dup ────────────────────────────────────────────
 
 
-def _cosine_spark(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
-
-
-def _cosine_sql(a: str, b: str) -> str:
-    return (
-        f"(list_dot_product({a}, {b}) / "
-        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
-    )
+def _dot_spark(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5 — label-blocked embedding near-dup pairs, cosine ≥ 0.25."""
+    """F5 — label-blocked embedding near-dup pairs, cosine ≥ 0.25.
+
+    Vectors are L2-normalized once per row so the per-pair score is a
+    single dot product (see plans/similarity.py for the parity argument)."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    base = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    e = F.col("embedding").cast("array<double>")
+    d = emb.select("vec_id", "label", e.alias("e0")).withColumn(
+        "nrm", F.sqrt(_dot_spark(F.col("e0"), F.col("e0")))
+    )
+    base = d.select(
+        "vec_id", "label", F.transform("e0", lambda x: x / F.col("nrm")).alias("e")
+    )
     a, b = base.alias("a"), base.alias("b")
-    cos = _cosine_spark(F.col("a.e"), F.col("b.e"))
+    cos = _dot_spark(F.col("a.e"), F.col("b.e"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -367,9 +366,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_cosine_sql() -> str:
-    cos = _cosine_sql("a.e", "b.e")
+    cos = "list_dot_product(a.e, b.e)"
     return f"""
-WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+WITH base AS (
+  SELECT vec_id, label, list_transform(e0, x -> x / nrm) AS e
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e0,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings) t
+)
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
        round({cos}, 4) AS cosine
 FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
