@@ -35,6 +35,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    # defensive: plans may receive an externally-built SparkSession (the
+    # driver contract passes one in). events.parquet carries
+    # TIMESTAMP(NANOS), which vanilla Spark refuses without this flag, and
+    # timestamp-formatting plans assume a UTC session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for n in names or TABLES:
         df = spark.read.parquet(table_path(sf_dir, n))
