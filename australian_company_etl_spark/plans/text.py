@@ -183,11 +183,80 @@ FROM s
 """
 
 
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 — PII redaction: emails/phone-shaped spans → placeholder tokens,
+    with per-doc redaction counts (the pre-training privacy pass)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_email = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0))
+    n_phone = F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5,
+       len(regexp_extract_all(text, '{EMAIL_RE}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}'))::INT AS n_phones
+FROM documents
+"""
+
+
+def text_idf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 — corpus vocabulary with document frequency + IDF: the classic
+    corpus-statistics job (token → df, idf = ln(N/df)), top-200 by df.
+
+    Scale: one explode + one groupBy with map-side combine; the corpus size
+    N is a scalar broadcast via a cross join of a 1-row aggregate."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok_docs = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_all_spark(F.col("text")))).alias("tok")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tok_docs.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("tok", "df", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(200)
+    )
+
+
+IDF_VOCAB_SQL = f"""
+WITH tok_docs AS (
+  SELECT doc_id, unnest(list_distinct({tokens_all_sql('text')})) AS tok FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tok, count(*) AS df,
+       round(ln(n_docs / count(*)), 6) AS idf
+FROM tok_docs, n
+GROUP BY tok, n_docs
+ORDER BY df DESC, tok ASC
+LIMIT 200
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
+    "text_idf_vocab": text_idf_vocab,
 }
 
 ORACLES = {
@@ -195,4 +264,6 @@ ORACLES = {
     "text_quality_score": _quality_sql(),
     "text_token_count": TOKEN_COUNT_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
+    "text_pii_scrub": PII_SCRUB_SQL,
+    "text_idf_vocab": IDF_VOCAB_SQL,
 }
