@@ -35,8 +35,11 @@ def _plan_modules():
         multimodal,
         pipeline,
         quality,
+        sampling,
         similarity,
+        sketches,
         streaming_batch,
+        temporal,
         text,
         tpch,
     )
@@ -52,5 +55,8 @@ def _plan_modules():
         text,
         multimodal,
         streaming_batch,
+        temporal,
+        sketches,
+        sampling,
         pipeline,
     ]

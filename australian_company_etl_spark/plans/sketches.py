@@ -1,0 +1,122 @@
+"""Group M — deterministic sketches for cardinality and distribution.
+
+At 100 TB you don't count distincts exactly and you don't sort 100 TB to
+get a percentile — you sketch. These are the deterministic (oracle-
+checkable) counterparts of HyperLogLog / t-digest:
+
+- M1 `sketch_kmv_distinct` — K-Minimum-Values cardinality estimate per
+  event_type (k = 64): hash every distinct (event_type, user_id) with the
+  portable 60-bit md5 hash, keep the k smallest hashes per group, estimate
+  |D| ≈ (k-1) · 2^60 / h_(k). Unlike HLL the estimate is a pure function
+  of the input, so Spark and DuckDB agree bit-for-bit. Spark keeps only k
+  rows per group before the final aggregation via the WindowGroupLimit
+  rewrite (rank-filter pushdown), so the shuffle is O(k · groups), not
+  O(distinct) — the same partial-merge shape a real KMV aggregator has.
+- M2 `quantiles_event_value` — exact interpolated percentiles (p50/p90/
+  p99) of `value` per event_type: Spark `percentile` and DuckDB
+  `quantile_cont` both define rank = p·(n-1) with linear interpolation, so
+  the doubles match. At 100 TB the drop-in is `percentile_approx`
+  (Greenwald-Khanna) with the same call shape.
+
+Reference parity: run_quality_checks.py:64-78 profiles the confidence
+distribution with fixed buckets; these are the sketch-grade versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from australian_company_etl_spark.functions.textfns import phash_sql, phash_spark
+from australian_company_etl_spark.sources.registry import load_tables
+
+KMV_K = 64
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — KMV distinct-user estimate per event_type vs exact count."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    pairs = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", phash_spark(F.col("user_id").cast("string")))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K)
+    sketch = kept.groupBy("event_type").agg(
+        F.max("h").alias("kth_hash"), F.count("*").alias("k_actual")
+    )
+    exact = pairs.groupBy("event_type").agg(F.count("*").alias("n_distinct_exact"))
+    est = F.when(
+        F.col("k_actual") < KMV_K, F.col("n_distinct_exact").cast("double")
+    ).otherwise(
+        (F.lit(KMV_K - 1) * F.pow(F.lit(2.0), F.lit(60)))
+        / F.col("kth_hash").cast("double")
+    )
+    return (
+        sketch.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_distinct_exact",
+            F.round(est, 4).alias("kmv_estimate"),
+        )
+    )
+
+
+KMV_SQL = f"""
+WITH pairs AS (
+  SELECT event_type, user_id, {phash_sql("user_id::VARCHAR")} AS h
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+kept AS (
+  SELECT event_type, h
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {KMV_K}
+),
+sketch AS (
+  SELECT event_type, max(h) AS kth_hash, count(*) AS k_actual FROM kept GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(*) AS n_distinct_exact FROM pairs GROUP BY 1
+)
+SELECT s.event_type,
+       e.n_distinct_exact,
+       round(CASE WHEN s.k_actual < {KMV_K} THEN e.n_distinct_exact::DOUBLE
+                  ELSE {KMV_K - 1} * pow(2.0, 60) / s.kth_hash::DOUBLE END,
+             4) AS kmv_estimate
+FROM sketch s JOIN exact e USING (event_type)
+"""
+
+
+def quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — exact interpolated p50/p90/p99 of value per event_type."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "quantiles_event_value": quantiles_event_value,
+}
+
+ORACLES = {
+    "sketch_kmv_distinct": KMV_SQL,
+    "quantiles_event_value": QUANTILES_SQL,
+}

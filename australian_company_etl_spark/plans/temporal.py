@@ -1,0 +1,195 @@
+"""Group L — temporal joins & hypertable-style rollups over the event log.
+
+Operators Spark has no single built-in for, re-expressed as scalable
+compositions (the brief's "custom operators" path (a)):
+
+- L1 `asof_join_last_error` — AS-OF JOIN: for every click event, the most
+  recent error event by the same user at-or-before the click. Implemented
+  as a tagged UNION + one window pass (single shuffle on user_id, running
+  `last(..., ignoreNulls)` carry-forward) — the classic scalable as-of
+  plan. A sort-merge inequality join would shuffle the same data but then
+  do a per-row backward scan; the union form is one linear pass.
+- L2 `range_join_close_pairs` — RANGE (band) JOIN: pairs of events by the
+  same user within 1 hour. Implemented by time-bucketing to the band width
+  and equi-joining on (user_id, bucket ∈ {b, b+1}) then filtering the
+  exact band — candidate cost is Σ|bucket|², never N² (same blocking
+  discipline as the fuzzy entity-match family, SURVEY §4).
+- L3 `rollup_events_hourly` — hypertable continuous-aggregate shape:
+  multi-granularity (day, hour) ROLLUP with grouping_id, one shuffle with
+  map-side partial aggregation (Spark expands grouping sets before the
+  exchange).
+- L4 `cube_orders_priority` — CUBE over (order priority, order year) on
+  orders: all four grouping combinations in one pass.
+
+Reference parity: the reference's ingest log accounting and quality
+rollups (scripts/run_quality_checks.py:46-78) are flat GROUP BYs; these
+generalize them to the event-time/multi-granularity forms a 100 TB ingest
+ledger needs.
+
+Scale: L1/L2 shuffle once on user_id (high cardinality, AQE-coalesced);
+L3/L4 are single-exchange grouping-set aggregations. No cartesian products
+anywhere (asserted in tests/test_scale_plan.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from australian_company_etl_spark.sources.registry import load_tables
+
+BAND_US = 3600 * 1_000_000  # 1-hour range-join band
+
+
+def asof_join_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — per click event, the latest error at-or-before it (same user)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    us = F.unix_micros(F.col("ts"))
+    tagged = ev.filter(F.col("event_type").isin("click", "error")).select(
+        "event_id",
+        "user_id",
+        us.alias("us"),
+        # errors sort before clicks at equal timestamps → at-or-before is
+        # inclusive, matching the oracle's e.ts <= c.ts
+        F.when(F.col("event_type") == "error", 0).otherwise(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_error_us",
+        F.last(F.when(F.col("side") == 0, F.col("us")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("click_us"),
+        "last_error_us",
+        (F.col("us") - F.col("last_error_us")).alias("gap_us"),
+    )
+
+
+ASOF_SQL = """
+SELECT c.event_id,
+       c.user_id,
+       epoch_us(c.ts) AS click_us,
+       (SELECT max(epoch_us(e.ts)) FROM events e
+         WHERE e.user_id = c.user_id AND e.event_type = 'error' AND e.ts <= c.ts)
+         AS last_error_us,
+       epoch_us(c.ts) - (SELECT max(epoch_us(e.ts)) FROM events e
+         WHERE e.user_id = c.user_id AND e.event_type = 'error' AND e.ts <= c.ts)
+         AS gap_us
+FROM events c
+WHERE c.event_type = 'click'
+"""
+
+
+def range_join_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — event pairs by the same user within 1 hour (strictly ordered)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select("event_id", "user_id", us.alias("us"))
+    bucket = F.expr(f"us div {BAND_US}")
+    # left probes its own bucket and the next one; right sits in its bucket —
+    # every pair with gap <= band shares a (user, bucket) candidate key
+    left = base.select(
+        F.col("event_id").alias("e1_id"),
+        "user_id",
+        F.col("us").alias("us1"),
+        F.explode(F.array(bucket, bucket + F.lit(1))).alias("bkt"),
+    )
+    right = base.select(
+        F.col("event_id").alias("e2_id"),
+        "user_id",
+        F.col("us").alias("us2"),
+        bucket.alias("bkt"),
+    )
+    return (
+        left.join(right, ["user_id", "bkt"])
+        .filter((F.col("us2") > F.col("us1")) & (F.col("us2") - F.col("us1") <= BAND_US))
+        .select("user_id", "e1_id", "e2_id", (F.col("us2") - F.col("us1")).alias("gap_us"))
+    )
+    # no distinct needed: a qualifying pair's buckets differ by 0 or 1, so it
+    # matches exactly one of the two probe buckets — the join is exact
+
+
+RANGE_SQL = f"""
+SELECT e1.user_id,
+       e1.event_id AS e1_id,
+       e2.event_id AS e2_id,
+       epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+FROM events e1
+JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND epoch_us(e2.ts) > epoch_us(e1.ts)
+ AND epoch_us(e2.ts) - epoch_us(e1.ts) <= {BAND_US}
+"""
+
+
+def rollup_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 — (day, hour) ROLLUP: hourly, daily, and grand-total in one pass."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    prepared = ev.select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        F.hour(F.col("ts")).alias("hour"),
+        "value",
+    )
+    return prepared.rollup("day", "hour").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       hour(ts) AS hour,
+       GROUPING(strftime(ts, '%Y-%m-%d'), hour(ts)) AS gid,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP(1, 2)
+"""
+
+
+def cube_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — CUBE over (priority, order year): all four grouping combos."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    prepared = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year(F.col("o_orderdate")).alias("order_year"),
+        "o_totalprice",
+    )
+    return prepared.cube("priority", "order_year").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderpriority AS priority,
+       year(o_orderdate) AS order_year,
+       GROUPING(o_orderpriority, year(o_orderdate)) AS gid,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE(1, 2)
+"""
+
+
+QUERIES = {
+    "asof_join_last_error": asof_join_last_error,
+    "range_join_close_pairs": range_join_close_pairs,
+    "rollup_events_hourly": rollup_events_hourly,
+    "cube_orders_priority": cube_orders_priority,
+}
+
+ORACLES = {
+    "asof_join_last_error": ASOF_SQL,
+    "range_join_close_pairs": RANGE_SQL,
+    "rollup_events_hourly": ROLLUP_SQL,
+    "cube_orders_priority": CUBE_SQL,
+}
