@@ -23,11 +23,17 @@ NESTED_LOOP_OK = {
     "ann_ivf_topk",
     "match_fuzzy_levenshtein",
     "unify_entities",
+    "text_idf_vocab",  # 1-row corpus-size aggregate broadcast as a scalar
 }
 
 
 def _spark_plan(df) -> str:
     return df._jdf.queryExecution().sparkPlan().toString()
+
+
+def _executed_plan(df) -> str:
+    """Physical plan AFTER exchange insertion (needed to count shuffles)."""
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -65,6 +71,41 @@ def test_dim_joins_are_broadcast(spark, sf_dir):
     for fn in (q3_shipping_priority, q5_local_supplier, q10_returned_items):
         plan = _spark_plan(fn(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, f"{fn.__name__} lost its broadcast dim join"
+
+
+def test_asof_join_is_single_window_pass(spark, sf_dir):
+    """The as-of join must be the union+window form: one shuffle on the
+    partition key and NO join operator at all."""
+    plan = _executed_plan(QUERIES["asof_join_last_error"](spark, sf_dir))
+    assert "Join" not in plan, "as-of join should be a window pass, not a join"
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "as-of join should shuffle exactly once"
+    )
+    assert "Window" in plan
+
+
+def test_range_join_is_bucketed_equijoin(spark, sf_dir):
+    """The band join must equi-join on (user, time-bucket) — never an
+    inequality-only nested loop."""
+    plan = _spark_plan(QUERIES["range_join_close_pairs"](spark, sf_dir))
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "user_id" in plan.split("Join")[1][:200]
+
+
+def test_kmv_prunes_to_k_rows_per_group(spark, sf_dir):
+    """The rank filter must rewrite to WindowGroupLimit so only k rows per
+    group survive each side of the shuffle (the KMV partial-merge shape)."""
+    plan = _spark_plan(QUERIES["sketch_kmv_distinct"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_hash_sample_is_shuffle_free(spark, sf_dir):
+    """Deterministic sampling is a pure filter — it must plan without any
+    Exchange (embarrassingly parallel at any scale)."""
+    plan = _executed_plan(QUERIES["sample_stratified_hash"](spark, sf_dir))
+    assert "Exchange" not in plan
 
 
 def test_dedup_pairgen_is_equijoin(spark, sf_dir):

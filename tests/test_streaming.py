@@ -88,3 +88,73 @@ def test_state_survives_across_microbatches(spark, sf_dir, tmp_path):
     for uid, r in finals.items():
         assert r.n_events == batch[uid].n
         assert abs(r.total_value - batch[uid].tot) < 0.02
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode watermark semantics: a row arriving in a later micro-batch
+    whose event time is older than the watermark must be DROPPED; on-time
+    rows still land in their (open) window; windows past the watermark never
+    emit. This is the state-bound guarantee that makes 100 TB streaming
+    aggregation feasible."""
+    import os
+
+    import pandas as pd
+
+    from australian_company_etl_spark.streaming.pipeline import tumbling_agg_stream
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write(name, times, mtime):
+        pdf = pd.DataFrame(
+            {
+                "ts_us": [int(pd.Timestamp(t).value // 1000) for t in times],
+                "event_type": "x",
+                "value": 1.0,
+            }
+        )
+        p = str(src / name)
+        pdf.to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 0: two rows in the 10:00 window + one at 14:00
+    # → watermark advances to 14:00 - 1h = 13:00
+    write("a.parquet", ["2024-01-01 10:00:05", "2024-01-01 10:00:10", "2024-01-01 14:00:00"], 1_000)
+    # batch 1: on-time row; end of this batch evicts+emits the 10:00 window
+    # (the late-record filter uses the PREVIOUS batch's watermark, so the
+    # late row must arrive after this batch to hit a committed watermark)
+    write("b.parquet", ["2024-01-01 14:30:00"], 2_000)
+    # batch 2: LATE row at 10:30 — behind the committed watermark and its
+    # window is already emitted → must be dropped, never double-emitted
+    write("c.parquet", ["2024-01-01 10:30:00"], 3_000)
+    # batch 3: advance watermark to 15:00 → closes the 14:00 window
+    write("d.parquet", ["2024-01-01 16:00:00"], 4_000)
+
+    stream = (
+        spark.readStream.schema("ts_us bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    q = (
+        tumbling_agg_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, "the late 10:30 row must be dropped by the watermark"
+    rows = spark.table("t_late").collect()
+    assert len(rows) == len({r.window_start for r in rows}), "window emitted twice"
+    got = {r.window_start: r.n_events for r in rows}
+    # 10:00 window closed with ONLY the 2 on-time rows (late 10:30 dropped);
+    # 14:00 window closed with both its rows; 16:00 never closes (watermark
+    # stops at 15:00) so it must not appear
+    assert got == {"2024-01-01 10:00:00": 2, "2024-01-01 14:00:00": 2}
