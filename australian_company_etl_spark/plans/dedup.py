@@ -344,6 +344,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vectors are L2-normalized once per row so the per-pair score is a
     single dot product (see plans/similarity.py for the parity argument)."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # spread the interpreted per-row folds (tiny file = one scan partition)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     e = F.col("embedding").cast("array<double>")
     d = emb.select("vec_id", "label", e.alias("e0")).withColumn(
         "nrm", F.sqrt(_dot_spark(F.col("e0"), F.col("e0")))

@@ -74,6 +74,9 @@ _NORM_SQL = "list_transform({e}, x -> x / sqrt(list_dot_product({e}, {e})))"
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # per-row 64-dim folds run interpreted — spread across cores (tiny file
+    # scans as ONE partition; no-op posture on a real many-file dataset)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     e = F.col("embedding").cast("array<double>")
     # norm as a materialized column FIRST — referencing the aggregate inside
     # the transform lambda would re-evaluate it per element (O(dim²)/row)

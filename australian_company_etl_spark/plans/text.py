@@ -54,6 +54,10 @@ def _vote_sql(toks: str, words: list[str]) -> str:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H1 — language ID by stopword vote; 'und' when no evidence."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # the stopword-vote filter lambdas run interpreted — spread the per-row
+    # work across cores (a tiny file otherwise scans as ONE partition; on a
+    # real many-file corpus the scan is already parallel)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = tokens_all_spark(F.col("text"))
     d = docs.select(
         "doc_id", *[_vote_spark(toks, STOPWORDS[lg]).alias(f"v_{lg}") for lg in LANG_ORDER]
@@ -83,6 +87,8 @@ FROM votes
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2 — heuristic quality score from length/punct/stopword ratios."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # same single-partition guard as H1: regex + interpreted filter per row
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = tokens_all_spark(F.col("text"))
     n_tok = F.size(toks)
     n_chars = F.length("text")
