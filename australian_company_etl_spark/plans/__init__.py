@@ -42,6 +42,7 @@ def _plan_modules():
         temporal,
         text,
         tpch,
+        tpch_full,
     )
 
     return [
@@ -50,6 +51,7 @@ def _plan_modules():
         quality,
         api,
         tpch,
+        tpch_full,
         dedup,
         similarity,
         text,

@@ -186,7 +186,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_pairs_body() -> str:
+    """The F2 pair query as a self-contained SELECT (nestable as a CTE body)."""
     mins = ", ".join(
         f"min(({a} * h0 + {b}) % {MH_P}) AS h{i}" for i, (a, b) in enumerate(MH_COEFFS)
     )
@@ -217,6 +218,10 @@ JOIN sh sa ON sa.doc_id = cand.doc_id_a
 JOIN sh sb ON sb.doc_id = cand.doc_id_b
 WHERE round({jac}, 4) >= {JACCARD_T}
 """
+
+
+def _minhash_sql() -> str:
+    return _minhash_pairs_body()
 
 
 # ── F3 simhash ──────────────────────────────────────────────────────────────
@@ -383,12 +388,88 @@ WHERE round({cos}, 4) >= {COSINE_T}
 """
 
 
+# ── F6 connected-component clustering over the near-dup graph ───────────────
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — near-dup clusters: connected components over the F2 pair graph,
+    so a whole family of mutual near-dups collapses to ONE representative
+    (the min doc_id) instead of pairwise drops.
+
+    Iterative min-label propagation: each round pushes every node's current
+    label to its neighbors and keeps the per-node min, until a fixpoint.
+    Rounds ≤ component diameter — shallow for near-dup graphs. Every
+    document gets a cluster_id; singletons are their own cluster.
+
+    Scale: each round is one equi-join shuffle on doc_id + a map-side-
+    combinable min-agg; the convergence check is a counted diff, not a
+    collect. At 100 TB you add periodic checkpoints to truncate lineage and
+    the large-star/small-star rewrite for pathological diameters — the loop
+    structure is unchanged.
+    """
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b"))
+        )
+        .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).persist()
+    while True:
+        prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
+            F.col("dst").alias("doc_id"), "lbl"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("doc_id").agg(F.min("lbl").alias("lbl")).persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        "doc_id", F.col("lbl").alias("cluster_id"), "cluster_size"
+    )
+
+
+def _cluster_cc_sql() -> str:
+    """Oracle: recursive-CTE label reachability — (x, l) ∈ walk iff label l
+    reaches x along near-dup edges; min l per x is the component min."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({_minhash_pairs_body()}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+walk(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc_id
+),
+labels AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM labels l
+JOIN (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1) s
+  USING (cluster_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_cluster_cc": dedup_cluster_cc,
 }
 
 ORACLES = {
@@ -397,4 +478,5 @@ ORACLES = {
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_sql(),
     "dedup_embedding_cosine": _emb_cosine_sql(),
+    "dedup_cluster_cc": _cluster_cc_sql(),
 }
