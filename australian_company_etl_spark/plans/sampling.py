@@ -73,12 +73,93 @@ GROUP BY 1, 2
 """
 
 
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+_WS_TOKENS_SQL = "len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT"
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — deterministic sequence packing: within each source, documents
+    (in doc_id order) are appended into fixed token-budget bins; a doc's
+    bin is floor(tokens-before-it / budget). Pure window arithmetic over
+    exact integer token counts — the same packing on every engine and
+    cluster layout.
+
+    Scale: one shuffle on `source`; at 100 TB you sub-bucket the window key
+    (source, doc_id div B) to keep window partitions bounded — assignments
+    are unchanged because the cumulative sum telescopes."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.floor(cum_before / PACK_BUDGET).cast("bigint").alias("bin_id"),
+        )
+    )
+
+
+PACK_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_WS_TOKENS_SQL} AS n_tokens FROM documents)
+SELECT doc_id, source, n_tokens::INT AS n_tokens,
+       (coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // {PACK_BUDGET})::BIGINT AS bin_id
+FROM t
+"""
+
+
+# corpus-mixing rates per source (basis points of 2^60-hash space, exact
+# integer thresholds — no float compare anywhere)
+MIX_RATES_BP = {"src0": 10000, "src1": 7500, "src2": 5000, "src3": 2500}
+MIX_DEFAULT_BP = 1000
+
+
+def mix_corpus_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — weighted corpus mixing: per-source keep rates (e.g. books 1.0,
+    web 0.1) applied as a deterministic hash filter — the up/down-sampling
+    step that composes a pretraining mixture. Shuffle-free: a pure filter
+    with per-source integer thresholds."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bucket = phash_spark(F.col("doc_id").cast("string")) % 10000
+    thr = F.lit(MIX_DEFAULT_BP)
+    for src, bp in MIX_RATES_BP.items():
+        thr = F.when(F.col("source") == src, F.lit(bp)).otherwise(thr)
+    return docs.filter(bucket < thr).select("doc_id", "source", "lang")
+
+
+def _mix_sql() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {bp}" for s, bp in MIX_RATES_BP.items())
+    return f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {phash_sql("doc_id::VARCHAR")} % 10000
+      < (CASE source {whens} ELSE {MIX_DEFAULT_BP} END)
+"""
+
+
 QUERIES = {
     "sample_stratified_hash": sample_stratified_hash,
     "split_train_holdout": split_train_holdout,
+    "pack_sequences": pack_sequences,
+    "mix_corpus_weighted": mix_corpus_weighted,
 }
 
 ORACLES = {
     "sample_stratified_hash": SAMPLE_SQL,
     "split_train_holdout": SPLIT_SQL,
+    "pack_sequences": PACK_SQL,
+    "mix_corpus_weighted": _mix_sql(),
 }

@@ -256,6 +256,82 @@ LIMIT 200
 """
 
 
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 — within-document repetition: 1 - distinct/total word-3grams
+    (the Gopher/C4-style boilerplate signal; high ratio = loopy spam).
+
+    Scale: row-form shingles keep the doc_id partitioning, so the count /
+    count-distinct aggregate needs no extra shuffle."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t"))
+    agg = (
+        shingle_rows_spark(toks, 3)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"), F.countDistinct("s").alias("n_di"))
+    )
+    rep = 1 - F.col("n_di") / F.col("n_sh")
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_sh"), F.lit(0)).cast("int").alias("n_shingles"),
+            F.coalesce(F.col("n_di"), F.lit(0)).cast("int").alias("n_distinct"),
+            F.round(F.coalesce(rep, F.lit(0.0)), 4).alias("rep_ratio"),
+        )
+    )
+
+
+def _repetition_sql() -> str:
+    toks = tokens_all_sql("text")
+    dist = f"len({shingles_sql('t', 3)})"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS t FROM documents)
+SELECT doc_id,
+       greatest(len(t) - 2, 0)::INT AS n_shingles,
+       (CASE WHEN len(t) >= 3 THEN {dist} ELSE 0 END)::INT AS n_distinct,
+       round(CASE WHEN len(t) >= 3
+                  THEN 1 - {dist}::DOUBLE / (len(t) - 2)
+                  ELSE 0.0 END, 4) AS rep_ratio
+FROM t
+"""
+
+
+# benchmark-contamination blocklist: fixed literal phrases (in a real
+# pipeline: eval-set n-grams). Substring semantics, case-sensitive.
+CONTAM_PHRASES = ["big big", "table table", "spark data", "quick brown fox"]
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 — decontamination scan: per blocklist phrase, how many documents
+    contain it (and the first hit). The phrase list is a broadcast literal
+    dim; at 100 TB you'd compile the blocklist into one Aho-Corasick
+    automaton inside a pandas UDF instead of P substring scans — the plan
+    shape (tiny dim × corpus, no shuffle of the corpus) is the same."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    phrases = spark.createDataFrame([(p,) for p in CONTAM_PHRASES], "phrase string")
+    return (
+        F.broadcast(phrases)
+        .join(docs, F.col("text").contains(F.col("phrase")), "left")
+        .groupBy("phrase")
+        .agg(F.count("doc_id").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("phrase")
+    )
+
+
+def _contamination_sql() -> str:
+    values = ", ".join(f"('{p}')" for p in CONTAM_PHRASES)
+    return f"""
+WITH phrases(phrase) AS (VALUES {values})
+SELECT phrase, count(doc_id) AS n_docs, min(doc_id) AS first_doc
+FROM phrases LEFT JOIN documents ON contains(text, phrase)
+GROUP BY phrase
+ORDER BY phrase
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
@@ -263,6 +339,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
     "text_idf_vocab": text_idf_vocab,
+    "text_repetition_ratio": text_repetition_ratio,
+    "text_contamination": text_contamination,
 }
 
 ORACLES = {
@@ -272,4 +350,6 @@ ORACLES = {
     "text_fingerprint": FINGERPRINT_SQL,
     "text_pii_scrub": PII_SCRUB_SQL,
     "text_idf_vocab": IDF_VOCAB_SQL,
+    "text_repetition_ratio": _repetition_sql(),
+    "text_contamination": _contamination_sql(),
 }

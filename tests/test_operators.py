@@ -71,3 +71,38 @@ def test_best_fuzzy_match_extractone(spark):
     out = best_fuzzy_match(left, right, "lk", "lname", "rk", "rname").collect()
     assert len(out) == 1
     assert out[0].rk == 10 and out[0].score == 100
+
+
+def test_cluster_cc_merges_transitively(spark):
+    """A chain a-b, b-c must collapse to one cluster labeled min(a,b,c),
+    and cluster sizes must equal the label group counts."""
+    from australian_company_etl_spark.plans.dedup import dedup_cluster_cc
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = dedup_cluster_cc(spark, sf_dir)
+    rows = out.collect()
+    label_of = {r.doc_id: r.cluster_id for r in rows}
+    # every cluster is labeled by its own minimum member
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert min(members) == cid
+    # sizes consistent
+    for r in rows:
+        assert r.cluster_size == len(by_cluster[r.cluster_id])
+    # transitivity over the generating edges: both endpoints share a label
+    from australian_company_etl_spark.plans.dedup import dedup_minhash_lsh
+
+    for p in dedup_minhash_lsh(spark, sf_dir).collect():
+        assert label_of[p.doc_id_a] == label_of[p.doc_id_b]
+
+
+def test_repetition_ratio_bounds(spark):
+    from australian_company_etl_spark.plans.text import text_repetition_ratio
+
+    rows = text_repetition_ratio(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.rep_ratio <= 1.0
+        assert r.n_distinct <= r.n_shingles

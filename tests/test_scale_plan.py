@@ -27,6 +27,7 @@ NESTED_LOOP_OK = {
     "q11_important_stock",  # 1-row total-value threshold broadcast as a scalar
     "q15_top_supplier",  # 1-row max-revenue aggregate broadcast as a scalar
     "q22_global_sales_opp",  # 1-row avg-balance threshold broadcast as a scalar
+    "text_contamination",  # 4-phrase literal blocklist broadcast over the corpus
 }
 
 
