@@ -109,11 +109,53 @@ WHERE rn = 1
 """
 
 
+def extract_xml_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — ABR-style XML record parse (extract_abr.py:107-148): each row
+    carries one XML record; Spark's native `from_xml` parses it to typed
+    columns in one codegen expression — the declarative replacement for the
+    reference's ElementTree iterparse loop. The XML is synthesized from
+    customer rows so the oracle can parse the identical strings.
+
+    Scale: stateless per-row parse, no shuffle; at 100 TB this is
+    `spark.read.format('xml')` with rowTag over the raw files — same
+    expression, streaming-scan input."""
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    xml = F.concat(
+        F.lit("<abr><abn>"),
+        F.col("c_custkey"),
+        F.lit("</abn><name>"),
+        F.col("c_name"),
+        F.lit("</name><segment>"),
+        F.col("c_mktsegment"),
+        F.lit("</segment></abr>"),
+    )
+    parsed = F.from_xml(xml, "abn BIGINT, name STRING, segment STRING")
+    return (
+        cust.select(parsed.alias("r"))
+        .select("r.abn", "r.name", "r.segment")
+        .filter(F.col("segment") == "BUILDING")
+    )
+
+
+EXTRACT_XML_SQL = """
+SELECT CAST(regexp_extract(x, '<abn>([0-9]+)</abn>', 1) AS BIGINT) AS abn,
+       regexp_extract(x, '<name>(.*)</name>', 1) AS name,
+       regexp_extract(x, '<segment>(.*)</segment>', 1) AS segment
+FROM (
+  SELECT '<abr><abn>' || c_custkey || '</abn><name>' || c_name
+         || '</name><segment>' || c_mktsegment || '</segment></abr>' AS x
+  FROM customer
+)
+WHERE regexp_extract(x, '<segment>(.*)</segment>', 1) = 'BUILDING'
+"""
+
+
 QUERIES = {
     "extract_regex_fields": extract_regex_fields,
     "extract_url_filter": extract_url_filter,
     "extract_json_props": extract_json_props,
     "extract_first_wins_upsert": extract_first_wins_upsert,
+    "extract_xml_fields": extract_xml_fields,
 }
 
 ORACLES = {
@@ -121,4 +163,5 @@ ORACLES = {
     "extract_url_filter": URL_FILTER_SQL,
     "extract_json_props": JSON_PROPS_SQL,
     "extract_first_wins_upsert": FIRST_WINS_SQL,
+    "extract_xml_fields": EXTRACT_XML_SQL,
 }

@@ -190,3 +190,38 @@ def run_user_totals_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ── streaming exact dedup: first occurrence of each content hash wins ───────
+# The streaming analog of the reference's processed-file ledger /
+# `ON CONFLICT DO NOTHING` (extract_abr.py:57-66): dropDuplicates keeps one
+# state row per distinct key across ALL micro-batches, so a re-delivered or
+# duplicated document never reaches the sink twice. At 100 TB the state
+# store shards by key across executors; with event-time bounds you'd use
+# dropDuplicatesWithinWatermark to cap state instead of keeping it forever.
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("text_hash", F.md5("text")).dropDuplicates(["text_hash"])
+
+
+def run_dedup_stream_to_memory(
+    spark: SparkSession, src_dir: str, schema: str, name: str = "dedup", max_files: int = 1
+) -> DataFrame:
+    """Stream parquet files from src_dir (max_files per trigger) through the
+    cross-batch dedup; returns the append-mode memory sink contents."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -158,3 +158,27 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # 14:00 window closed with both its rows; 16:00 never closes (watermark
     # stops at 15:00) so it must not appear
     assert got == {"2024-01-01 10:00:00": 2, "2024-01-01 14:00:00": 2}
+
+
+def test_streaming_dedup_across_microbatches(spark, sf_dir, tmp_path):
+    """Documents split into 4 files streamed one per trigger: a duplicated
+    file must not produce duplicate hashes at the sink — dedup state spans
+    micro-batches (the streaming processed-ledger semantics)."""
+    from australian_company_etl_spark.streaming.pipeline import run_dedup_stream_to_memory
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    src = str(tmp_path / "docs_split")
+    docs.select("doc_id", "text").repartition(4).write.mode("overwrite").parquet(src)
+    # re-deliver one shard under a new filename: every row in it is a dup
+    import glob, shutil
+
+    first = sorted(glob.glob(src + "/part-*.parquet"))[0]
+    shutil.copy(first, src + "/redelivered.parquet")
+
+    out = run_dedup_stream_to_memory(
+        spark, src, "doc_id bigint, text string", name="t_dedup_stream"
+    )
+    hashes = [r.text_hash for r in out.collect()]
+    assert len(hashes) == len(set(hashes)), "sink saw a duplicate content hash"
+    n_distinct_batch = docs.select(F.md5("text")).distinct().count()
+    assert len(hashes) == n_distinct_batch
