@@ -60,8 +60,14 @@ def blocked_fuzzy_pairs(
     right_name: str,
     threshold: int,
 ) -> DataFrame:
-    """Scalable fuzzy join: equi-join on blocking key(s), then score."""
-    joined = left.join(right, on=block_cols)
+    """Scalable fuzzy join: equi-join on blocking key(s), then score.
+
+    The probe side is re-spread across all cores first: a dim-sized table
+    arrives as ONE file partition, and with the other side broadcast the
+    whole Σ|block|² levenshtein workload would run in a single task. At
+    100 TB the scan yields thousands of partitions and this is a no-op."""
+    spread = right.repartition(right.sparkSession.sparkContext.defaultParallelism)
+    joined = left.join(spread, on=block_cols)
     return joined.withColumn(
         "score", lev_ratio_spark(F.col(left_name), F.col(right_name))
     ).filter(F.col("score") >= threshold)
