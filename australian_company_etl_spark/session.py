@@ -35,6 +35,11 @@ def get_spark(
         # advisory (64m) target takes over and this is a no-op
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce the output partitioning of persisted plans too:
+        # iterative ops (connected components) cache tiny label/edge frames,
+        # and without this they pin the full shuffle-partition fan-out —
+        # every micro-round pays a 32-task scheduling bill for ~500 rows
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark refuses;
         # read as epoch-nanos long and convert in the source registry.
