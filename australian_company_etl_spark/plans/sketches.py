@@ -111,12 +111,105 @@ GROUP BY event_type
 """
 
 
+BLOOM_M = 1024  # bits per filter
+BLOOM_K = 3  # hash functions
+
+
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — Bloom-filter membership per event_type: build one m=1024/k=3
+    filter over each type's distinct user set, then probe EVERY distinct
+    user against EVERY type's filter, reporting the bloom verdict next to
+    exact membership — the false-positive rows are the sketch's signature.
+
+    The filter is held relationally as distinct (event_type, bit) rows so
+    the DuckDB oracle reproduces it bit-for-bit with the same portable md5
+    hash. At 100 TB you pack the bits into array<long> with a bit_or
+    aggregate (or Spark's own bloom_filter_agg) and broadcast the blobs —
+    the build/probe dataflow (small filter side broadcast onto a huge
+    probe stream) is exactly this plan's shape.
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    members = ev.select("event_type", "user_id").distinct()
+    seeds = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+    bit_of = lambda seed, uid: (
+        phash_spark(F.concat(seed.cast("string"), F.lit(":"), uid.cast("string"))) % BLOOM_M
+    )
+    bits = (
+        members.select(
+            "event_type", F.explode(seeds).alias("i"), F.col("user_id").alias("uid")
+        )
+        .select("event_type", bit_of(F.col("i"), F.col("uid")).alias("bit"))
+        .distinct()
+    )
+    types = ev.select("event_type").distinct()
+    users = ev.select("user_id").distinct()
+    probe = users.crossJoin(F.broadcast(types)).select(
+        "event_type", "user_id", F.explode(seeds).alias("i")
+    )
+    hits = (
+        probe.withColumn("bit", bit_of(F.col("i"), F.col("user_id")))
+        .join(F.broadcast(bits), ["event_type", "bit"], "left_semi")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("nbits"))
+    )
+    exact = members.withColumn("is_member", F.lit(True))
+    return (
+        users.crossJoin(F.broadcast(types))
+        .join(hits, ["event_type", "user_id"], "left")
+        .join(exact, ["event_type", "user_id"], "left")
+        .select(
+            "event_type",
+            "user_id",
+            (F.coalesce("nbits", F.lit(0)) == BLOOM_K).alias("bloom_maybe"),
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    def bit_expr(seed: str, uid: str) -> str:
+        concat = seed + "::VARCHAR || ':' || " + uid + "::VARCHAR"
+        return f"({phash_sql(concat)} % {BLOOM_M})"
+
+    return f"""
+WITH members AS (SELECT DISTINCT event_type, user_id FROM events),
+seeds(i) AS (VALUES (0), (1), (2)),
+bits AS (
+  SELECT DISTINCT event_type, {bit_expr('i', 'user_id')} AS bit
+  FROM members, seeds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+users AS (SELECT DISTINCT user_id FROM events),
+probe AS (
+  SELECT t.event_type, u.user_id, s.i,
+         {bit_expr('s.i', 'u.user_id')} AS bit
+  FROM users u, types t, seeds s
+),
+hits AS (
+  SELECT p.event_type, p.user_id, count(*) AS nbits
+  FROM probe p
+  WHERE EXISTS (SELECT 1 FROM bits b
+                WHERE b.event_type = p.event_type AND b.bit = p.bit)
+  GROUP BY p.event_type, p.user_id
+)
+SELECT t.event_type, u.user_id,
+       coalesce(h.nbits, 0) = {BLOOM_K} AS bloom_maybe,
+       (m.user_id IS NOT NULL) AS is_member
+FROM users u
+CROSS JOIN types t
+LEFT JOIN hits h ON h.event_type = t.event_type AND h.user_id = u.user_id
+LEFT JOIN members m ON m.event_type = t.event_type AND m.user_id = u.user_id
+"""
+
+
 QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "quantiles_event_value": quantiles_event_value,
+    "sketch_bloom_membership": sketch_bloom_membership,
 }
 
 ORACLES = {
     "sketch_kmv_distinct": KMV_SQL,
     "quantiles_event_value": QUANTILES_SQL,
+    "sketch_bloom_membership": _bloom_sql(),
 }

@@ -332,6 +332,72 @@ ORDER BY phrase
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9 — unigram log-probability quality score: the deterministic stand-in
+    for the CCNet/KenLM perplexity filter. The unigram LM is trained on the
+    corpus itself (token → count/total), and each document scores the mean
+    token log-probability; strongly negative means OOV-ish/junk, near-zero
+    means boilerplate. Perplexity proxy = exp(-avg_logprob).
+
+    Per-token logprobs are fixed to integer nano-units (round(ln·1e9)) so
+    the per-doc aggregate is an EXACT int64 sum — order-independent, hence
+    bit-identical between Spark partial aggregation and the single-threaded
+    oracle (ln itself is deterministic per distinct token).
+
+    Scale: one map-side-combined groupBy builds the vocab (|V| rows); the
+    corpus total rides into it via a broadcast 1-row cross join, and the
+    scored vocab broadcasts back onto the token stream, so the corpus is
+    shuffled only by doc_id for the final mean — explode/join/agg all stay
+    in whole-stage codegen."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select("doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("total")) * 1e9)
+        .cast("bigint")
+        .alias("lp_fix"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("lp_fix").alias("s"), F.count("*").alias("n_tokens"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(F.col("s") / (F.col("n_tokens") * F.lit(1e9)), 6).alias("avg_logprob"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_all_sql('text')}) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+lp AS (
+  SELECT tok, round(ln(cnt::DOUBLE / total) * 1000000000)::BIGINT AS lp_fix
+  FROM vocab, tot
+),
+per_doc AS (
+  SELECT t.doc_id, sum(lp_fix) AS s, count(*) AS n_tokens
+  FROM toks t JOIN lp USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       round(p.s / (p.n_tokens * 1e9), 6) AS avg_logprob
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
@@ -341,6 +407,7 @@ QUERIES = {
     "text_idf_vocab": text_idf_vocab,
     "text_repetition_ratio": text_repetition_ratio,
     "text_contamination": text_contamination,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 ORACLES = {
@@ -352,4 +419,5 @@ ORACLES = {
     "text_idf_vocab": IDF_VOCAB_SQL,
     "text_repetition_ratio": _repetition_sql(),
     "text_contamination": _contamination_sql(),
+    "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
 }

@@ -106,3 +106,33 @@ def test_repetition_ratio_bounds(spark):
     for r in rows:
         assert 0.0 <= r.rep_ratio <= 1.0
         assert r.n_distinct <= r.n_shingles
+
+
+def test_unigram_logprob_semantics(spark):
+    from australian_company_etl_spark.plans.text import text_unigram_logprob
+
+    rows = text_unigram_logprob(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.n_tokens > 0:
+            # ln of a probability < 1 is strictly negative
+            assert r.avg_logprob < 0
+            # unigram probs can't be below 1/total_tokens
+            assert r.avg_logprob > -20
+        else:
+            assert r.avg_logprob is None
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    from australian_company_etl_spark.plans.sketches import sketch_bloom_membership
+
+    rows = sketch_bloom_membership(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    # a Bloom filter may report false positives but NEVER false negatives
+    for r in rows:
+        if r.is_member:
+            assert r.bloom_maybe
+    # the probe covers the full users x types cross product
+    n_users = len({r.user_id for r in rows})
+    n_types = len({r.event_type for r in rows})
+    assert len(rows) == n_users * n_types
