@@ -28,6 +28,8 @@ NESTED_LOOP_OK = {
     "q15_top_supplier",  # 1-row max-revenue aggregate broadcast as a scalar
     "q22_global_sales_opp",  # 1-row avg-balance threshold broadcast as a scalar
     "text_contamination",  # 4-phrase literal blocklist broadcast over the corpus
+    "text_unigram_logprob",  # 1-row corpus-total aggregate broadcast as a scalar
+    "sketch_bloom_membership",  # probe = users x broadcast event-type dim (bounded)
 }
 
 
