@@ -128,3 +128,41 @@ def test_dedup_pairgen_is_equijoin(spark, sf_dir):
             "BroadcastHashJoin" in plan
         ), f"{name} has no equi-join pair generator"
         assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """The 100 TB co-located-join posture: fact tables bucketed on the join
+    key join WITHOUT an Exchange on either side (bucket pruning replaces
+    the shuffle). Broadcast is disabled so the plan can't dodge the
+    question; bucket metadata lives in the session catalog."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t["orders"].write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).saveAsTable("b_orders")
+        t["customer"].write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+            "overwrite"
+        ).saveAsTable("b_customer")
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # same result as the plain (shuffled) join
+        plain = t["orders"].join(
+            t["customer"], F.col("o_custkey") == F.col("c_custkey")
+        )
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
