@@ -53,5 +53,70 @@ WHERE doc_id NOT IN (SELECT doc_id FROM kill)
 """
 
 
-QUERIES = {"curate_corpus": curate_corpus}
-ORACLES = {"curate_corpus": _curate_sql()}
+def etl_dag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 — the reference's full Airflow DAG as ONE declarative plan
+    (airflow/dags/etl_pipeline.py: t1+t2 extract → t3 entity_matching →
+    t4 quality_checks): run the B6 unify pipeline, then emit the t4-style
+    quality report over the unified table as (metric, value) rows —
+    row count, NULL counts on critical columns, duplicate-key count, and
+    the confidence distribution (run_quality_checks.py:46-98).
+
+    Scale: the unified table streams once through a single 4-metric
+    aggregate; the dup-key check is a groupBy on the insert key. The
+    report is a handful of rows — the two 1-row aggregates combine with a
+    broadcast cross join, and `stack` unpivots without any shuffle."""
+    from australian_company_etl_spark.plans.matching import unify_entities
+
+    u = unify_entities(spark, sf_dir)
+    base = u.agg(
+        F.count("*").alias("rows_unified"),
+        F.sum(F.when(F.col("matched_name").isNull(), 1).otherwise(0)).alias(
+            "null_matched_name"
+        ),
+        F.sum(F.when(F.col("merged_confidence") >= 80, 1).otherwise(0)).alias(
+            "conf_ge_80"
+        ),
+        F.sum(
+            F.when(
+                (F.col("merged_confidence") >= 50) & (F.col("merged_confidence") < 80), 1
+            ).otherwise(0)
+        ).alias("conf_50_79"),
+    )
+    dups = (
+        u.groupBy("abn")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("dup_abn"))
+    )
+    return base.crossJoin(F.broadcast(dups)).select(
+        F.expr(
+            "stack(5,"
+            " 'rows_unified', rows_unified,"
+            " 'null_matched_name', null_matched_name,"
+            " 'dup_abn', dup_abn,"
+            " 'conf_ge_80', conf_ge_80,"
+            " 'conf_50_79', conf_50_79) AS (metric, value)"
+        )
+    ).select("metric", F.col("value").cast("bigint").alias("value"))
+
+
+def _etl_dag_sql() -> str:
+    from australian_company_etl_spark.plans.matching import UNIFY_SQL
+
+    return f"""
+WITH unified AS ({UNIFY_SQL})
+SELECT 'rows_unified' AS metric, count(*)::BIGINT AS value FROM unified
+UNION ALL
+SELECT 'null_matched_name', coalesce(count(*) FILTER (WHERE matched_name IS NULL), 0)::BIGINT FROM unified
+UNION ALL
+SELECT 'dup_abn', (SELECT count(*)::BIGINT FROM
+  (SELECT abn FROM unified GROUP BY abn HAVING count(*) > 1))
+UNION ALL
+SELECT 'conf_ge_80', coalesce(count(*) FILTER (WHERE merged_confidence >= 80), 0)::BIGINT FROM unified
+UNION ALL
+SELECT 'conf_50_79', coalesce(count(*) FILTER (WHERE merged_confidence >= 50 AND merged_confidence < 80), 0)::BIGINT FROM unified
+"""
+
+
+QUERIES = {"curate_corpus": curate_corpus, "etl_dag_end_to_end": etl_dag_end_to_end}
+ORACLES = {"curate_corpus": _curate_sql(), "etl_dag_end_to_end": _etl_dag_sql()}

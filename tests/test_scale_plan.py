@@ -30,6 +30,7 @@ NESTED_LOOP_OK = {
     "text_contamination",  # 4-phrase literal blocklist broadcast over the corpus
     "text_unigram_logprob",  # 1-row corpus-total aggregate broadcast as a scalar
     "sketch_bloom_membership",  # probe = users x broadcast event-type dim (bounded)
+    "etl_dag_end_to_end",  # unify's broadcast dim + two 1-row report aggregates combined
 }
 
 
