@@ -150,11 +150,75 @@ WHERE {phash_sql("doc_id::VARCHAR")} % 10000
 """
 
 
+CHUNK_C = 64  # tokens per chunk
+CHUNK_S = 48  # stride (16-token overlap)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — fixed-window token chunking with overlap: every document is cut
+    into CHUNK_C-token windows every CHUNK_S tokens (the standard
+    pretraining chunk/stride transform; the last window is short). Chunk
+    membership is a pure function of (doc_id, token position) — stable
+    across runs, engines, and cluster sizes.
+
+    Scale: per-row array slicing, no shuffle at all — the transform runs
+    where the scan runs. The per-doc chunk HOF is interpreted, but it
+    slices ~n/S windows per doc (not per token), so the cost is linear in
+    output size; the corpus-spread repartition keeps single-file local
+    scans off one core."""
+    from australian_company_etl_spark.functions.textfns import tokens_all_spark
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    # n_chunks = ((max(n-C,0) + S-1) div S) + 1  for n>0
+    n_chunks = (
+        F.expr(f"(greatest(n - {CHUNK_C}, 0) + {CHUNK_S - 1}) div {CHUNK_S}") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.alias("chunk_id"),
+            F.concat_ws(" ", F.slice("t", k * CHUNK_S + 1, CHUNK_C)).alias("chunk_text"),
+            F.least(F.lit(CHUNK_C), F.col("n") - k * CHUNK_S).alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        d.filter(F.col("n") > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_chunk_tokens")
+    )
+
+
+def _chunk_sql() -> str:
+    from australian_company_etl_spark.functions.textfns import tokens_all_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_all_sql('text')} AS t FROM documents
+), d AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+)
+, e AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, ((greatest(n - {CHUNK_C}, 0) + {CHUNK_S - 1}) // {CHUNK_S}) + 1)) AS k
+  FROM d
+)
+SELECT doc_id, k AS chunk_id,
+       array_to_string(list_slice(t, k * {CHUNK_S} + 1, k * {CHUNK_S} + {CHUNK_C}), ' ') AS chunk_text,
+       least({CHUNK_C}, n - k * {CHUNK_S}) AS n_chunk_tokens
+FROM e
+"""
+
+
 QUERIES = {
     "sample_stratified_hash": sample_stratified_hash,
     "split_train_holdout": split_train_holdout,
     "pack_sequences": pack_sequences,
     "mix_corpus_weighted": mix_corpus_weighted,
+    "chunk_documents": chunk_documents,
 }
 
 ORACLES = {
@@ -162,4 +226,5 @@ ORACLES = {
     "split_train_holdout": SPLIT_SQL,
     "pack_sequences": PACK_SQL,
     "mix_corpus_weighted": _mix_sql(),
+    "chunk_documents": _chunk_sql(),
 }

@@ -136,3 +136,30 @@ def test_bloom_membership_no_false_negatives(spark):
     n_users = len({r.user_id for r in rows})
     n_types = len({r.event_type for r in rows})
     assert len(rows) == n_users * n_types
+
+
+def test_chunk_documents_overlap_and_sizes(spark):
+    from australian_company_etl_spark.plans.sampling import (
+        CHUNK_C,
+        CHUNK_S,
+        chunk_documents,
+    )
+
+    rows = chunk_documents(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    overlap = CHUNK_C - CHUNK_S
+    for doc_id, chunks in by_doc.items():
+        # chunk ids are dense from 0
+        assert sorted(chunks) == list(range(len(chunks)))
+        for cid, r in chunks.items():
+            toks = r.chunk_text.split(" ")
+            # declared size matches the text
+            assert len(toks) == r.n_chunk_tokens
+            assert r.n_chunk_tokens <= CHUNK_C
+            # consecutive full chunks share exactly `overlap` tokens
+            nxt = chunks.get(cid + 1)
+            if nxt is not None and r.n_chunk_tokens == CHUNK_C:
+                assert toks[-overlap:] == nxt.chunk_text.split(" ")[:overlap]
