@@ -12,18 +12,75 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# Registration order is the driver's verification order (it checks the first
+# 50 registered queries per round). Round 1 verified A–G; this list leads with
+# everything that has no green CORRECTNESS row yet — the 26 H–N entries, the
+# two queries whose oracles were fixed this round (extract_json_props,
+# q12_priority_shipping), and the round-2 additions — so the driver's next
+# pass covers them. Entries not named here follow in module order.
+_VERIFY_FIRST = [
+    # H text
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_idf_vocab",
+    "text_repetition_ratio",
+    "text_contamination",
+    "text_unigram_logprob",
+    # I multimodal
+    "mm_binary_meta",
+    # J streaming-batch
+    "events_tumbling_agg",
+    "events_sessionize",
+    # K pipeline
+    "curate_corpus",
+    "etl_dag_end_to_end",
+    # L temporal
+    "asof_join_last_error",
+    "range_join_close_pairs",
+    "rollup_events_hourly",
+    "cube_orders_priority",
+    # M sketches
+    "sketch_kmv_distinct",
+    "quantiles_event_value",
+    "sketch_bloom_membership",
+    # N sampling
+    "sample_stratified_hash",
+    "split_train_holdout",
+    "pack_sequences",
+    "mix_corpus_weighted",
+    "chunk_documents",
+    # round-1 oracle-cast fixes (failed the driver hash on HUGEINT rendering)
+    "extract_json_props",
+    "q12_priority_shipping",
+    # round-2 additions
+    "extract_title_company",
+    "filter_valid_names",
+    "match_multi_scorer",
+    "quality_table_health",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    out = {k: merged[k] for k in _VERIFY_FIRST if k in merged}
+    out.update((k, v) for k, v in merged.items() if k not in out)
+    return out
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict = {}
     for mod in _plan_modules():
         merged.update(mod.QUERIES)
-    return merged
+    return _ordered(merged)
 
 
 def all_oracles() -> dict[str, str]:
     merged: dict = {}
     for mod in _plan_modules():
         merged.update(getattr(mod, "ORACLES", {}))
-    return merged
+    return _ordered(merged)
 
 
 def _plan_modules():

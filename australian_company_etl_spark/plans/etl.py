@@ -82,7 +82,7 @@ def extract_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type, count(*) AS n,
-       round(avg(k), 2) AS avg_k, sum(k) AS sum_k
+       round(avg(k), 2) AS avg_k, CAST(sum(k) AS BIGINT) AS sum_k
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
 GROUP BY event_type
 """

@@ -26,11 +26,12 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm_cell(v: Any) -> str:
     if v is None:
         return "∅"
+    # As strict as the driver's hash: an integral float ("9707.0") does NOT
+    # equal an int ("9707") — DuckDB HUGEINT sums fetch as float, so oracle
+    # SQL must CAST(sum(...) AS BIGINT) to match Spark's BIGINT output.
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
