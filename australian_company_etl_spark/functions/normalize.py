@@ -59,3 +59,74 @@ def norm_name_sql(expr: str) -> str:
         # so regex patterns pass through verbatim; only quotes need doubling.
         out = f"regexp_replace({out}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
     return f"trim({out})"
+
+
+# ── page-title → company-name extraction (entity_matching.py:99-120) ────────
+# The reference tries four patterns in order (company-suffix at start,
+# company-suffix anywhere, name before a -/| separator, bare short name) and
+# accepts the first whose captured group is ≥3 chars and not digits/dashes
+# only; otherwise it returns the title unchanged. All patterns are evaluated
+# case-insensitively (re.IGNORECASE), expressed here with an inline (?i) so
+# Java regex (Spark) and RE2 (DuckDB) read the identical pattern. Every
+# construct used (anchors, alternation, classes, bounded repeats) has the
+# same semantics in both engines.
+
+TITLE_PATTERNS: list[str] = [
+    r"^([A-Z][a-zA-Z\s&]+(?:PTY|LTD|LIMITED|COMPANY|CORP|INC))",
+    r"([A-Z][a-zA-Z\s&]+(?:PTY|LTD|LIMITED|COMPANY|CORP|INC))",
+    r"^([A-Z][a-zA-Z\s&]{3,20})\s*[-|]",
+    r"^([A-Z][a-zA-Z\s&]{3,30})$",
+]
+
+_CAND_JUNK = r"^[0-9_\-\s]+$"  # candidate rejected if digits/dashes only
+
+
+def title_company_spark(col: Column) -> Column:
+    """First-accepted-pattern company name from a page title, else the title."""
+    cands = []
+    for pat in TITLE_PATTERNS:
+        c = F.trim(F.regexp_extract(col, f"(?i){pat}", 1))
+        ok = (c != "") & (F.length(c) >= 3) & ~c.rlike(_CAND_JUNK)
+        cands.append(F.when(ok, c))
+    return F.coalesce(*cands, col)
+
+
+def title_company_sql(expr: str) -> str:
+    cands = []
+    for pat in TITLE_PATTERNS:
+        c = f"trim(coalesce(regexp_extract({expr}, '(?i){pat}', 1), ''))"
+        cands.append(
+            f"CASE WHEN {c} <> '' AND length({c}) >= 3 "
+            f"AND NOT regexp_matches({c}, '{_CAND_JUNK}') THEN {c} END"
+        )
+    return f"coalesce({', '.join(cands)}, {expr})"
+
+
+# ── company-name validity filter (entity_matching.py:121-141) ───────────────
+# Drops web-noise "names" before matching: too short, no letters, digits/
+# dashes only, starting with crawl-noise words (LOGIN, RSS, ...), or exact
+# junk page titles. The reference uses re.match, i.e. every pattern is
+# implicitly anchored at the start — written here with an explicit ^.
+
+_INVALID_NAME_PATTERNS: list[str] = [
+    r"^[0-9_\-\s]+$",
+    r"^[^a-zA-Z]*$",
+    r"(?i)^(PHOTOGRAPHER|WEDDING|COAST|BREEDS|CATALOG|PORTAL|LOGIN|CONTACT)",
+    r"(?i)^(RSS|FEED|BLOG|NEWS|ARTICLE)",
+    r"(?i)^(RE:|LOG\s+IN|CONTACT\s+US)$",
+]
+
+
+def valid_name_spark(col: Column) -> Column:
+    ok = col.isNotNull() & (F.length(F.trim(col)) >= 3)
+    for pat in _INVALID_NAME_PATTERNS:
+        ok = ok & ~col.rlike(pat)
+    return ok
+
+
+def valid_name_sql(expr: str) -> str:
+    parts = [f"{expr} IS NOT NULL", f"length(trim({expr})) >= 3"]
+    parts += [
+        f"NOT regexp_matches({expr}, '{pat}')" for pat in _INVALID_NAME_PATTERNS
+    ]
+    return "(" + " AND ".join(parts) + ")"

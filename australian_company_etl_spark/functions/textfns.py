@@ -113,6 +113,81 @@ def lev_ratio_sql(a: str, b: str) -> str:
     )
 
 
+# ── multi-scorer fuzzy primitives (entity_matching.py:405-418) ──────────────
+# The reference scores each candidate pair with three rapidfuzz scorers and
+# keeps the best: token_sort_ratio, token_set_ratio, ratio. Re-expressed as
+# levenshtein-ratio over canonical strings (the ratio kernel is our
+# levenshtein analog of rapidfuzz's InDel ratio — same scorer everywhere, so
+# the max-of-three semantics carry over exactly):
+#   token_sort — tokens sorted (duplicates kept), space-joined, then ratio.
+#   token_set  — fuzzywuzzy construction: t0 = sorted distinct intersection,
+#                t1 = t0 + sorted (a−b), t2 = t0 + sorted (b−a),
+#                score = max(ratio(t0,t1), ratio(t0,t2), ratio(t1,t2)).
+# Designed for PRECOMPUTED per-side columns (token-sort string, distinct
+# sorted token array) so the per-pair work inside a blocked join is only the
+# levenshtein kernels, not re-tokenization.
+
+
+def token_sort_str_spark(col: Column) -> Column:
+    """Canonical token-sort string: all tokens (dupes kept) sorted, joined."""
+    toks = F.filter(F.split(col, " "), lambda x: x != "")
+    return F.array_join(F.array_sort(toks), " ")
+
+
+def token_sort_str_sql(expr: str) -> str:
+    return (
+        f"array_to_string(list_sort(list_filter("
+        f"string_split({expr}, ' '), x -> x <> '')), ' ')"
+    )
+
+
+def token_array_spark(col: Column) -> Column:
+    """Distinct sorted token array (the token_set base)."""
+    toks = F.filter(F.split(col, " "), lambda x: x != "")
+    return F.array_sort(F.array_distinct(toks))
+
+
+def token_array_sql(expr: str) -> str:
+    return (
+        f"list_sort(list_distinct(list_filter("
+        f"string_split({expr}, ' '), x -> x <> '')))"
+    )
+
+
+def token_set_strings_spark(ta: Column, tb: Column) -> tuple[Column, Column, Column]:
+    """(t0, t1, t2) token_set comparison strings from distinct sorted arrays."""
+    inter = F.array_sort(F.array_intersect(ta, tb))
+    d_ab = F.array_sort(F.array_except(ta, tb))
+    d_ba = F.array_sort(F.array_except(tb, ta))
+    t0 = F.array_join(inter, " ")
+    t1 = F.array_join(F.concat(inter, d_ab), " ")
+    t2 = F.array_join(F.concat(inter, d_ba), " ")
+    return t0, t1, t2
+
+
+def token_set_strings_sql(ta: str, tb: str) -> tuple[str, str, str]:
+    inter = f"list_sort(list_intersect({ta}, {tb}))"
+    d_ab = f"list_sort(list_filter({ta}, x -> NOT list_contains({tb}, x)))"
+    d_ba = f"list_sort(list_filter({tb}, x -> NOT list_contains({ta}, x)))"
+    t0 = f"array_to_string({inter}, ' ')"
+    t1 = f"array_to_string(list_concat({inter}, {d_ab}), ' ')"
+    t2 = f"array_to_string(list_concat({inter}, {d_ba}), ' ')"
+    return t0, t1, t2
+
+
+def token_set_ratio_spark(t0: Column, t1: Column, t2: Column) -> Column:
+    return F.greatest(
+        lev_ratio_spark(t0, t1), lev_ratio_spark(t0, t2), lev_ratio_spark(t1, t2)
+    )
+
+
+def token_set_ratio_sql(t0: str, t1: str, t2: str) -> str:
+    return (
+        f"greatest({lev_ratio_sql(t0, t1)}, {lev_ratio_sql(t0, t2)}, "
+        f"{lev_ratio_sql(t1, t2)})"
+    )
+
+
 # ── jaccard percent over token arrays (entity_matching.py:155-170) ──────────
 
 

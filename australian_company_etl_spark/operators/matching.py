@@ -37,17 +37,21 @@ def best_fuzzy_match(
     left_name: str,
     right_key: str,
     right_name: str,
+    score: Column | None = None,
 ) -> DataFrame:
-    """extractOne: best levenshtein-ratio candidate per left row; ties break
-    to the lowest right key. Right side is broadcast (candidate dim).
+    """extractOne: best-scoring candidate per left row; ties break to the
+    lowest right key. Right side is broadcast (candidate dim). ``score``
+    defaults to plain levenshtein ratio; pass a multi-scorer column
+    (entity_matching.py:405-418 max-of-three) to override — it is evaluated
+    over the joined frame, so reference precomputed per-side columns in it.
 
     The left side is re-spread across all cores first: a dim-sized left
     often arrives as ONE file partition, which would serialize every
     left×right score evaluation into a single task."""
+    if score is None:
+        score = lev_ratio_spark(F.col(left_name), F.col(right_name))
     spread = left.repartition(left.sparkSession.sparkContext.defaultParallelism)
-    scored = spread.crossJoin(F.broadcast(right)).withColumn(
-        "score", lev_ratio_spark(F.col(left_name), F.col(right_name))
-    )
+    scored = spread.crossJoin(F.broadcast(right)).withColumn("score", score)
     w = Window.partitionBy(left_key).orderBy(F.desc("score"), F.asc(right_key))
     return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
@@ -59,15 +63,17 @@ def blocked_fuzzy_pairs(
     left_name: str,
     right_name: str,
     threshold: int,
+    score: Column | None = None,
 ) -> DataFrame:
     """Scalable fuzzy join: equi-join on blocking key(s), then score.
+    ``score`` defaults to plain levenshtein ratio; see ``best_fuzzy_match``.
 
     The probe side is re-spread across all cores first: a dim-sized table
     arrives as ONE file partition, and with the other side broadcast the
     whole Σ|block|² levenshtein workload would run in a single task. At
     100 TB the scan yields thousands of partitions and this is a no-op."""
+    if score is None:
+        score = lev_ratio_spark(F.col(left_name), F.col(right_name))
     spread = right.repartition(right.sparkSession.sparkContext.defaultParallelism)
     joined = left.join(spread, on=block_cols)
-    return joined.withColumn(
-        "score", lev_ratio_spark(F.col(left_name), F.col(right_name))
-    ).filter(F.col("score") >= threshold)
+    return joined.withColumn("score", score).filter(F.col("score") >= threshold)

@@ -19,6 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.normalize import (
+    title_company_spark,
+    title_company_sql,
+    valid_name_spark,
+    valid_name_sql,
+)
 from australian_company_etl_spark.operators.matching import first_wins
 from australian_company_etl_spark.sources.registry import load_tables
 
@@ -150,8 +156,79 @@ WHERE regexp_extract(x, '<segment>(.*)</segment>', 1) = 'BUILDING'
 """
 
 
+# ── A7/A8: title → company-name extraction + validity filter ────────────────
+# (entity_matching.py:99-120, 121-141). The corpus has no page titles, so —
+# exactly like A6 synthesizes XML — deterministic title strings are built
+# from each document's leading words, cycling through shapes that exercise
+# every fallback branch: suffix-at-start, suffix-after-preamble, name-before-
+# separator, bare name, and three crawl-noise shapes (LOGIN page, numeric
+# error title, RSS feed). The oracle builds the identical strings and runs
+# the identical (?i) regex chain. Stateless per-row codegen, no shuffle.
+
+
+def _title_col_spark():
+    base = F.coalesce(F.regexp_extract(F.col("text"), TITLE_RE, 1), F.lit(""))
+    m = F.col("doc_id") % 7
+    return (
+        F.when(m == 0, F.concat(base, F.lit(" ltd")))
+        .when(m == 1, F.concat(F.lit("Welcome to "), base, F.lit(" company")))
+        .when(m == 2, F.concat(base, F.lit(" - Official Site")))
+        .when(m == 3, base)
+        .when(m == 4, F.lit("LOGIN"))
+        .when(m == 5, F.lit("404 - 500"))
+        .otherwise(F.lit("RSS Feed - Latest News"))
+    )
+
+
+_TITLE_COL_SQL = f"""CASE doc_id % 7
+  WHEN 0 THEN coalesce(regexp_extract(text, '{TITLE_RE}', 1), '') || ' ltd'
+  WHEN 1 THEN 'Welcome to ' || coalesce(regexp_extract(text, '{TITLE_RE}', 1), '') || ' company'
+  WHEN 2 THEN coalesce(regexp_extract(text, '{TITLE_RE}', 1), '') || ' - Official Site'
+  WHEN 3 THEN coalesce(regexp_extract(text, '{TITLE_RE}', 1), '')
+  WHEN 4 THEN 'LOGIN'
+  WHEN 5 THEN '404 - 500'
+  ELSE 'RSS Feed - Latest News' END"""
+
+
+def extract_title_company(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — ordered-fallback company-name extraction from page titles
+    (extract_company_name_from_title, entity_matching.py:99-120)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.select(
+        "doc_id",
+        _title_col_spark().alias("title"),
+    ).select("doc_id", "title", title_company_spark(F.col("title")).alias("company"))
+
+
+EXTRACT_TITLE_SQL = f"""
+SELECT doc_id, title, {title_company_sql('title')} AS company
+FROM (SELECT doc_id, {_TITLE_COL_SQL} AS title FROM documents)
+"""
+
+
+def filter_valid_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — company-name validity flag over the A7 extraction
+    (is_valid_company_name, entity_matching.py:121-141): web-noise names
+    (LOGIN, RSS ..., digits-only, letterless) are marked invalid before the
+    match stage."""
+    ext = extract_title_company(spark, sf_dir)
+    return ext.select(
+        "doc_id",
+        F.col("company").alias("name"),
+        valid_name_spark(F.col("company")).alias("valid"),
+    )
+
+
+FILTER_VALID_SQL = f"""
+SELECT doc_id, company AS name, {valid_name_sql('company')} AS valid
+FROM ({EXTRACT_TITLE_SQL})
+"""
+
+
 QUERIES = {
     "extract_regex_fields": extract_regex_fields,
+    "extract_title_company": extract_title_company,
+    "filter_valid_names": filter_valid_names,
     "extract_url_filter": extract_url_filter,
     "extract_json_props": extract_json_props,
     "extract_first_wins_upsert": extract_first_wins_upsert,
@@ -160,6 +237,8 @@ QUERIES = {
 
 ORACLES = {
     "extract_regex_fields": EXTRACT_REGEX_SQL,
+    "extract_title_company": EXTRACT_TITLE_SQL,
+    "filter_valid_names": FILTER_VALID_SQL,
     "extract_url_filter": URL_FILTER_SQL,
     "extract_json_props": JSON_PROPS_SQL,
     "extract_first_wins_upsert": FIRST_WINS_SQL,

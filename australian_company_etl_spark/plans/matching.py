@@ -9,12 +9,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from australian_company_etl_spark.functions.normalize import norm_name_spark, norm_name_sql
+from australian_company_etl_spark.functions.normalize import (
+    norm_name_spark,
+    norm_name_sql,
+    valid_name_spark,
+    valid_name_sql,
+)
 from australian_company_etl_spark.functions.textfns import (
     jaccard_pct_spark,
     jaccard_pct_sql,
     lev_ratio_spark,
     lev_ratio_sql,
+    token_array_spark,
+    token_array_sql,
+    token_set_ratio_spark,
+    token_set_ratio_sql,
+    token_set_strings_spark,
+    token_set_strings_sql,
+    token_sort_str_spark,
+    token_sort_str_sql,
     tokens_spark,
     tokens_sql,
 )
@@ -26,6 +39,53 @@ from australian_company_etl_spark.sources.registry import load_tables
 
 FUZZY_THRESHOLD = 50
 JACCARD_THRESHOLD = 30
+
+
+# ── multi-scorer plumbing (entity_matching.py:405-418) ──────────────────────
+# The reference scores each (ABR, CC) pair with rapidfuzz token_sort_ratio,
+# token_set_ratio, and ratio, keeping the best. Per-side canonical forms
+# (token-sort string, distinct-sorted token array) are precomputed BEFORE the
+# join so the per-pair cost inside the blocked/cross join is just the
+# levenshtein kernels — at 100 TB that keeps the Σ|block|² stage arithmetic-
+# bound instead of re-tokenizing every pair.
+
+
+def _match_side(df, key_cols: list[str], name_col: str, prefix: str):
+    norm = norm_name_spark(F.col(name_col))
+    return (
+        df.select(*key_cols, norm.alias(f"{prefix}_norm"))
+        .withColumn(f"{prefix}_ts", token_sort_str_spark(F.col(f"{prefix}_norm")))
+        .withColumn(f"{prefix}_tk", token_array_spark(F.col(f"{prefix}_norm")))
+    )
+
+
+def _multi_score_col(a: str, b: str):
+    """Max-of-three score over precomputed side columns {a,b}_{norm,ts,tk}."""
+    t0, t1, t2 = token_set_strings_spark(F.col(f"{a}_tk"), F.col(f"{b}_tk"))
+    return F.greatest(
+        lev_ratio_spark(F.col(f"{a}_norm"), F.col(f"{b}_norm")),
+        lev_ratio_spark(F.col(f"{a}_ts"), F.col(f"{b}_ts")),
+        token_set_ratio_spark(t0, t1, t2),
+    )
+
+
+def _side_cte_sql(table: str, key_sql: str, name_col: str, prefix: str) -> str:
+    """CTE body computing the per-side canonical columns in DuckDB."""
+    return (
+        f"SELECT {key_sql}, {prefix}_norm, "
+        f"{token_sort_str_sql(f'{prefix}_norm')} AS {prefix}_ts, "
+        f"{token_array_sql(f'{prefix}_norm')} AS {prefix}_tk "
+        f"FROM (SELECT *, {norm_name_sql(name_col)} AS {prefix}_norm FROM {table})"
+    )
+
+
+# (t0, t1, t2) expressions over the joined pair columns, then the final score.
+_TS_T0, _TS_T1, _TS_T2 = token_set_strings_sql("s_tk", "c_tk")
+_MULTI_SCORE_SQL = (
+    f"greatest({lev_ratio_sql('s_norm', 'c_norm')}, "
+    f"{lev_ratio_sql('s_ts', 'c_ts')}, "
+    f"{token_set_ratio_sql('t0', 't1', 't2')})"
+)
 
 
 def norm_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,31 +127,97 @@ GROUP BY c_custkey, c_name
 
 
 def match_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3 — extractOne semantics (entity_matching.py:405-425): best
-    levenshtein-ratio customer per supplier, candidate set broadcast."""
+    """B3 — extractOne semantics with the reference's multi-strategy scoring
+    (entity_matching.py:405-425): every pair scored with ratio, token_sort,
+    and token_set, best kept; best-scoring customer per supplier, candidate
+    set broadcast."""
     t = load_tables(spark, sf_dir, ["supplier", "customer"])
-    left = t["supplier"].select(
-        "s_suppkey", norm_name_spark(F.col("s_name")).alias("s_norm")
-    )
-    right = t["customer"].select(
-        "c_custkey", norm_name_spark(F.col("c_name")).alias("c_norm")
-    )
-    return best_fuzzy_match(left, right, "s_suppkey", "s_norm", "c_custkey", "c_norm").select(
-        "s_suppkey", "c_custkey", "score"
-    )
+    left = _match_side(t["supplier"], ["s_suppkey"], "s_name", "s")
+    right = _match_side(t["customer"], ["c_custkey"], "c_name", "c")
+    return best_fuzzy_match(
+        left,
+        right,
+        "s_suppkey",
+        "s_norm",
+        "c_custkey",
+        "c_norm",
+        score=_multi_score_col("s", "c"),
+    ).select("s_suppkey", "c_custkey", "score")
 
 
 MATCH_FUZZY_SQL = f"""
-WITH l AS (SELECT s_suppkey, {norm_name_sql('s_name')} AS s_norm FROM supplier),
-     r AS (SELECT c_custkey, {norm_name_sql('c_name')} AS c_norm FROM customer),
-     scored AS (
-       SELECT s_suppkey, c_custkey, {lev_ratio_sql('s_norm', 'c_norm')} AS score,
-              row_number() OVER (PARTITION BY s_suppkey
-                                 ORDER BY {lev_ratio_sql('s_norm', 'c_norm')} DESC,
-                                          c_custkey ASC) AS rn
+WITH l AS ({_side_cte_sql('supplier', 's_suppkey', 's_name', 's')}),
+     r AS ({_side_cte_sql('customer', 'c_custkey', 'c_name', 'c')}),
+     pairs AS (
+       SELECT s_suppkey, c_custkey, s_norm, c_norm, s_ts, c_ts,
+              {_TS_T0} AS t0, {_TS_T1} AS t1, {_TS_T2} AS t2
        FROM l CROSS JOIN r
+     ),
+     scored AS (SELECT s_suppkey, c_custkey, {_MULTI_SCORE_SQL} AS score FROM pairs),
+     ranked AS (
+       SELECT *, row_number() OVER (PARTITION BY s_suppkey
+                                    ORDER BY score DESC, c_custkey ASC) AS rn
+       FROM scored
      )
-SELECT s_suppkey, c_custkey, score FROM scored WHERE rn = 1
+SELECT s_suppkey, c_custkey, score FROM ranked WHERE rn = 1
+"""
+
+
+def match_multi_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3b — per-pair scorer breakdown (entity_matching.py:405-418): ratio,
+    token_sort, token_set and the winning max for every blocked pair at or
+    above threshold. Blocked on nation key — the same never-cartesian plan
+    as B5; the probe side is re-spread for the one-file sandbox scan."""
+    t = load_tables(spark, sf_dir, ["supplier", "customer"])
+    left = _match_side(
+        t["supplier"].withColumnRenamed("s_nationkey", "nationkey"),
+        ["s_suppkey", "nationkey"],
+        "s_name",
+        "s",
+    )
+    right = _match_side(
+        t["customer"].withColumnRenamed("c_nationkey", "nationkey"),
+        ["c_custkey", "nationkey"],
+        "c_name",
+        "c",
+    )
+    spread = right.repartition(spark.sparkContext.defaultParallelism)
+    t0, t1, t2 = token_set_strings_spark(F.col("s_tk"), F.col("c_tk"))
+    return (
+        left.join(spread, "nationkey")
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            lev_ratio_spark(F.col("s_norm"), F.col("c_norm")).alias("ratio_score"),
+            lev_ratio_spark(F.col("s_ts"), F.col("c_ts")).alias("token_sort_score"),
+            token_set_ratio_spark(t0, t1, t2).alias("token_set_score"),
+        )
+        .withColumn(
+            "best_score",
+            F.greatest("ratio_score", "token_sort_score", "token_set_score"),
+        )
+        .filter(F.col("best_score") >= FUZZY_THRESHOLD)
+    )
+
+
+MATCH_MULTI_SCORER_SQL = f"""
+WITH l AS ({_side_cte_sql('supplier', 's_suppkey, s_nationkey AS nationkey', 's_name', 's')}),
+     r AS ({_side_cte_sql('customer', 'c_custkey, c_nationkey AS nationkey', 'c_name', 'c')}),
+     pairs AS (
+       SELECT s_suppkey, c_custkey, s_norm, c_norm, s_ts, c_ts,
+              {_TS_T0} AS t0, {_TS_T1} AS t1, {_TS_T2} AS t2
+       FROM l JOIN r USING (nationkey)
+     ),
+     scored AS (
+       SELECT s_suppkey, c_custkey,
+              {lev_ratio_sql('s_norm', 'c_norm')} AS ratio_score,
+              {lev_ratio_sql('s_ts', 'c_ts')} AS token_sort_score,
+              {token_set_ratio_sql('t0', 't1', 't2')} AS token_set_score
+       FROM pairs
+     )
+SELECT *, greatest(ratio_score, token_sort_score, token_set_score) AS best_score
+FROM scored
+WHERE greatest(ratio_score, token_sort_score, token_set_score) >= {FUZZY_THRESHOLD}
 """
 
 
@@ -162,23 +288,36 @@ WHERE {lev_ratio_sql('s_norm', 'c_norm')} >= {FUZZY_THRESHOLD}
 
 
 def unify_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B6 — full t3 pipeline: normalize → block → score → threshold →
-    best-per-left → first-wins keyed insert with merged_confidence
-    (entity_matching.py:311-515 end-to-end)."""
+    """B6 — full t3 pipeline: normalize → block → multi-scorer score
+    (ratio/token_sort/token_set max, entity_matching.py:405-418) → threshold
+    → best-per-left → first-wins keyed insert with merged_confidence
+    (entity_matching.py:311-515 end-to-end). Candidate names pass the
+    is_valid_company_name web-noise filter (entity_matching.py:121-141)
+    before matching, as in the reference's candidate-load loop."""
     t = load_tables(spark, sf_dir, ["supplier", "customer"])
-    left = t["supplier"].select(
-        "s_suppkey",
+    left = _match_side(
+        t["supplier"].withColumnRenamed("s_nationkey", "nationkey"),
+        ["s_suppkey", "s_name", "nationkey"],
         "s_name",
-        F.col("s_nationkey").alias("nationkey"),
-        norm_name_spark(F.col("s_name")).alias("s_norm"),
+        "s",
     )
-    right = t["customer"].select(
-        "c_custkey",
+    right = _match_side(
+        t["customer"]
+        .filter(valid_name_spark(F.col("c_name")))
+        .withColumnRenamed("c_nationkey", "nationkey"),
+        ["c_custkey", "c_name", "nationkey"],
         "c_name",
-        F.col("c_nationkey").alias("nationkey"),
-        norm_name_spark(F.col("c_name")).alias("c_norm"),
+        "c",
     )
-    scored = blocked_fuzzy_pairs(left, right, ["nationkey"], "s_norm", "c_norm", FUZZY_THRESHOLD)
+    scored = blocked_fuzzy_pairs(
+        left,
+        right,
+        ["nationkey"],
+        "s_norm",
+        "c_norm",
+        FUZZY_THRESHOLD,
+        score=_multi_score_col("s", "c"),
+    )
     w = Window.partitionBy("s_suppkey").orderBy(F.desc("score"), F.asc("c_custkey"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -194,20 +333,23 @@ def unify_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 UNIFY_SQL = f"""
-WITH l AS (SELECT s_suppkey, s_name, s_nationkey AS nationkey,
-                  {norm_name_sql('s_name')} AS s_norm FROM supplier),
-     r AS (SELECT c_custkey, c_name, c_nationkey AS nationkey,
-                  {norm_name_sql('c_name')} AS c_norm FROM customer),
+WITH l AS ({_side_cte_sql('supplier', 's_suppkey, s_name, s_nationkey AS nationkey', 's_name', 's')}),
+     r AS ({_side_cte_sql(f'(SELECT * FROM customer WHERE {valid_name_sql("c_name")})', 'c_custkey, c_name, c_nationkey AS nationkey', 'c_name', 'c')}),
+     pairs AS (
+       SELECT s_suppkey, s_name, c_custkey, c_name, s_norm, c_norm, s_ts, c_ts,
+              {_TS_T0} AS t0, {_TS_T1} AS t1, {_TS_T2} AS t2
+       FROM l JOIN r USING (nationkey)
+     ),
      scored AS (
        SELECT s_suppkey, s_name, c_custkey, c_name,
-              {lev_ratio_sql('s_norm', 'c_norm')} AS score
-       FROM l JOIN r USING (nationkey)
-       WHERE {lev_ratio_sql('s_norm', 'c_norm')} >= {FUZZY_THRESHOLD}
+              {_MULTI_SCORE_SQL} AS score
+       FROM pairs
      ),
      ranked AS (
        SELECT *, row_number() OVER (PARTITION BY s_suppkey
                                     ORDER BY score DESC, c_custkey ASC) AS rn
        FROM scored
+       WHERE score >= {FUZZY_THRESHOLD}
      )
 SELECT s_suppkey AS abn, s_name AS entity_name, c_custkey AS matched_key,
        c_name AS matched_name, score AS merged_confidence
@@ -219,6 +361,7 @@ QUERIES = {
     "norm_names": norm_names,
     "match_exact_key": match_exact_key,
     "match_fuzzy_levenshtein": match_fuzzy_levenshtein,
+    "match_multi_scorer": match_multi_scorer,
     "match_keyword_jaccard": match_keyword_jaccard,
     "match_blocked_fuzzy": match_blocked_fuzzy,
     "unify_entities": unify_entities,
@@ -228,6 +371,7 @@ ORACLES = {
     "norm_names": NORM_NAMES_SQL,
     "match_exact_key": MATCH_EXACT_SQL,
     "match_fuzzy_levenshtein": MATCH_FUZZY_SQL,
+    "match_multi_scorer": MATCH_MULTI_SCORER_SQL,
     "match_keyword_jaccard": MATCH_KEYWORD_SQL,
     "match_blocked_fuzzy": MATCH_BLOCKED_SQL,
     "unify_entities": UNIFY_SQL,

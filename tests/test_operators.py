@@ -73,6 +73,39 @@ def test_best_fuzzy_match_extractone(spark):
     assert out[0].rk == 10 and out[0].score == 100
 
 
+def test_multi_scorer_token_sort_beats_ratio(spark):
+    """entity_matching.py:405-418 — word-swapped names score 100 under
+    token_sort/token_set while plain ratio stays low; subset names (extra
+    tokens on one side) score 100 under token_set only."""
+    from australian_company_etl_spark.functions.textfns import (
+        token_array_spark,
+        token_set_ratio_spark,
+        token_set_strings_spark,
+        token_sort_str_spark,
+    )
+
+    df = spark.createDataFrame(
+        [("LIMITED ACME", "ACME LIMITED"), ("ACME", "ACME LIMITED COMPANY")],
+        "a string, b string",
+    )
+    t0, t1, t2 = token_set_strings_spark(
+        token_array_spark(F.col("a")), token_array_spark(F.col("b"))
+    )
+    rows = df.select(
+        "a",
+        lev_ratio_spark(F.col("a"), F.col("b")).alias("ratio"),
+        lev_ratio_spark(
+            token_sort_str_spark(F.col("a")), token_sort_str_spark(F.col("b"))
+        ).alias("tsort"),
+        token_set_ratio_spark(t0, t1, t2).alias("tset"),
+    ).collect()
+    by = {r.a: r for r in rows}
+    swapped = by["LIMITED ACME"]
+    assert swapped.tsort == 100 and swapped.tset == 100 and swapped.ratio < 100
+    subset = by["ACME"]
+    assert subset.tset == 100 and subset.tsort < 100
+
+
 def test_cluster_cc_merges_transitively(spark):
     """A chain a-b, b-c must collapse to one cluster labeled min(a,b,c),
     and cluster sizes must equal the label group counts."""
