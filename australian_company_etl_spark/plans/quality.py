@@ -11,9 +11,11 @@ from australian_company_etl_spark.operators.quality import (
     row_counts,
     value_distribution,
 )
-from australian_company_etl_spark.sources.registry import load_tables
+from australian_company_etl_spark.sources.registry import load_tables, table_path
 
 COUNT_TABLES = ["customer", "orders", "lineitem", "documents"]
+
+SMALL_FILE_BYTES = 128 * 1024 * 1024  # files below one HDFS-ish block are "small"
 
 
 def quality_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,8 +93,108 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def quality_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — table-maintenance health report: the Spark analog of the
+    reference's VACUUM/index verification (run_quality_checks.py:37-116).
+    Postgres bloat/index health maps to file-layout health on a data lake:
+    per table — file count, total/min/max file bytes, small-file count (the
+    classic 100 TB scan killer), plus data-side row count and scan-partition
+    skew (floor(100·max/avg rows per input split)).
+
+    File stats come from the filesystem listing: catalog/FS metadata,
+    driver-side by design — every table-maintenance tool (OPTIMIZE, VACUUM)
+    starts from the file manifest, not a data scan. Row and partition stats
+    are computed distributed (one tiny groupBy per table over
+    spark_partition_id). No DuckDB twin: file-layout metadata is invisible
+    to the oracle's table views, so the driver records the rows-only check;
+    tests/test_operators.py checks the numbers against os.stat ground truth.
+    """
+    import os
+
+    file_rows = []
+    for name in COUNT_TABLES:
+        p = table_path(sf_dir, name)
+        if os.path.isdir(p):
+            paths = [
+                os.path.join(root, f)
+                for root, _, files in os.walk(p)
+                for f in files
+                if f.endswith(".parquet")
+            ]
+        else:
+            paths = [p]
+        sizes = [os.stat(f).st_size for f in paths]
+        file_rows.append(
+            (
+                name,
+                len(sizes),
+                sum(sizes),
+                min(sizes),
+                max(sizes),
+                sum(1 for s in sizes if s < SMALL_FILE_BYTES),
+            )
+        )
+    meta = spark.createDataFrame(
+        file_rows,
+        "table_name string, n_files long, total_bytes long, "
+        "min_file_bytes long, max_file_bytes long, small_files long",
+    ).select(
+        "table_name",
+        F.expr(
+            "stack(5,"
+            " 'n_files', n_files,"
+            " 'total_bytes', total_bytes,"
+            " 'min_file_bytes', min_file_bytes,"
+            " 'max_file_bytes', max_file_bytes,"
+            " 'small_files', small_files) AS (metric, value)"
+        ),
+    )
+
+    t = load_tables(spark, sf_dir, COUNT_TABLES)
+    data_parts = []
+    for name in COUNT_TABLES:
+        per_part = (
+            t[name]
+            .select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum("c").alias("n_rows"),
+                F.count("*").alias("n_scan_partitions"),
+                F.max("c").alias("max_partition_rows"),
+            )
+            .withColumn("table_name", F.lit(name))
+            .withColumn(
+                "skew_pct",
+                F.floor(
+                    100 * F.col("max_partition_rows") * F.col("n_scan_partitions")
+                    / F.col("n_rows")
+                ),
+            )
+        )
+        data_parts.append(
+            per_part.select(
+                "table_name",
+                F.expr(
+                    "stack(4,"
+                    " 'n_rows', n_rows,"
+                    " 'n_scan_partitions', CAST(n_scan_partitions AS BIGINT),"
+                    " 'max_partition_rows', max_partition_rows,"
+                    " 'skew_pct', skew_pct) AS (metric, value)"
+                ),
+            )
+        )
+    out = meta
+    for d in data_parts:
+        out = out.unionByName(d)
+    return out.select(
+        "table_name", "metric", F.col("value").cast("bigint").alias("value")
+    ).orderBy("table_name", "metric")
+
+
 QUERIES = {
     "quality_row_counts": quality_row_counts,
+    "quality_table_health": quality_table_health,
     "quality_null_counts": quality_null_counts,
     "quality_dup_keys": quality_dup_keys,
     "quality_conf_distribution": quality_conf_distribution,

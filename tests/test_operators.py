@@ -106,6 +106,33 @@ def test_multi_scorer_token_sort_beats_ratio(spark):
     assert subset.tset == 100 and subset.tsort < 100
 
 
+def test_table_health_matches_fs_ground_truth(spark, sf_dir):
+    """C5 — file metrics must equal os.stat on the actual parquet files,
+    row counts must equal a direct count, and skew is >= 100 by definition
+    (max partition is at least the average)."""
+    import os
+
+    from australian_company_etl_spark.plans.quality import (
+        COUNT_TABLES,
+        quality_table_health,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables, table_path
+
+    rows = quality_table_health(spark, sf_dir).collect()
+    by = {(r.table_name, r.metric): r.value for r in rows}
+    t = load_tables(spark, sf_dir, COUNT_TABLES)
+    for name in COUNT_TABLES:
+        size = os.stat(table_path(sf_dir, name)).st_size
+        assert by[(name, "n_files")] == 1  # sandbox: one file per table
+        assert by[(name, "total_bytes")] == size
+        assert by[(name, "min_file_bytes")] == size
+        assert by[(name, "max_file_bytes")] == size
+        assert by[(name, "small_files")] == 1
+        assert by[(name, "n_rows")] == t[name].count()
+        assert by[(name, "max_partition_rows")] <= by[(name, "n_rows")]
+        assert by[(name, "skew_pct")] >= 100
+
+
 def test_cluster_cc_merges_transitively(spark):
     """A chain a-b, b-c must collapse to one cluster labeled min(a,b,c),
     and cluster sizes must equal the label group counts."""
