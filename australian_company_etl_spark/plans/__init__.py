@@ -60,6 +60,11 @@ _VERIFY_FIRST = [
     "filter_valid_names",
     "match_multi_scorer",
     "quality_table_health",
+    # round-2 semantic changes needing fresh driver rows (simhash exact-recall
+    # blocking, Q11 exact integer units, F4 compound blocking key)
+    "dedup_simhash",
+    "q11_important_stock",
+    "dedup_ngram_jaccard",
 ]
 
 
@@ -69,11 +74,27 @@ def _ordered(merged: dict) -> dict:
     return out
 
 
+def _released(fn: Callable) -> Callable:
+    """Release the previous query's tracked caches before building this one
+    (see operators/cache.py) — by invocation time the prior result has been
+    materialized, so its persisted intermediates are dead weight."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from australian_company_etl_spark.operators.cache import release_tracked
+
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict = {}
     for mod in _plan_modules():
         merged.update(mod.QUERIES)
-    return _ordered(merged)
+    return {k: _released(v) for k, v in _ordered(merged).items()}
 
 
 def all_oracles() -> dict[str, str]:

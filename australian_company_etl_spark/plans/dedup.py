@@ -6,7 +6,8 @@
 - F2 `dedup_minhash_lsh`    — word-3gram shingles → 8-perm minhash signature
   → 4 LSH bands → bucket self-join candidates → verified Jaccard ≥ 0.2.
 - F3 `dedup_simhash`        — 32-bit simhash fingerprint (per-bit token
-  votes) → blocked hamming-near pairs (≤ 8 bits).
+  votes) → blocked hamming-near pairs (≤ 3 bits, exact recall via 4
+  disjoint 8-bit block keys).
 - F4 `dedup_ngram_jaccard`  — first-token-blocked pairwise word-3gram
   Jaccard ≥ 0.2 (the blocked-fuzzy plan shape, entity_matching.py:142-170,
   on shingle sets).
@@ -37,6 +38,7 @@ from australian_company_etl_spark.functions.textfns import (
     tokens_all_spark,
     tokens_all_sql,
 )
+from australian_company_etl_spark.operators.cache import persist_tracked
 from australian_company_etl_spark.sources.registry import load_tables
 
 SHINGLE_K = 3
@@ -44,7 +46,14 @@ NUM_HASHES = 8
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 JACCARD_T = 0.2
-HAMMING_T = 8
+# 4 disjoint 8-bit blocks of the 32-bit fingerprint guarantee (pigeonhole)
+# that any pair within hamming distance NUM_FP_BLOCKS-1 = 3 shares at least
+# one unchanged block — so candidate recall at the threshold is EXACT, not
+# heuristic. (The old 2×16-bit split only guaranteed recall at distance ≤ 1
+# while claiming ≤ 8.) Hamming ≤ 3 on 32 bits is the standard simhash
+# near-dup operating point.
+HAMMING_T = 3
+NUM_FP_BLOCKS = 4
 COSINE_T = 0.25
 U32 = (1 << 32) - 1
 
@@ -140,7 +149,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the verify join) — persist it instead of recomputing the scan +
     # shingle expressions per branch. At cluster scale this is the
     # "materialize the shingle table" step of any production minhash run.
-    rows = _doc_shingle_rows(spark, sf_dir).persist()
+    rows = persist_tracked(_doc_shingle_rows(spark, sf_dir))
     sh = rows.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
     h0 = (phash_spark(F.col("s")) % MH_P).alias("h0")
     hashed = rows.select("doc_id", h0)
@@ -159,10 +168,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(NUM_BANDS)
     ]
-    bands = (
+    bands = persist_tracked(
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("x"))
         .select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
-        .persist()
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -228,7 +236,12 @@ def _minhash_sql() -> str:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 — 32-bit simhash + blocked hamming-near pairs (≤ 8 bits)."""
+    """F3 — 32-bit simhash + blocked hamming-near pairs (≤ 3 bits).
+
+    Candidate blocking on all 4 disjoint 8-bit fingerprint blocks: a pair at
+    hamming ≤ 3 differs in at most 3 blocks, so at least one block matches
+    and the pair is guaranteed to surface — exact recall at the threshold,
+    not a heuristic."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = docs.select(
@@ -249,14 +262,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     ).cast("bigint")
     fps = votes.select("doc_id", fp.alias("fp"))
-    hi = F.shiftright(F.col("fp"), 16)
-    lo = F.col("fp").bitwiseAND(F.lit(0xFFFF))
-    keyed = fps.select("doc_id", "fp", hi.alias("hi"), lo.alias("lo")).persist()
+    block_cols = [
+        F.shiftright(F.col("fp"), 8 * k).bitwiseAND(F.lit(0xFF)).alias(f"b{k}")
+        for k in range(NUM_FP_BLOCKS)
+    ]
+    keyed = persist_tracked(fps.select("doc_id", "fp", *block_cols))
     pairs = None
-    for key in ("hi", "lo"):
+    for k in range(NUM_FP_BLOCKS):
         a, b = keyed.alias("a"), keyed.alias("b")
         p = a.join(
-            b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+            b, (F.col(f"a.b{k}") == F.col(f"b.b{k}")) & (F.col("a.doc_id") < F.col("b.doc_id"))
         ).select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
@@ -278,6 +293,12 @@ def _simhash_sql() -> str:
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(32)
     )
     fp = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    blocks = ", ".join(f"(fp >> {8 * k}) & 255 AS b{k}" for k in range(NUM_FP_BLOCKS))
+    block_joins = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.fp AS fp_a, b.fp AS fp_b\n"
+        f"  FROM keyed a JOIN keyed b ON a.b{k} = b.b{k} AND a.doc_id < b.doc_id"
+        for k in range(NUM_FP_BLOCKS)
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({tokens_all_sql('text')})) AS tok FROM documents
@@ -285,13 +306,9 @@ WITH toks AS (
 hashed AS (SELECT doc_id, {h} & {U32} AS h FROM toks),
 votes AS (SELECT doc_id, {vote_cols} FROM hashed GROUP BY doc_id),
 fps AS (SELECT doc_id, ({fp})::BIGINT AS fp FROM votes),
-keyed AS (SELECT doc_id, fp, fp >> 16 AS hi, fp & 65535 AS lo FROM fps),
+keyed AS (SELECT doc_id, fp, {blocks} FROM fps),
 pairs AS (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.fp AS fp_a, b.fp AS fp_b
-  FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id
-  UNION
-  SELECT a.doc_id, b.doc_id, a.fp, b.fp
-  FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
+{block_joins}
 )
 SELECT doc_id_a, doc_id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
 FROM pairs
@@ -302,17 +319,60 @@ WHERE bit_count(xor(fp_a, fp_b)) <= {HAMMING_T}
 # ── F4 blocked n-gram jaccard ───────────────────────────────────────────────
 
 
+def size_bucket_spark(n) -> F.Column:
+    """Exact base-5 magnitude bucket of a positive count (integer compares,
+    no float log — the ±1-neighbor recall guarantee must not hinge on
+    floating-point boundary rounding)."""
+    expr = F.when(n < 5, 0)
+    for i in range(1, 9):
+        expr = expr.when(n < 5 ** (i + 1), i)
+    return expr.otherwise(9)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4 — first-token-blocked pairwise word-3gram Jaccard ≥ 0.2."""
+    """F4 — blocked pairwise word-3gram Jaccard ≥ 0.2.
+
+    Candidate blocking is the COMPOUND key (first token, shingle-count
+    bucket): J ≥ 0.2 forces |sh_a|/|sh_b| ≤ 5, so with exact base-5 size
+    buckets any qualifying pair sits within ±1 bucket; one side is
+    replicated to neighbor buckets and the join is a plain equi-join on
+    (blk, bucket). Replication is ±2 (5 replicas), not the minimal ±1:
+    the output filter is on ROUNDED Jaccard, which admits true J as low as
+    0.19995 (size ratio up to 5.00125, fractionally past the ±1 proof) —
+    ±2 covers ratio ≤ 25, closing that corner outright. The bucket term is pure candidate pruning: the final
+    J ≥ τ pair set is IDENTICAL to plain first-token blocking (the oracle
+    keeps the simple formulation), but a corpus where half the documents
+    start with "the" no longer concentrates Σ|block|² in one bucket —
+    max block size is bounded by the (token, size-decade) co-occurrence,
+    not the token alone."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     blk = docs.select(
         "doc_id", F.element_at(tokens_all_spark(F.col("text")), 1).alias("blk")
     )
-    base = _doc_shingles(spark, sf_dir).join(blk, "doc_id").persist()
-    a, b = base.alias("a"), base.alias("b")
+    base = persist_tracked(
+        _doc_shingles(spark, sf_dir)
+        .join(blk, "doc_id")
+        .withColumn("bkt", size_bucket_spark(F.size("sh")))
+    )
+    a = base.alias("a")
+    b = (
+        base.select(
+            "doc_id",
+            "sh",
+            "blk",
+            F.explode(
+                F.array(*[F.col("bkt") + d for d in range(-2, 3)])
+            ).alias("bkt"),
+        )
+    ).alias("b")
     jac = _jaccard_spark(F.col("a.sh"), F.col("b.sh"))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
@@ -409,14 +469,15 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    edges = (
+    edges = persist_tracked(
         pairs.union(
             pairs.select(F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b"))
-        )
-        .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
-        .persist()
+        ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).persist()
+    # superseded label frames are unpersisted inline each round; the final
+    # frame backs the returned plan, so it is registered for release at the
+    # next top-level query instead (operators/cache.py).
     while True:
         prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
             F.col("dst").alias("doc_id"), "lbl"
@@ -433,6 +494,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    persist_tracked(labels)
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         "doc_id", F.col("lbl").alias("cluster_id"), "cluster_size"

@@ -102,11 +102,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (
         docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("cum_before", cum_before)
         .select(
             "doc_id",
             "source",
             F.col("n_tokens").cast("int").alias("n_tokens"),
-            F.floor(cum_before / PACK_BUDGET).cast("bigint").alias("bin_id"),
+            # integer `div`, matching the oracle's BIGINT `//`: double
+            # division would lose exactness past 2^53 cumulative tokens
+            F.expr(f"cum_before div {PACK_BUDGET}").cast("bigint").alias("bin_id"),
         )
     )
 

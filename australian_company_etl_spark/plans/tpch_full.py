@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.operators.cache import persist_tracked
 from australian_company_etl_spark.sources.registry import load_tables
 
 PS_SQL = """ps AS (
@@ -290,29 +291,40 @@ ORDER BY nation ASC, o_year DESC
 # ── Q11: important stock (scalar-subquery HAVING) ───────────────────────────
 
 Q11_NATION = "NATION_3"
-Q11_FRACTION = 0.001
+Q11_FRACTION_DEN = 1000  # threshold fraction 1/1000, kept as an exact integer
 
 
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11: parts whose stock value within one nation exceeds a
     fraction of the nation's total — group-agg filtered by a scalar
-    subquery (broadcast one-row aggregate, no second scan in Spark)."""
+    subquery (broadcast one-row aggregate, no second scan in Spark).
+
+    Stock value is kept in EXACT integer units through both the sum and the
+    threshold compare: v = supplycost-in-micros × availqty-in-hundredths
+    (both exact BIGINTs), and the 1/1000 fraction test is
+    ``sum(v) * 1000 > total(v)`` — no double accumulation anywhere, so
+    partition-order summation cannot flip the filter or the output at any
+    scale factor. The displayed value divides the exact sum by 1e8 once."""
     t = load_tables(spark, sf_dir, ["supplier", "nation"])
     nation = t["nation"].filter(F.col("n_name") == Q11_NATION)
-    nat = (
+    v = F.col("ps_supplycost_micro") * F.expr(
+        "CAST(round(ps_availqty * 100) AS BIGINT)"
+    )
+    nat = persist_tracked(
         _ps(spark, sf_dir)
         .join(F.broadcast(t["supplier"]), F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("ps_partkey", (_cost() * F.col("ps_availqty")).alias("v"))
-        .persist()
+        .select("ps_partkey", v.alias("v"))
     )
-    total = nat.agg((F.sum("v") * F.lit(Q11_FRACTION)).alias("threshold"))
+    total = nat.agg(F.sum("v").alias("total_v"))
     return (
         nat.groupBy("ps_partkey")
-        .agg(F.sum("v").alias("raw_value"))
+        .agg(F.sum("v").alias("raw_v"))
         .crossJoin(F.broadcast(total))
-        .filter(F.col("raw_value") > F.col("threshold"))
-        .select("ps_partkey", F.round("raw_value", 2).alias("value"))
+        .filter(F.col("raw_v") * F.lit(Q11_FRACTION_DEN) > F.col("total_v"))
+        .select(
+            "ps_partkey", F.round(F.col("raw_v") / F.lit(1e8), 2).alias("value")
+        )
         .orderBy(F.desc("value"), F.asc("ps_partkey"))
     )
 
@@ -320,14 +332,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q11_SQL = f"""
 WITH {PS_SQL},
 nat AS (
-  SELECT ps_partkey, {_COST_SQL} * ps_availqty AS v
+  SELECT ps_partkey,
+         ps_supplycost_micro * CAST(round(ps_availqty * 100) AS BIGINT) AS v
   FROM ps, supplier, nation
   WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = '{Q11_NATION}'
 )
-SELECT ps_partkey, round(sum(v), 2) AS value
+SELECT ps_partkey, round(sum(v) / 100000000.0, 2) AS value
 FROM nat
 GROUP BY ps_partkey
-HAVING sum(v) > (SELECT sum(v) * {Q11_FRACTION} FROM nat)
+HAVING sum(v) * {Q11_FRACTION_DEN} > (SELECT sum(v) FROM nat)
 ORDER BY value DESC, ps_partkey ASC
 """
 
@@ -388,8 +401,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             )
         )
-        .persist()
     )
+    rev = persist_tracked(rev)
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         rev.crossJoin(F.broadcast(mx))

@@ -138,6 +138,8 @@ def test_cluster_cc_merges_transitively(spark):
     and cluster sizes must equal the label group counts."""
     from australian_company_etl_spark.plans.dedup import dedup_cluster_cc
 
+    # pinned to the smallest SF: the iterative fixpoint job re-runs the
+    # whole minhash pipeline per round and is too slow at larger fixtures
     sf_dir = "/root/testdata/sf0.001"
     out = dedup_cluster_cc(spark, sf_dir)
     rows = out.collect()
@@ -158,20 +160,84 @@ def test_cluster_cc_merges_transitively(spark):
         assert label_of[p.doc_id_a] == label_of[p.doc_id_b]
 
 
-def test_repetition_ratio_bounds(spark):
+def test_ngram_compound_blocking_bounds_skew(spark, sf_dir):
+    """F4 — the (first-token, size-bucket) compound key must (a) keep the
+    pair set identical to plain first-token blocking and (b) bound the max
+    block below the first-token-only max on a size-diverse skewed corpus."""
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.plans.dedup import (
+        JACCARD_T,
+        _doc_shingles,
+        _jaccard_spark,
+        dedup_ngram_jaccard,
+        size_bucket_spark,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    # (a) identical pair set vs the unbucketed reference computation
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    from australian_company_etl_spark.functions.textfns import tokens_all_spark
+
+    blk = docs.select(
+        "doc_id", F.element_at(tokens_all_spark(F.col("text")), 1).alias("blk")
+    )
+    base = _doc_shingles(spark, sf_dir).join(blk, "doc_id")
+    a, b = base.alias("a"), base.alias("b")
+    jac = _jaccard_spark(F.col("a.sh"), F.col("b.sh"))
+    want = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .collect()
+    }
+    assert got == want
+
+    # (b) skewed fixture: every doc starts with "the", sizes span buckets —
+    # the compound key must cap the max block well below the token-only max
+    rows = [
+        (i, "the " + " ".join(f"w{i}x{j}" for j in range(4 + 30 * (i % 4))))
+        for i in range(40)
+    ]
+    fx = spark.createDataFrame(rows, "doc_id int, text string")
+    toks = fx.select(
+        "doc_id", tokens_all_spark(F.col("text")).alias("t")
+    ).select(
+        F.element_at("t", 1).alias("blk"),
+        size_bucket_spark(F.size("t") - 2).alias("bkt"),  # ≈ 3-gram count
+    )
+    token_only_max = toks.groupBy("blk").count().agg(F.max("count")).first()[0]
+    compound_max = toks.groupBy("blk", "bkt").count().agg(F.max("count")).first()[0]
+    assert token_only_max == 40
+    assert compound_max < token_only_max
+
+
+def test_repetition_ratio_bounds(spark, sf_dir):
     from australian_company_etl_spark.plans.text import text_repetition_ratio
 
-    rows = text_repetition_ratio(spark, "/root/testdata/sf0.001").collect()
+    rows = text_repetition_ratio(spark, sf_dir).collect()
     assert len(rows) > 0
     for r in rows:
         assert 0.0 <= r.rep_ratio <= 1.0
         assert r.n_distinct <= r.n_shingles
 
 
-def test_unigram_logprob_semantics(spark):
+def test_unigram_logprob_semantics(spark, sf_dir):
     from australian_company_etl_spark.plans.text import text_unigram_logprob
 
-    rows = text_unigram_logprob(spark, "/root/testdata/sf0.001").collect()
+    rows = text_unigram_logprob(spark, sf_dir).collect()
     assert len(rows) > 0
     for r in rows:
         if r.n_tokens > 0:
@@ -183,10 +249,10 @@ def test_unigram_logprob_semantics(spark):
             assert r.avg_logprob is None
 
 
-def test_bloom_membership_no_false_negatives(spark):
+def test_bloom_membership_no_false_negatives(spark, sf_dir):
     from australian_company_etl_spark.plans.sketches import sketch_bloom_membership
 
-    rows = sketch_bloom_membership(spark, "/root/testdata/sf0.001").collect()
+    rows = sketch_bloom_membership(spark, sf_dir).collect()
     assert len(rows) > 0
     # a Bloom filter may report false positives but NEVER false negatives
     for r in rows:
@@ -198,14 +264,14 @@ def test_bloom_membership_no_false_negatives(spark):
     assert len(rows) == n_users * n_types
 
 
-def test_chunk_documents_overlap_and_sizes(spark):
+def test_chunk_documents_overlap_and_sizes(spark, sf_dir):
     from australian_company_etl_spark.plans.sampling import (
         CHUNK_C,
         CHUNK_S,
         chunk_documents,
     )
 
-    rows = chunk_documents(spark, "/root/testdata/sf0.001").collect()
+    rows = chunk_documents(spark, sf_dir).collect()
     assert len(rows) > 0
     by_doc: dict = {}
     for r in rows:
