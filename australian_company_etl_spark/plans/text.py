@@ -302,23 +302,32 @@ FROM t
 # pipeline: eval-set n-grams). Substring semantics, case-sensitive.
 CONTAM_PHRASES = ["big big", "table table", "spark data", "quick brown fox"]
 
+# Flag for the scale path: False keeps the pure-expression plan (exactly the
+# DuckDB oracle's semantics, P `contains` scans); True compiles the blocklist
+# into ONE Aho-Corasick automaton inside an Arrow-batched mapInPandas —
+# O(text + hits) per document independent of blocklist size, the only viable
+# shape for real decontamination lists (10⁴+ phrases). Both paths produce
+# identical rows (asserted in tests/test_operators.py).
+CONTAM_USE_AUTOMATON = False
 
-def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def text_contamination(
+    spark: SparkSession, sf_dir: str, use_automaton: bool | None = None
+) -> DataFrame:
     """H8 — decontamination scan: per blocklist phrase, how many documents
     contain it (and the first hit). The phrase list is a broadcast literal
-    dim; at 100 TB you'd compile the blocklist into one Aho-Corasick
-    automaton inside a pandas UDF instead of P substring scans — the plan
-    shape (tiny dim × corpus, no shuffle of the corpus) is the same."""
+    dim and the corpus is never shuffled; see operators/contamination.py
+    for the expression-vs-automaton trade."""
+    from australian_company_etl_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    if use_automaton is None:
+        use_automaton = CONTAM_USE_AUTOMATON
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     phrases = spark.createDataFrame([(p,) for p in CONTAM_PHRASES], "phrase string")
-    return (
-        F.broadcast(phrases)
-        .join(docs, F.col("text").contains(F.col("phrase")), "left")
-        .groupBy("phrase")
-        .agg(F.count("doc_id").alias("n_docs"), F.min("doc_id").alias("first_doc"))
-        .orderBy("phrase")
-    )
+    return contamination_report(docs, phrases, CONTAM_PHRASES, use_automaton)
 
 
 def _contamination_sql() -> str:

@@ -224,6 +224,52 @@ def test_ngram_compound_blocking_bounds_skew(spark, sf_dir):
     assert compound_max < token_only_max
 
 
+def test_contamination_automaton_matches_expression_path(spark, sf_dir):
+    """H8 — the Aho-Corasick mapInPandas path must produce exactly the
+    expression path's rows on the standard blocklist."""
+    from australian_company_etl_spark.plans.text import text_contamination
+
+    exact = {tuple(r) for r in text_contamination(spark, sf_dir, use_automaton=False).collect()}
+    auto = {tuple(r) for r in text_contamination(spark, sf_dir, use_automaton=True).collect()}
+    assert auto == exact and len(auto) > 0
+
+
+def test_contamination_automaton_1k_phrases(spark, sf_dir):
+    """H8 scale path — a 1000-phrase blocklist runs as ONE automaton pass
+    over a single corpus scan (no per-phrase scan fan-out), and sampled
+    phrase counts agree with direct substring counts."""
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.operators.contamination import (
+        AhoCorasick,
+        contamination_report,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    # unit sanity: overlapping + nested patterns
+    ac = AhoCorasick(["he", "she", "his", "hers", "banana"])
+    assert ac.patterns_present("ushers") == {0, 1, 3}
+    assert ac.patterns_present("bananana") == {4}
+    assert ac.patterns_present("") == set()
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vocab = [r.w for r in docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .groupBy("w").count().orderBy(F.desc("count")).limit(40).collect()]
+    phrases = sorted({f"{a} {b}" for a in vocab for b in vocab})[:1000]
+    pdf = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    rep = contamination_report(docs, pdf, phrases, use_automaton=True)
+    plan = rep._jdf.queryExecution().sparkPlan().toString()
+    assert "MapInPandas" in plan
+    assert plan.count("Scan parquet") <= 1  # one corpus scan, no phrase fan-out
+    rows = {r.phrase: (r.n_docs, r.first_doc) for r in rep.collect()}
+    assert len(rows) == len(phrases)
+    # spot-check 5 phrases against direct substring counts
+    for p in phrases[:: max(1, len(phrases) // 5)][:5]:
+        n = docs.filter(F.col("text").contains(p)).count()
+        first = docs.filter(F.col("text").contains(p)).agg(F.min("doc_id")).first()[0]
+        assert rows[p] == (n, first)
+
+
 def test_repetition_ratio_bounds(spark, sf_dir):
     from australian_company_etl_spark.plans.text import text_repetition_ratio
 
