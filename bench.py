@@ -28,6 +28,18 @@ HEADLINERS = [
     "events_tumbling_agg",
 ]
 
+# second-scale anchor: the slowest headliners re-timed at ~sf1 (10× sf0.1,
+# generated once into <repo>/benchdata/sf1 — scripts/make_benchdata.py) so
+# the per-round number has a same-workload scale trend, not a single point.
+# Disable with SPARK_GRAFT_LARGE=0.
+LARGE_HEADLINERS = [
+    "dedup_minhash_lsh",
+    "text_fingerprint",
+    "q5_local_supplier",
+    "q3_shipping_priority",
+    "q10_returned_items",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,18 +75,40 @@ def main() -> None:
         total += best
         print(f"# {name}: {best}s", file=sys.stderr)
 
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+    }
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    result["sf"] = float(sf) if sf else sf_dir
+
+    if os.environ.get("SPARK_GRAFT_LARGE", "1") != "0":
+        from scripts.make_benchdata import REPLICAS, ensure
+
+        large_dir = ensure(spark)
+        large_times: dict[str, float] = {}
+        large_total = 0.0
+        for name in LARGE_HEADLINERS:
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                queries[name](spark, large_dir).write.mode("overwrite").format("noop").save()
+                dt = round(time.perf_counter() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            large_times[name] = best
+            large_total += best
+            print(f"# [sf1] {name}: {best}s", file=sys.stderr)
+        result["large"] = {
+            "sf": round((float(sf) if sf else 0.1) * REPLICAS, 3),
+            "value": round(large_total, 3),
+            "unit": "sec",
+            "queries": large_times,
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
