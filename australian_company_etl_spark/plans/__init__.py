@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "filter_valid_names",
     "match_multi_scorer",
     "quality_table_health",
+    "dedup_url_canonical",
     # round-2 semantic changes needing fresh driver rows (simhash exact-recall
     # blocking, Q11 exact integer units, F4 compound blocking key)
     "dedup_simhash",

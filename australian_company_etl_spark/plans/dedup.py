@@ -525,8 +525,77 @@ JOIN (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1) s
 """
 
 
+# ── F7 canonical-URL dedup ──────────────────────────────────────────────────
+# The crawl-side dedup stage every pretraining pipeline runs before content
+# dedup (reference analog: the `.au` URL filter + processed ledger,
+# extract_commoncrawl.py:66,89-93). The corpus has no URL column, so — as
+# with A6/A7 — deterministic URL variants are synthesized per document
+# (scheme/host-case/www-m prefix/query/fragment/trailing-slash noise), and
+# both engines canonicalize the identical strings.
+
+
+def _url_col_spark():
+    page = F.concat(F.col("source"), F.lit("/page"), (F.col("doc_id") % 40))
+    m = F.col("doc_id") % 5
+    return (
+        F.when(m == 0, F.concat(F.lit("https://www."), page))
+        .when(m == 1, F.concat(F.lit("http://"), page, F.lit("?utm_source=feed")))
+        .when(m == 2, F.concat(F.lit("https://"), F.upper(page), F.lit("#section-2")))
+        .when(m == 3, F.concat(F.lit("https://m."), page, F.lit("/")))
+        .otherwise(F.concat(F.lit("http://www."), page))
+    )
+
+
+_URL_COL_SQL = """CASE doc_id % 5
+  WHEN 0 THEN 'https://www.' || source || '/page' || (doc_id % 40)
+  WHEN 1 THEN 'http://' || source || '/page' || (doc_id % 40) || '?utm_source=feed'
+  WHEN 2 THEN 'https://' || upper(source || '/page' || (doc_id % 40)) || '#section-2'
+  WHEN 3 THEN 'https://m.' || source || '/page' || (doc_id % 40) || '/'
+  ELSE 'http://www.' || source || '/page' || (doc_id % 40) END"""
+
+
+def canonical_url_spark(col: F.Column) -> F.Column:
+    """lowercase → strip scheme → strip www./m. prefix → strip ?query/#frag
+    → strip trailing slash. Positive-class regexes only (negated classes hit
+    a pathological slow path in Spark's regexp_replace)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^(www|m)\.", "")
+    c = F.regexp_replace(c, r"[?#].*$", "")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def canonical_url_sql(expr: str) -> str:
+    c = f"lower({expr})"
+    c = f"regexp_replace({c}, '^https?://', '')"
+    c = f"regexp_replace({c}, '^(www|m)\\.', '')"
+    c = f"regexp_replace({c}, '[?#].*$', '')"
+    return f"regexp_replace({c}, '/$', '')"
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — canonical-URL dedup: one row per canonical URL with copy count
+    and the kept (minimum) doc_id. Stateless canonicalization + one
+    map-side-combined groupBy — the same single-shuffle plan at 100 TB."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        docs.select("doc_id", _url_col_spark().alias("url"))
+        .groupBy(canonical_url_spark(F.col("url")).alias("canonical_url"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+DEDUP_URL_SQL = f"""
+SELECT {canonical_url_sql('url')} AS canonical_url,
+       count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM (SELECT doc_id, {_URL_COL_SQL} AS url FROM documents)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_url_canonical": dedup_url_canonical,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -536,6 +605,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_url_canonical": DEDUP_URL_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_sql(),
