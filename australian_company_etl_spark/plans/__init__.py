@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "match_multi_scorer",
     "quality_table_health",
     "dedup_url_canonical",
+    "cluster_kmeans_embed",
     # round-2 semantic changes needing fresh driver rows (simhash exact-recall
     # blocking, Q11 exact integer units, F4 compound blocking key)
     "dedup_simhash",

@@ -267,14 +267,131 @@ scored AS (
 """
 
 
+# ── G4 k-means clustering (iterative Lloyd, exact integer units) ────────────
+# Embedding clustering is a first-class curation op (cluster-balanced
+# sampling, semantic dedup by cluster, diversity filtering). Lloyd's
+# iterations are float-fragile across engines, so everything is EXACT:
+# vectors quantize to integer micro-units, distances are exact int64 sums,
+# and centroid updates are floor(sum/count) where sum < 2^53 makes the
+# double division bit-identical in both engines. Init = the K lowest
+# vec_ids; ties in assignment break to the lowest centroid id; empty
+# clusters drop out — every step deterministic, so the DuckDB oracle is the
+# same algorithm unrolled as chained CTEs.
+#
+# Scale: centroids are a broadcast dim (K rows); each iteration is one
+# corpus pass + one K×DIM-sized aggregate — the canonical distributed-kmeans
+# shape. The per-pair fold is an interpreted HOF here (fine for K·N·DIM at
+# this K); swap in the vectorized pandas-UDF dot (functions/vectors.py) for
+# wide production runs.
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+_KM_SCALE = 1_000_000
+
+
+def _kq_spark():
+    return F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * _KM_SCALE).cast("bigint"),
+    )
+
+
+def _kd2_spark(qa, qb):
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cluster_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — k-means cluster assignment after KMEANS_ITERS exact Lloyd
+    updates; returns (vec_id, cluster_id, d2) with d2 the exact squared
+    distance in micro-units."""
+    from australian_company_etl_spark.operators.cache import persist_tracked
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    emb = persist_tracked(
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+            "vec_id", _kq_spark().alias("q")
+        )
+    )
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("c_id"), F.col("q").alias("cq")
+    )
+
+    def assign(c):
+        w = Window.partitionBy("vec_id").orderBy("d2", "c_id")
+        return (
+            emb.crossJoin(F.broadcast(c))
+            .withColumn("d2", _kd2_spark(F.col("q"), F.col("cq")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "c_id", "d2", "q")
+        )
+
+    for _ in range(KMEANS_ITERS):
+        a = assign(cent)
+        dims = [
+            F.floor(F.sum(F.element_at("q", i)) / F.count("*"))
+            .cast("bigint")
+            .alias(f"d{i}")
+            for i in range(1, EMB_DIM + 1)
+        ]
+        cent = a.groupBy("c_id").agg(*dims).select(
+            "c_id", F.array(*[f"d{i}" for i in range(1, EMB_DIM + 1)]).alias("cq")
+        )
+    return assign(cent).select(
+        "vec_id", F.col("c_id").alias("cluster_id"), F.col("d2").cast("bigint").alias("d2")
+    )
+
+
+def _kmeans_sql() -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])))"
+    )
+    dims = ", ".join(
+        f"CAST(floor(sum(q[{i}])::DOUBLE / count(*)) AS BIGINT)"
+        for i in range(1, EMB_DIM + 1)
+    )
+    ctes = [
+        f"emb AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        f"x -> CAST(round(x * {_KM_SCALE}) AS BIGINT)) AS q FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS c_id, q AS cq FROM emb WHERE vec_id < {KMEANS_K})",
+    ]
+    for j in range(KMEANS_ITERS + 1):
+        ctes.append(
+            f"s{j} AS (SELECT e.vec_id, c.c_id, {d2} AS d2 FROM emb e CROSS JOIN c{j} c)"
+        )
+        ctes.append(
+            f"a{j} AS (SELECT vec_id, c_id, d2 FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn "
+            f"FROM s{j}) WHERE rn = 1)"
+        )
+        if j < KMEANS_ITERS:
+            ctes.append(
+                f"c{j + 1} AS (SELECT c_id, [{dims}] AS cq "
+                f"FROM a{j} JOIN emb USING (vec_id) GROUP BY c_id)"
+            )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id, c_id AS cluster_id, CAST(d2 AS BIGINT) AS d2 "
+        f"FROM a{KMEANS_ITERS}"
+    )
+
+
 QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "cluster_kmeans_embed": cluster_kmeans_embed,
 }
 
 ORACLES = {
     "ann_brute_topk": BRUTE_SQL,
     "ann_lsh_topk": _lsh_sql(),
     "ann_ivf_topk": _ivf_sql(),
+    "cluster_kmeans_embed": _kmeans_sql(),
 }
