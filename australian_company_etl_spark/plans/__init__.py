@@ -62,11 +62,16 @@ _VERIFY_FIRST = [
     "quality_table_health",
     "dedup_url_canonical",
     "cluster_kmeans_embed",
+    "mm_audio_features",
+    "mm_audio_resample",
     # round-2 semantic changes needing fresh driver rows (simhash exact-recall
-    # blocking, Q11 exact integer units, F4 compound blocking key)
+    # blocking, Q11 exact integer units, F4 compound blocking key, multi-scorer
+    # B3/B6, fingerprint tokenize-rejoin normalization)
     "dedup_simhash",
     "q11_important_stock",
     "dedup_ngram_jaccard",
+    "match_fuzzy_levenshtein",
+    "unify_entities",
 ]
 
 

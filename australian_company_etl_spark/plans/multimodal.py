@@ -53,5 +53,69 @@ FROM documents
 """
 
 
-QUERIES = {"mm_binary_meta": mm_binary_meta}
-ORACLES = {"mm_binary_meta": MM_BINARY_META_SQL}
+# ── I3/I4 — REAL audio codec roundtrip (WAV/PCM, no stub) ───────────────────
+# Unlike images/video (codec libs absent → declared stub), audio needs only
+# struct + numpy: documents synthesize to genuine RIFF/WAVE 16-bit PCM bytes
+# (readable by stdlib `wave` — tests verify), which a chunk-walking decoder
+# parses back inside Arrow-batched mapInPandas. Every feature is exact
+# integer arithmetic, so DuckDB reproduces the numbers straight from the
+# text characters without ever seeing the binary — an INDEPENDENT oracle on
+# a real codec path.
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 — text → WAV bytes → decode → exact PCM features
+    (encode + decode both real codec passes over the Arrow boundary)."""
+    from australian_company_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_features,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return audio_features(attach_wav_payload(docs))
+
+
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 — the audio 'resize': 4× stride decimation, re-encoded and
+    re-decoded through the codec, then the same exact features."""
+    from australian_company_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_features,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return audio_features(attach_wav_payload(docs), decimate=4)
+
+
+def _audio_sql(step: int) -> str:
+    # samples from characters: (codepoint − 64) · 256, 1-based index with
+    # stride `step` — identical to the decoded PCM by construction
+    samples = (
+        f"list_transform(range(1, length(text) + 1, {step}), "
+        f"i -> CAST((ascii(substring(text, i, 1)) - 64) * 256 AS BIGINT))"
+    )
+    return f"""
+SELECT doc_id,
+       8000 AS sample_rate,
+       CAST(len(s) AS BIGINT) AS n_samples,
+       CAST(coalesce(list_max(list_transform(s, x -> abs(x))), 0) AS BIGINT) AS peak,
+       CAST(coalesce(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT) AS sum_sq,
+       CAST(CASE WHEN len(s) > 0
+                 THEN floor(sqrt(list_sum(list_transform(s, x -> x * x))::DOUBLE / len(s)) * 10000)
+                 ELSE 0 END AS BIGINT) AS rms_e4
+FROM (SELECT doc_id, {samples} AS s FROM documents)
+"""
+
+
+QUERIES = {
+    "mm_binary_meta": mm_binary_meta,
+    "mm_audio_features": mm_audio_features,
+    "mm_audio_resample": mm_audio_resample,
+}
+ORACLES = {
+    "mm_binary_meta": MM_BINARY_META_SQL,
+    "mm_audio_features": _audio_sql(1),
+    "mm_audio_resample": _audio_sql(4),
+}

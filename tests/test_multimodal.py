@@ -39,6 +39,54 @@ def test_decode_meta_schema_and_determinism(spark, sf_dir):
     assert r.byte_len == len(docs[some].encode())
 
 
+def test_wav_codec_roundtrip_and_stdlib_compat():
+    """I3 — wav_encode output is a REAL WAV: Python's stdlib `wave` module
+    (an independent reference decoder) reads back the identical PCM, and
+    our chunk-walking decoder roundtrips exactly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from australian_company_etl_spark.operators.multimodal import (
+        WAV_SAMPLE_RATE,
+        text_to_samples,
+        wav_decode,
+        wav_encode,
+    )
+
+    text = "the quick brown fox 123"
+    samples = text_to_samples(text)
+    payload = wav_encode(samples)
+    # independent decoder: stdlib wave
+    with wave.open(io.BytesIO(payload)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == WAV_SAMPLE_RATE
+        ref = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    assert np.array_equal(ref, samples)
+    # our decoder
+    rate, got = wav_decode(payload)
+    assert rate == WAV_SAMPLE_RATE
+    assert np.array_equal(got, samples)
+
+
+def test_audio_features_decimation_law(spark, sf_dir):
+    """I4 — 4× decimation keeps ceil(n/4) samples and never raises peak."""
+    from australian_company_etl_spark.plans.multimodal import (
+        mm_audio_features,
+        mm_audio_resample,
+    )
+
+    full = {r.doc_id: r for r in mm_audio_features(spark, sf_dir).collect()}
+    deci = {r.doc_id: r for r in mm_audio_resample(spark, sf_dir).collect()}
+    assert full.keys() == deci.keys() and len(full) > 0
+    for k in full:
+        assert deci[k].n_samples == -(-full[k].n_samples // 4)  # ceil
+        assert deci[k].peak <= full[k].peak
+        assert deci[k].sample_rate == full[k].sample_rate == 8000
+
+
 def test_sample_frames_shape(spark, sf_dir):
     mm = attach_payload(_docs(spark, sf_dir).limit(20))
     frames = sample_frames(mm, stride=64, max_frames=3)
