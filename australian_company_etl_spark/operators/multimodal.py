@@ -127,6 +127,137 @@ def attach_wav_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+# ── BMP: a REAL image codec (pure struct + numpy, no external libs) ─────────
+# 24-bit uncompressed bottom-up BMP (BITMAPFILEHEADER + BITMAPINFOHEADER),
+# rows padded to 4-byte boundaries per the spec — any image viewer opens
+# these bytes. Decode parses both headers and un-pads/un-flips the pixel
+# rows, so it reads any compliant 24bpp uncompressed BMP. Compressed
+# formats (PNG/JPEG, video) stay behind the declared `real_decode` stub.
+
+BMP_WIDTH = 16
+
+
+def bmp_encode(gray: "np.ndarray", width: int = BMP_WIDTH) -> bytes:
+    """Grayscale byte array → 24bpp BMP (r=g=b), padded rows, bottom-up."""
+    import struct
+
+    import numpy as np
+
+    n = len(gray)
+    height = max(1, -(-n // width))
+    px = np.zeros(width * height, dtype=np.uint8)
+    px[:n] = gray
+    grid = px.reshape(height, width)
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    body = b"".join(
+        np.repeat(grid[r], 3).astype(np.uint8).tobytes() + b"\x00" * pad
+        for r in range(height - 1, -1, -1)  # bottom-up row order
+    )
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + body
+
+
+def bmp_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """(width, height, top-down grayscale pixels) from a 24bpp BMP."""
+    import struct
+
+    import numpy as np
+
+    magic, _, _, _, pixel_offset = struct.unpack("<2sIHHI", payload[:14])
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, width, height, _, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if (bpp, compression) != (24, 0):
+        raise ValueError("only uncompressed 24bpp BMP supported")
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    bottom_up = height > 0
+    height = abs(height)
+    rows = []
+    for r in range(height):
+        off = pixel_offset + r * stride
+        row = np.frombuffer(payload[off : off + row_bytes], dtype=np.uint8)
+        rows.append(row[::3])  # grayscale: every 3rd byte (b == g == r)
+    if bottom_up:
+        rows.reverse()
+    return width, height, np.concatenate(rows)
+
+
+def text_to_pixels(text: str) -> "np.ndarray":
+    """Deterministic grayscale pixels from text: one byte per char
+    (ASCII codepoint), so the SQL oracle reproduces the exact pixels."""
+    import numpy as np
+
+    return np.frombuffer(text.encode("ascii", errors="replace"), dtype=np.uint8)
+
+
+def attach_bmp_payload(docs: DataFrame) -> DataFrame:
+    """Encode stage: text → real BMP bytes, Arrow-batched."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        bmp_encode(text_to_pixels(t or "")) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _encode, schema="doc_id bigint, payload binary"
+    )
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, n_px bigint, sum_px bigint, "
+    "max_px int, mean_e4 bigint"
+)
+
+
+def image_features(mm: DataFrame) -> DataFrame:
+    """Decode stage: BMP payload → exact integer pixel features.
+    mean_e4 = floor(sum_px / n_px · 1e4) — exact int64 in, bit-identical
+    double math in any engine."""
+    import math
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = bmp_decode(bytes(payload))
+                n = len(px)
+                s = int(np.sum(px.astype(np.int64)))
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        n,
+                        s,
+                        int(np.max(px)) if n else 0,
+                        int(math.floor(s / n * 10000)) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_px", "sum_px", "max_px", "mean_e4"],
+            )
+
+    return mm.mapInPandas(_features, schema=IMAGE_FEATURES_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "doc_id bigint, sample_rate int, n_samples bigint, peak bigint, "
     "sum_sq bigint, rms_e4 bigint"

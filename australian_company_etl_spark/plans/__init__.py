@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "cluster_kmeans_embed",
     "mm_audio_features",
     "mm_audio_resample",
+    "mm_image_features",
     # round-2 semantic changes needing fresh driver rows (simhash exact-recall
     # blocking, Q11 exact integer units, F4 compound blocking key, multi-scorer
     # B3/B6, fingerprint tokenize-rejoin normalization)

@@ -89,6 +89,38 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(attach_wav_payload(docs), decimate=4)
 
 
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 — REAL image codec path: text → 24bpp BMP bytes (padded bottom-up
+    rows per spec) → header-parsing decode → exact integer pixel features.
+    Compressed formats (PNG/JPEG/video) remain the declared stub."""
+    from australian_company_etl_spark.operators.multimodal import (
+        attach_bmp_payload,
+        image_features,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return image_features(attach_bmp_payload(docs))
+
+
+_IMAGE_SQL = """
+SELECT doc_id,
+       16 AS width,
+       CAST(greatest((length(text) + 15) // 16, 1) AS INT) AS height,
+       CAST(16 * greatest((length(text) + 15) // 16, 1) AS BIGINT) AS n_px,
+       CAST(coalesce(list_sum(px), 0) AS BIGINT) AS sum_px,
+       CAST(coalesce(list_max(px), 0) AS INT) AS max_px,
+       CAST(CASE WHEN length(text) > 0
+                 THEN floor(coalesce(list_sum(px), 0)::DOUBLE
+                            / (16 * greatest((length(text) + 15) // 16, 1)) * 10000)
+                 ELSE 0 END AS BIGINT) AS mean_e4
+FROM (SELECT doc_id, text,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substring(text, i, 1))) AS px
+      FROM documents)
+"""
+
+
 def _audio_sql(step: int) -> str:
     # samples from characters: (codepoint − 64) · 256, 1-based index with
     # stride `step` — identical to the decoded PCM by construction
@@ -113,9 +145,11 @@ QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_audio_features": mm_audio_features,
     "mm_audio_resample": mm_audio_resample,
+    "mm_image_features": mm_image_features,
 }
 ORACLES = {
     "mm_binary_meta": MM_BINARY_META_SQL,
     "mm_audio_features": _audio_sql(1),
     "mm_audio_resample": _audio_sql(4),
+    "mm_image_features": _IMAGE_SQL,
 }

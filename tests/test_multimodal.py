@@ -71,6 +71,41 @@ def test_wav_codec_roundtrip_and_stdlib_compat():
     assert np.array_equal(got, samples)
 
 
+def test_bmp_codec_roundtrip_and_spec_fields():
+    """I5 — bmp_encode output is a spec-compliant 24bpp BMP (magic, pixel
+    offset, declared sizes, 4-byte row padding) and our decoder roundtrips
+    the pixels exactly, including the padded tail row."""
+    import struct
+
+    import numpy as np
+
+    from australian_company_etl_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        text_to_pixels,
+    )
+
+    text = "the quick brown fox jumps over it"  # 33 chars → 16×3 grid, 15 pad px
+    gray = text_to_pixels(text)
+    payload = bmp_encode(gray)
+    magic, file_size, _, _, pixel_offset = struct.unpack("<2sIHHI", payload[:14])
+    assert magic == b"BM" and file_size == len(payload) and pixel_offset == 54
+    _, width, height, planes, bpp, compression = struct.unpack("<IiiHHI", payload[14:34])
+    assert (width, height, planes, bpp, compression) == (16, 3, 1, 24, 0)
+    # 16 px × 3 bytes = 48 bytes/row → already 4-byte aligned (pad 0)
+    assert len(payload) - pixel_offset == 3 * 48
+    w, h, px = bmp_decode(payload)
+    assert (w, h) == (16, 3)
+    expect = np.zeros(48, dtype=np.uint8)
+    expect[:33] = gray
+    assert np.array_equal(px, expect)
+    # odd width exercises real row padding: 5 px × 3 = 15 bytes → stride 16
+    payload5 = bmp_encode(np.arange(7, dtype=np.uint8), width=5)
+    w5, h5, px5 = bmp_decode(payload5)
+    assert (w5, h5) == (5, 2)
+    assert np.array_equal(px5[:7], np.arange(7, dtype=np.uint8))
+
+
 def test_audio_features_decimation_law(spark, sf_dir):
     """I4 — 4× decimation keeps ceil(n/4) samples and never raises peak."""
     from australian_company_etl_spark.plans.multimodal import (
