@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "match_multi_scorer",
     "quality_table_health",
     "dedup_url_canonical",
+    "dedup_lines",
     "cluster_kmeans_embed",
     "mm_audio_features",
     "mm_audio_resample",

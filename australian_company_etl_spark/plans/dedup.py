@@ -27,7 +27,7 @@ the band join is the dominant shuffle and AQE skew-split handles hot bands
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from australian_company_etl_spark.functions.textfns import (
@@ -593,9 +593,118 @@ GROUP BY 1
 """
 
 
+# ── F8: line/segment-level corpus dedup (C4 / RefinedWeb style) ─────────────
+# C4 drops every repeated ≥3-sentence span after its first occurrence;
+# RefinedWeb drops duplicated lines. The corpus here has no newlines, so the
+# "line" unit is a deterministic disjoint window of SEG_TOKENS tokens — the
+# segmentation function is pluggable, the pipeline shape (explode → global
+# occurrence count → keep-first → order-preserving reassembly) is the real
+# operator. Keep-first = the globally earliest (doc_id, seg_id) occurrence of
+# each segment text survives; later copies are dropped from their documents.
+
+SEG_TOKENS = 12
+
+
+def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seg_id, seg): disjoint SEG_TOKENS-token windows per doc."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), F.expr(f"(n + {SEG_TOKENS - 1}) div {SEG_TOKENS}") - 1),
+        lambda k: F.concat_ws(" ", F.slice("t", k * SEG_TOKENS + 1, SEG_TOKENS)),
+    )
+    return (
+        d.filter(F.col("n") > 0)
+        .select("doc_id", F.posexplode(segs).alias("seg_id", "seg"))
+    )
+
+
+_SEGMENTS_SQL = f"""
+segs AS (
+  SELECT doc_id, k AS seg_id,
+         array_to_string(list_slice(t, k * {SEG_TOKENS} + 1,
+                                    k * {SEG_TOKENS} + {SEG_TOKENS}), ' ') AS seg
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(0, (len(t) + {SEG_TOKENS - 1}) // {SEG_TOKENS})) AS k
+    FROM (SELECT doc_id, {tokens_all_sql('text')} AS t FROM documents)
+    WHERE len(t) > 0
+  )
+)
+"""
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — segment-level exact corpus dedup: every repeated segment keeps
+    only its globally-first occurrence (min (doc_id, seg_id)); documents are
+    reassembled from surviving segments in original order, reporting how
+    many segments each doc lost.
+
+    Scale: one shuffle on the segment text (the window partition key) to
+    rank occurrences, one shuffle back on doc_id to reassemble — the same
+    two-exchange plan at 100 TB. Segment-text keys are near-unique except
+    for true boilerplate, and AQE skew-split handles the boilerplate keys
+    (a hot segment IS the thing being deduplicated). The reassembly uses
+    sort_array(collect_list(struct)) so it never relies on row order."""
+    segs = _doc_segments(spark, sf_dir)
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_id")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") == 1)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("int").alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("seg_id", "seg"))
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", F.col("n_segs").cast("int").alias("n_segs"), "n_dropped", "clean_text")
+    )
+
+
+def _dedup_lines_sql() -> str:
+    # NB: DuckDB's list() keeps NULLs (Spark's collect_list drops them), so
+    # the kept segments are selected with FILTER, and a doc whose every
+    # segment was dropped yields NULL from the filtered aggregate → coalesce
+    # to '' to match Spark's concat_ws over an empty array.
+    return f"""
+WITH {_SEGMENTS_SQL.strip()},
+ranked AS (
+  SELECT doc_id, seg_id, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_id) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       count(*)::INT AS n_segs,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::INT AS n_dropped,
+       coalesce(
+         array_to_string(
+           list_transform(
+             list_sort(list({{'seg_id': seg_id, 'seg': seg}}) FILTER (WHERE rn = 1)),
+             s -> s.seg),
+           ' '),
+         '') AS clean_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_url_canonical": dedup_url_canonical,
+    "dedup_lines": dedup_lines,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -611,4 +720,5 @@ ORACLES = {
     "dedup_ngram_jaccard": _ngram_sql(),
     "dedup_embedding_cosine": _emb_cosine_sql(),
     "dedup_cluster_cc": _cluster_cc_sql(),
+    "dedup_lines": _dedup_lines_sql(),
 }
