@@ -91,6 +91,12 @@ def main() -> None:
         large_times: dict[str, float] = {}
         large_total = 0.0
         for name in LARGE_HEADLINERS:
+            # one untimed run at the large SF first: tiered JIT only reaches
+            # steady state after the hot codegen paths see full-scale row
+            # counts (the sf0.001/sf0.1 runs alone leave C2 still compiling
+            # through the first large run — measured ~3x on minhash)
+            spark.catalog.clearCache()
+            queries[name](spark, large_dir).write.mode("overwrite").format("noop").save()
             best = None
             for _ in range(2):
                 spark.catalog.clearCache()
