@@ -62,6 +62,10 @@ _VERIFY_FIRST = [
     "quality_table_health",
     "dedup_url_canonical",
     "dedup_lines",
+    "text_gopher_filters",
+    "events_scd2_history",
+    "events_funnel_steps",
+    "events_distinct_skewsafe",
     "cluster_kmeans_embed",
     "mm_audio_features",
     "mm_audio_resample",

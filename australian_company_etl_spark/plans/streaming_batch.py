@@ -96,12 +96,147 @@ GROUP BY user_id, session_id
 """
 
 
+# ── J5: SCD type-2 state history from the event log ─────────────────────────
+
+
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — slowly-changing-dimension (type 2) compaction of the event log:
+    per user, consecutive runs of the same event_type collapse to one state
+    interval [valid_from_us, valid_to_us) with an is_current flag on the
+    open interval. This is the CDC-merge shape the reference's upsert ledger
+    (extract_abr.py:57-66) would need once history must be kept, not
+    overwritten.
+
+    Scale: one shuffle on user_id; both windows (change detection, interval
+    close) reuse the same partitioning+sort, so Catalyst plans a single
+    exchange + sort. At 100 TB the state table partitions by the entity key
+    exactly like this.
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    rows = ev.select("user_id", "event_id", F.col("event_type").alias("state"), us.alias("us"))
+    changed = rows.withColumn("prev_state", F.lag("state").over(w)).filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return changed.select(
+        "user_id",
+        "state",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w2).alias("valid_to_us"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+SCD2_SQL = """
+WITH rows_ AS (
+  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+  FROM events
+), changed AS (
+  SELECT user_id, event_id, state, us FROM rows_
+  WHERE prev_state IS NULL OR prev_state <> state
+)
+SELECT user_id, state,
+       us AS valid_from_us,
+       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+       (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL) AS is_current
+FROM changed
+"""
+
+
+# ── J6: funnel conversion (signup → purchase) ───────────────────────────────
+
+
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — ordered funnel per user: first signup, first purchase at-or-
+    after that signup, conversion flag and whole-second latency (exact
+    integer micros div).
+
+    Scale: two aggregations on the same user_id key — the conversion join
+    re-uses the shuffle partitioning, and the funnel-step frame stays tiny
+    (one row per user) so the join back is broadcast-able.
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    us = F.unix_micros(F.col("ts"))
+    rows = ev.select("user_id", F.col("event_type"), us.alias("us"))
+    fs = rows.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("signup_us")
+    )
+    conv = (
+        rows.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(fs), "user_id")
+        .filter(F.col("us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    out = fs.join(conv, "user_id", "left")
+    return out.select(
+        "user_id",
+        "signup_us",
+        "purchase_us",
+        F.col("purchase_us").isNotNull().alias("converted"),
+        F.expr("(purchase_us - signup_us) div 1000000").alias("secs_to_convert"),
+    )
+
+
+FUNNEL_SQL = """
+WITH fs AS (
+  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS signup_us
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+  FROM events e JOIN fs USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fs.signup_us
+  GROUP BY e.user_id
+)
+SELECT fs.user_id, fs.signup_us, conv.purchase_us,
+       (conv.purchase_us IS NOT NULL) AS converted,
+       (conv.purchase_us - fs.signup_us) // 1000000 AS secs_to_convert
+FROM fs LEFT JOIN conv USING (user_id)
+"""
+
+
+# ── J7: skew-safe exact distinct ────────────────────────────────────────────
+
+
+def events_distinct_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — exact distinct-user count per event_type via explicit two-phase
+    dedup: phase 1 dedups (event_type, user_id) pairs with map-side partial
+    aggregation spread across all partitions, phase 2 counts the deduped
+    pairs. With a handful of hot group keys (5 event types here; true of
+    any low-cardinality dimension at 100 TB), a naive count(DISTINCT x)
+    funnels each key's entire value stream through one reducer — the
+    two-phase shape is the standard skew-safe rewrite and what AQE's
+    skew mitigation cannot do for you (it can't split an agg key).
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    pairs = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+DISTINCT_SKEWSAFE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": events_tumbling_agg,
     "events_sessionize": events_sessionize,
+    "events_scd2_history": events_scd2_history,
+    "events_funnel_steps": events_funnel_steps,
+    "events_distinct_skewsafe": events_distinct_skewsafe,
 }
 
 ORACLES = {
     "events_tumbling_agg": TUMBLING_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "events_scd2_history": SCD2_SQL,
+    "events_funnel_steps": FUNNEL_SQL,
+    "events_distinct_skewsafe": DISTINCT_SKEWSAFE_SQL,
 }

@@ -409,6 +409,103 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ── H10: Gopher-style quality filter rules ──────────────────────────────────
+# The doc-level repetition/quality rule set of Rae et al. 2021 ("Gopher",
+# §A1.1), adapted to a corpus without newlines (the line-based bullet/
+# ellipsis-line rules don't apply). Every ratio threshold is compared in
+# EXACT integer arithmetic (k*n_words vs counts) so both engines agree
+# bit-for-bit without float rounding contracts.
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MIN_STOPWORDS = 2
+# Gopher's rule list, widened with 'a' — the synthetic corpus's function
+# words are 'a'/'the', and a presence rule that nothing can pass tests
+# nothing (the real list drops straight in for a natural corpus)
+GOPHER_STOPWORDS = ["a", "the", "and", "of", "to", "in", "is", "it"]
+
+
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10 — Gopher quality rules per doc: word-count bounds, mean word
+    length in [3,10], ≥80% alphabetic words, symbol ('#'/'...')-to-word
+    ratio ≤ 0.1, ≥2 distinct English stopwords; keep = all rules pass.
+
+    Scale: stateless column expressions over one scan — no shuffle; the
+    keep flag is the standard pretraining-corpus pre-filter that runs
+    before any dedup/similarity stage touches the data.
+    """
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = tokens_all_spark(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.size(toks).alias("n_words"),
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).alias("word_chars"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).alias("alpha_words"),
+        F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))).alias("stop_hits"),
+    )
+    # sym3 = 3*(#-count) + 3*(ellipsis-count): the '...' length diff is
+    # already 3 per occurrence, so scaling the '#' diff by 3 keeps the
+    # whole symbol-ratio rule in integer arithmetic (rule compares
+    # sym3*10 <= 3*n_words, i.e. symbol/word ratio <= 0.1)
+    sym3 = (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))) * 3 + (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    )
+    r_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (F.col("n_words") <= GOPHER_MAX_WORDS)
+    r_meanlen = (F.col("word_chars") >= GOPHER_MIN_MEAN_LEN * F.col("n_words")) & (
+        F.col("word_chars") <= GOPHER_MAX_MEAN_LEN * F.col("n_words")
+    )
+    r_alpha = F.col("alpha_words") * 5 >= F.col("n_words") * 4
+    r_symbol = sym3 * 10 <= F.col("n_words") * 3
+    r_stop = F.col("stop_hits") >= GOPHER_MIN_STOPWORDS
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        r_words.alias("r_words"),
+        r_meanlen.alias("r_meanlen"),
+        r_alpha.alias("r_alpha"),
+        r_symbol.alias("r_symbol"),
+        r_stop.alias("r_stop"),
+        (r_words & r_meanlen & r_alpha & r_symbol & r_stop).alias("keep"),
+    )
+
+
+def _gopher_sql() -> str:
+    toks = tokens_all_sql("text")
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {toks} AS t FROM documents
+), m AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS word_chars,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+         len(list_intersect(list_distinct(t), [{stop_list}])) AS stop_hits,
+         (length(text) - length(replace(text, '#', ''))) * 3
+           + (length(text) - length(replace(text, '...', ''))) AS sym3
+  FROM base
+)
+SELECT doc_id, n_words::INT AS n_words,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS r_words,
+       (word_chars >= {GOPHER_MIN_MEAN_LEN} * n_words
+        AND word_chars <= {GOPHER_MAX_MEAN_LEN} * n_words) AS r_meanlen,
+       (alpha_words * 5 >= n_words * 4) AS r_alpha,
+       (sym3 * 10 <= n_words * 3) AS r_symbol,
+       (stop_hits >= {GOPHER_MIN_STOPWORDS}) AS r_stop,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND (word_chars >= {GOPHER_MIN_MEAN_LEN} * n_words
+             AND word_chars <= {GOPHER_MAX_MEAN_LEN} * n_words)
+        AND (alpha_words * 5 >= n_words * 4)
+        AND (sym3 * 10 <= n_words * 3)
+        AND (stop_hits >= {GOPHER_MIN_STOPWORDS})) AS keep
+FROM m
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
@@ -419,6 +516,7 @@ QUERIES = {
     "text_repetition_ratio": text_repetition_ratio,
     "text_contamination": text_contamination,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_gopher_filters": text_gopher_filters,
 }
 
 ORACLES = {
@@ -431,4 +529,5 @@ ORACLES = {
     "text_repetition_ratio": _repetition_sql(),
     "text_contamination": _contamination_sql(),
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "text_gopher_filters": _gopher_sql(),
 }

@@ -335,3 +335,47 @@ def test_chunk_documents_overlap_and_sizes(spark, sf_dir):
             nxt = chunks.get(cid + 1)
             if nxt is not None and r.n_chunk_tokens == CHUNK_C:
                 assert toks[-overlap:] == nxt.chunk_text.split(" ")[:overlap]
+
+
+def test_scd2_intervals_chain_per_user(spark, sf_dir):
+    from australian_company_etl_spark.plans.streaming_batch import events_scd2_history
+
+    rows = events_scd2_history(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from_us)
+        # exactly one open (current) interval per user, and it is the last
+        currents = [r for r in ivs if r.is_current]
+        assert len(currents) == 1 and ivs[-1].is_current
+        for a, b in zip(ivs, ivs[1:]):
+            # intervals chain with no gap or overlap, and states actually change
+            assert a.valid_to_us == b.valid_from_us
+            assert a.state != b.state
+
+
+def test_funnel_conversion_semantics(spark, sf_dir):
+    from australian_company_etl_spark.plans.streaming_batch import events_funnel_steps
+
+    rows = events_funnel_steps(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert any(r.converted for r in rows)
+    for r in rows:
+        assert r.converted == (r.purchase_us is not None)
+        if r.converted:
+            assert r.purchase_us >= r.signup_us
+            assert r.secs_to_convert >= 0
+
+
+def test_gopher_keep_is_conjunction_and_varies(spark, sf_dir):
+    from australian_company_etl_spark.plans.text import text_gopher_filters
+
+    rows = text_gopher_filters(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.keep == (r.r_words and r.r_meanlen and r.r_alpha and r.r_symbol and r.r_stop)
+    kept = sum(r.keep for r in rows)
+    # the filter must actually separate the corpus, not pass/fail everything
+    assert 0 < kept < len(rows)
