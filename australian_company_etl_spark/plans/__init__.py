@@ -66,6 +66,8 @@ _VERIFY_FIRST = [
     "events_scd2_history",
     "events_funnel_steps",
     "events_distinct_skewsafe",
+    "ann_pq_topk",
+    "join_skew_salted",
     "cluster_kmeans_embed",
     "mm_audio_features",
     "mm_audio_resample",

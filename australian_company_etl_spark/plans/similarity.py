@@ -382,11 +382,130 @@ def _kmeans_sql() -> str:
     )
 
 
+# ── G5: product-quantization ANN ────────────────────────────────────────────
+# PQ (Jégou et al. 2011): split each vector into PQ_M subvectors, encode each
+# to its nearest of PQ_K per-subspace centroids, then answer queries with
+# asymmetric distance (query subvector ↔ centroid lookup-table sums). At
+# 100 TB this is THE memory lever: codes are PQ_M bytes/vector vs dim*4 raw
+# (32x here), the codebook is a broadcast dim, and encoding is one corpus
+# pass. All subspace distances use the dot-product identity
+# d² = |a|² + |b|² − 2a·b with the same left-to-right folds in both engines,
+# so scores are bit-identical before the 6-dp rounding.
+
+PQ_M = 8  # subspaces (64 dims → 8 per subspace)
+PQ_SUB = EMB_DIM // PQ_M
+PQ_K = 16  # centroids per subspace
+PQ_CENT_STRIDE = 30  # centroid j ← vector with vec_id = j*30 (data-derived)
+
+
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    base = _base(spark, sf_dir)
+    sub_structs = [
+        F.struct(F.lit(m).alias("m"), F.slice("e", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
+        for m in range(PQ_M)
+    ]
+    subs = base.select(
+        "vec_id", F.explode(F.array(*sub_structs)).alias("x")
+    ).select("vec_id", F.col("x.m").alias("m"), F.col("x.sv").alias("sv"))
+    cents = (
+        subs.filter((F.col("vec_id") % PQ_CENT_STRIDE == 0) & (F.col("vec_id") < PQ_CENT_STRIDE * PQ_K))
+        .select((F.col("vec_id") / PQ_CENT_STRIDE).cast("int").alias("j"), "m", F.col("sv").alias("cv"))
+    )
+    return subs, cents
+
+
+def _d2(a, b):
+    return _dot_spark(a, a) + _dot_spark(b, b) - 2 * _dot_spark(a, b)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — PQ/ADC approximate top-k: encode corpus subvectors to nearest
+    per-subspace centroid (deterministic j tie-break), score queries by
+    summed query↔centroid subspace distances, rank ascending."""
+    subs, cents = _pq_parts(spark, sf_dir)
+    enc_w = Window.partitionBy("vec_id", "m").orderBy("d2", "j")
+    codes = (
+        subs.join(F.broadcast(cents), "m")
+        .withColumn("d2", _d2(F.col("sv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(enc_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    qd = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("m").alias("qm"), "sv")
+        .join(cents.select(F.col("m").alias("qm"), F.col("j").alias("qj"), "cv"), "qm")
+        .select("q_id", "qm", "qj", _d2(F.col("sv"), F.col("cv")).alias("qd2"))
+    )
+    scored = (
+        codes.join(
+            F.broadcast(qd),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qj")),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.round(F.sum("qd2"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "n_id", "adist", "rank")
+    )
+
+
+def _pq_sql() -> str:
+    sub_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, list_slice(e, {m * PQ_SUB + 1}, {(m + 1) * PQ_SUB}) AS sv FROM base"
+        for m in range(PQ_M)
+    )
+    d2 = (
+        "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}))"
+    )
+    return f"""
+WITH {_BASE_SQL},
+subs AS ({sub_rows}),
+cents AS (
+  SELECT (vec_id // {PQ_CENT_STRIDE})::INT AS j, m, sv AS cv
+  FROM subs
+  WHERE vec_id % {PQ_CENT_STRIDE} = 0 AND vec_id < {PQ_CENT_STRIDE * PQ_K}
+),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT s.vec_id, s.m, c.j,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {d2.format(a='s.sv', b='c.cv')}, c.j) AS rn
+    FROM subs s JOIN cents c USING (m)
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT s.vec_id AS q_id, s.m, c.j,
+         {d2.format(a='s.sv', b='c.cv')} AS qd2
+  FROM subs s JOIN cents c USING (m)
+  WHERE s.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT qd.q_id, codes.vec_id AS n_id, round(sum(qd.qd2), 6) AS adist
+  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.j
+  WHERE codes.vec_id <> qd.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, n_id, adist, rank FROM (
+  SELECT q_id, n_id, adist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "cluster_kmeans_embed": cluster_kmeans_embed,
+    "ann_pq_topk": ann_pq_topk,
 }
 
 ORACLES = {
@@ -394,4 +513,5 @@ ORACLES = {
     "ann_lsh_topk": _lsh_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "cluster_kmeans_embed": _kmeans_sql(),
+    "ann_pq_topk": _pq_sql(),
 }

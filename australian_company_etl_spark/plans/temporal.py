@@ -180,11 +180,60 @@ GROUP BY CUBE(1, 2)
 """
 
 
+# ── L5: explicitly salted skew join ─────────────────────────────────────────
+
+JOIN_SALT = 8
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — fact⨝dim join with explicit key salting: the event log's user_id
+    distribution is hot (few distinct users carry all traffic — the shape of
+    any power-law entity key at 100 TB), so a plain shuffle join lands each
+    hot key on ONE reducer. Salting splits every fact key across JOIN_SALT
+    reducers (salt = event_id % S, deterministic) and replicates the dim row
+    to all S salts; each fact row still matches exactly once, so the result
+    is identical to the plain join the oracle runs. AQE's skew-join split
+    does this adaptively for sort-merge joins; the explicit form is the
+    portable rewrite that also covers aggregations-after-join and engines
+    or modes where AQE can't see the skew.
+
+    Scale: dim replication is S× a SMALL table (broadcast-sized per salt);
+    the fact side gains one cheap projected column, no extra shuffle.
+    """
+    ev, cust = (
+        load_tables(spark, sf_dir, ["events", "customer"])[t] for t in ("events", "customer")
+    )
+    dim = cust.select(F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment")
+    salted_dim = dim.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT - 1))).alias("salt")
+    )
+    fact = ev.select("user_id", "value", (F.col("event_id") % JOIN_SALT).alias("salt"))
+    # shuffle_hash hint: at the scale this rewrite exists for, the dim is
+    # past broadcast size (a broadcast join has no skew problem to salt) —
+    # force the shuffle join the technique targets so the plan under test
+    # is the plan that ships
+    joined = fact.join(salted_dim.hint("shuffle_hash"), ["user_id", "salt"])
+    return joined.groupBy("user_id", "c_name", "c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SKEW_SALTED_SQL = """
+SELECT e.user_id, c.c_name, c.c_mktsegment,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "asof_join_last_error": asof_join_last_error,
     "range_join_close_pairs": range_join_close_pairs,
     "rollup_events_hourly": rollup_events_hourly,
     "cube_orders_priority": cube_orders_priority,
+    "join_skew_salted": join_skew_salted,
 }
 
 ORACLES = {
@@ -192,4 +241,5 @@ ORACLES = {
     "range_join_close_pairs": RANGE_SQL,
     "rollup_events_hourly": ROLLUP_SQL,
     "cube_orders_priority": CUBE_SQL,
+    "join_skew_salted": SKEW_SALTED_SQL,
 }

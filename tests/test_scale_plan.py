@@ -168,3 +168,26 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_salted_join_shuffles_on_composite_key(spark, sf_dir):
+    """L5: the fact-dim exchange must partition on (user_id, salt) so a hot
+    user key spreads across JOIN_SALT reducers instead of one."""
+    from australian_company_etl_spark.plans.temporal import join_skew_salted
+
+    plan = _executed_plan(join_skew_salted(spark, sf_dir))
+    import re
+
+    assert re.search(r"hashpartitioning\([^)]*user_id[^)]*salt", plan), (
+        "salted join does not shuffle on the composite (user_id, salt) key"
+    )
+
+
+def test_pq_codebook_and_query_tables_are_broadcast(spark, sf_dir):
+    """G5: both small sides (centroid codebook joins, ADC query-distance
+    table) must be broadcast — the corpus side is never replicated."""
+    from australian_company_etl_spark.plans.similarity import ann_pq_topk
+
+    plan = _spark_plan(ann_pq_topk(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, "codebook/ADC joins not broadcast"
+    assert "CartesianProduct" not in plan
