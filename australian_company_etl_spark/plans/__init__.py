@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "events_distinct_skewsafe",
     "ann_pq_topk",
     "join_skew_salted",
+    "shard_shuffle_deterministic",
     "cluster_kmeans_embed",
     "mm_audio_features",
     "mm_audio_resample",

@@ -216,12 +216,55 @@ FROM e
 """
 
 
+# ── N6: deterministic global shuffle + sharding ─────────────────────────────
+
+NUM_SHARDS = 64
+
+
+def shard_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 — the training-data "global shuffle": every doc gets a
+    pseudo-random but fully deterministic (shard_id, pos) address. Shard =
+    hash bucket of the doc id, position = rank of the hash within the
+    shard (doc_id tie-break), so adjacent source docs scatter across
+    shards and re-running the job reproduces the exact order — unlike
+    `df.orderBy(rand())`, which depends on seed + partition layout.
+
+    Scale: one shuffle on shard_id (uniform by construction — the hash is
+    the anti-skew guarantee); per-shard ranking is a window over ~N/64
+    rows. At 100 TB you write shard_id as the output partition column and
+    readers stream shards independently.
+    """
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    h = phash_spark(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", "source", h.alias("h"))
+    w = Window.partitionBy(F.col("h") % NUM_SHARDS).orderBy("h", "doc_id")
+    return base.select(
+        "doc_id",
+        "source",
+        (F.col("h") % NUM_SHARDS).cast("int").alias("shard_id"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+SHARD_SHUFFLE_SQL = f"""
+SELECT doc_id, source,
+       ({phash_sql("'shuf:' || doc_id::VARCHAR")} % {NUM_SHARDS})::INT AS shard_id,
+       row_number() OVER (
+         PARTITION BY {phash_sql("'shuf:' || doc_id::VARCHAR")} % {NUM_SHARDS}
+         ORDER BY {phash_sql("'shuf:' || doc_id::VARCHAR")}, doc_id) AS pos
+FROM documents
+"""
+
+
 QUERIES = {
     "sample_stratified_hash": sample_stratified_hash,
     "split_train_holdout": split_train_holdout,
     "pack_sequences": pack_sequences,
     "mix_corpus_weighted": mix_corpus_weighted,
     "chunk_documents": chunk_documents,
+    "shard_shuffle_deterministic": shard_shuffle_deterministic,
 }
 
 ORACLES = {
@@ -230,4 +273,5 @@ ORACLES = {
     "pack_sequences": PACK_SQL,
     "mix_corpus_weighted": _mix_sql(),
     "chunk_documents": _chunk_sql(),
+    "shard_shuffle_deterministic": SHARD_SHUFFLE_SQL,
 }

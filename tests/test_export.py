@@ -27,3 +27,38 @@ def test_export_parquet_partitioned(spark, sf_dir, tmp_path):
     assert len(dirs) >= 2
     back = spark.read.parquet(path)
     assert back.count() == orders.count()
+
+
+def test_manifest_publish_and_verify(spark, sf_dir, tmp_path):
+    from australian_company_etl_spark.sources.export import (
+        export_with_manifest,
+        verify_manifest,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    path = str(tmp_path / "docs_release")
+    manifest = export_with_manifest(docs, path, ["source"])
+    assert len(manifest["partitions"]) == docs.select("source").distinct().count()
+    assert all(p["rows"] > 0 for p in manifest["partitions"].values())
+    assert verify_manifest(spark, path)["ok"]
+
+
+def test_manifest_detects_lost_partition(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    from australian_company_etl_spark.sources.export import (
+        export_with_manifest,
+        verify_manifest,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    path = str(tmp_path / "docs_release")
+    export_with_manifest(docs, path, ["source"])
+    # simulate a lost shard: drop one partition's data files
+    victim = sorted(glob.glob(f"{path}/source=*"))[0]
+    for f in glob.glob(f"{victim}/*.parquet"):
+        os.remove(f)
+    res = verify_manifest(spark, path)
+    assert not res["ok"]
+    assert len(res["mismatches"]) == 1
