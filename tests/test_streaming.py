@@ -182,3 +182,39 @@ def test_streaming_dedup_across_microbatches(spark, sf_dir, tmp_path):
     assert len(hashes) == len(set(hashes)), "sink saw a duplicate content hash"
     n_distinct_batch = docs.select(F.md5("text")).distinct().count()
     assert len(hashes) == n_distinct_batch
+
+
+def test_streaming_upsert_foreachbatch_first_wins(spark, sf_dir, tmp_path):
+    """Micro-batches merge into a keyed parquet target with one-row-per-key
+    semantics across batches: a conflicting re-delivery of existing keys
+    (same doc_id, mutated text) must never produce a second row, and keys
+    delivered only once must keep their exact payload."""
+    from australian_company_etl_spark.streaming.pipeline import run_upsert_stream_to_parquet
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
+    src = str(tmp_path / "upsert_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    # conflicting re-delivery: half the keys arrive again with mutated text
+    conflict = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "text", F.concat(F.lit("MUTATED:"), F.col("text"))
+    )
+    conflict.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "c"))
+    import glob, shutil
+
+    shutil.copy(
+        sorted(glob.glob(str(tmp_path / "c") + "/part-*.parquet"))[0],
+        src + "/zz-conflict.parquet",
+    )
+
+    target = str(tmp_path / "upsert_target")
+    run_upsert_stream_to_parquet(spark, src, "doc_id bigint, text string", target)
+
+    out = {r.doc_id: r.text for r in spark.read.parquet(target).collect()}
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    assert len(out) == len(orig), "target must hold exactly one row per key"
+    for k, v in out.items():
+        # whichever delivery won, the payload is one of the delivered versions
+        assert v == orig[k] or v == "MUTATED:" + orig[k]
+    # keys never re-delivered must carry their exact original payload
+    for k in (k for k in orig if k % 2 == 1):
+        assert out[k] == orig[k]
