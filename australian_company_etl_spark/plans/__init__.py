@@ -69,6 +69,7 @@ _VERIFY_FIRST = [
     "ann_pq_topk",
     "join_skew_salted",
     "shard_shuffle_deterministic",
+    "dedup_semantic_kmeans",
     "cluster_kmeans_embed",
     "mm_audio_features",
     "mm_audio_resample",

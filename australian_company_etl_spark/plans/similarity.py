@@ -346,7 +346,8 @@ def cluster_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
+def _kmeans_ctes() -> str:
+    """The unrolled-Lloyd CTE chain; final assignment lands in a{KMEANS_ITERS}."""
     d2 = (
         f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         f"i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])))"
@@ -374,12 +375,67 @@ def _kmeans_sql() -> str:
                 f"c{j + 1} AS (SELECT c_id, [{dims}] AS cq "
                 f"FROM a{j} JOIN emb USING (vec_id) GROUP BY c_id)"
             )
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def _kmeans_sql() -> str:
     return (
-        f"WITH {body}\n"
+        f"WITH {_kmeans_ctes()}\n"
         f"SELECT vec_id, c_id AS cluster_id, CAST(d2 AS BIGINT) AS d2 "
         f"FROM a{KMEANS_ITERS}"
     )
+
+
+# ── G6: SemDeDup — semantic dedup inside k-means clusters ───────────────────
+
+SEM_T = 0.25  # cosine threshold for "semantic duplicate" within a cluster
+
+
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means, then inside each cluster mark all but one member of every
+    cosine-≥τ near-duplicate group as drops (keep-lowest-vec_id). Returns
+    every vector with its cluster and a keep flag.
+
+    Scale: the pairwise step is blocked by cluster — cost Σ|cluster|², the
+    whole point of clustering first (the paper runs this on billions of
+    embeddings exactly because pairs never cross clusters). Cluster sizes
+    are bounded by the k-means balance; a pathological giant cluster is
+    handled by raising K, which shrinks every block."""
+    assign = cluster_kmeans_embed(spark, sf_dir).select("vec_id", "cluster_id")
+    d = _base(spark, sf_dir).join(assign, "vec_id")
+    a = d.select(F.col("vec_id").alias("va"), "cluster_id", F.col("e").alias("ea"))
+    b = d.select(F.col("vec_id").alias("vb"), "cluster_id", F.col("e").alias("eb"))
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(_cos_spark(F.col("ea"), F.col("eb")), 4) >= SEM_T)
+        .select("vb")
+        .distinct()
+    )
+    return (
+        d.join(dropped, d["vec_id"] == dropped["vb"], "left")
+        .select("vec_id", "cluster_id", F.col("vb").isNull().alias("keep"))
+    )
+
+
+def _semantic_sql() -> str:
+    return f"""
+WITH {_kmeans_ctes()},
+{_BASE_SQL},
+d AS (
+  SELECT a.vec_id, a.c_id AS cluster_id, b.e
+  FROM a{KMEANS_ITERS} a JOIN base b USING (vec_id)
+),
+drp AS (
+  SELECT DISTINCT y.vec_id AS vb
+  FROM d x JOIN d y
+    ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  WHERE round(list_dot_product(x.e, y.e), 4) >= {SEM_T}
+)
+SELECT d.vec_id, d.cluster_id, (drp.vb IS NULL) AS keep
+FROM d LEFT JOIN drp ON d.vec_id = drp.vb
+"""
 
 
 # ── G5: product-quantization ANN ────────────────────────────────────────────
@@ -506,6 +562,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "cluster_kmeans_embed": cluster_kmeans_embed,
     "ann_pq_topk": ann_pq_topk,
+    "dedup_semantic_kmeans": dedup_semantic_kmeans,
 }
 
 ORACLES = {
@@ -514,4 +571,5 @@ ORACLES = {
     "ann_ivf_topk": _ivf_sql(),
     "cluster_kmeans_embed": _kmeans_sql(),
     "ann_pq_topk": _pq_sql(),
+    "dedup_semantic_kmeans": _semantic_sql(),
 }
