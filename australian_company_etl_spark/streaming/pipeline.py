@@ -244,12 +244,21 @@ def run_upsert_stream_to_parquet(
     target: str,
     key: str = "doc_id",
     max_files: int = 1,
-) -> None:
+    checkpoint: str | None = None,
+) -> int:
     """Stream parquet files from src_dir, merging each micro-batch into the
-    `target` parquet directory with first-wins semantics on `key`."""
+    `target` parquet directory with first-wins semantics on `key`. With a
+    `checkpoint` directory, a restarted run resumes from the recorded
+    offsets and processes ONLY files that arrived since — the engine-level
+    processed-file ledger (extract_commoncrawl.py:89-93) for free. Returns
+    the number of micro-batches this run actually processed."""
     import os
 
+    n_batches = 0
+
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
         sp = batch.sparkSession
         batch = batch.dropDuplicates([key])
         if os.path.isdir(target):
@@ -265,12 +274,15 @@ def run_upsert_stream_to_parquet(
         final = sp.read.parquet(staging)
         final.write.mode("overwrite").parquet(target)
 
-    q = (
+    writer = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
         .parquet(src_dir)
         .writeStream.foreachBatch(_merge)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
     q.awaitTermination()
+    return n_batches

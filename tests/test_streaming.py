@@ -218,3 +218,41 @@ def test_streaming_upsert_foreachbatch_first_wins(spark, sf_dir, tmp_path):
     # keys never re-delivered must carry their exact original payload
     for k in (k for k in orig if k % 2 == 1):
         assert out[k] == orig[k]
+
+
+def test_streaming_upsert_checkpoint_restart_skips_processed(spark, sf_dir, tmp_path):
+    """A restarted stream with the same checkpoint must resume from the
+    recorded offsets: run 1 processes the initial files, run 2 processes
+    ONLY the file that arrived in between (the engine-level processed-file
+    ledger), and the merged target stays exactly one row per key."""
+    from australian_company_etl_spark.streaming.pipeline import run_upsert_stream_to_parquet
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
+    early = docs.filter(F.col("doc_id") < 400)
+    late = docs.filter(F.col("doc_id") >= 400)
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    early.repartition(3).write.mode("overwrite").parquet(src)
+
+    n1 = run_upsert_stream_to_parquet(
+        spark, src, "doc_id bigint, text string", target, checkpoint=ckpt
+    )
+    assert n1 >= 3
+    assert spark.read.parquet(target).count() == early.count()
+
+    # one new file lands; restart from the same checkpoint
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "late"))
+    import glob, shutil
+
+    shutil.copy(
+        sorted(glob.glob(str(tmp_path / "late") + "/part-*.parquet"))[0],
+        src + "/zz-late.parquet",
+    )
+    n2 = run_upsert_stream_to_parquet(
+        spark, src, "doc_id bigint, text string", target, checkpoint=ckpt
+    )
+    assert n2 == 1, f"restart reprocessed old files ({n2} batches)"
+    out = spark.read.parquet(target)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
