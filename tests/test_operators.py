@@ -379,3 +379,38 @@ def test_gopher_keep_is_conjunction_and_varies(spark, sf_dir):
     kept = sum(r.keep for r in rows)
     # the filter must actually separate the corpus, not pass/fail everything
     assert 0 < kept < len(rows)
+
+
+def test_shard_shuffle_addresses_dense_and_unique(spark, sf_dir):
+    from australian_company_etl_spark.plans.sampling import (
+        NUM_SHARDS,
+        shard_shuffle_deterministic,
+    )
+
+    rows = shard_shuffle_deterministic(spark, sf_dir).collect()
+    assert len(rows) > 0
+    addr = {(r.shard_id, r.pos) for r in rows}
+    assert len(addr) == len(rows), "(shard, pos) addresses must be unique"
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r.shard_id < NUM_SHARDS
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        # positions are dense from 1 — a reader can stream a shard by rank
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark, sf_dir):
+    from australian_company_etl_spark.plans.similarity import dedup_semantic_kmeans
+
+    rows = dedup_semantic_kmeans(spark, sf_dir).collect()
+    assert len(rows) > 0
+    keep_by_cluster: dict = {}
+    for r in rows:
+        keep_by_cluster.setdefault(r.cluster_id, []).append((r.vec_id, r.keep))
+    for cluster, members in keep_by_cluster.items():
+        keepers = [v for v, k in members if k]
+        assert keepers, f"cluster {cluster} lost every member"
+        # keep-lowest-id policy: the smallest vec_id in a cluster can never
+        # be dropped (it is never the 'b' side of a qualifying pair)
+        assert min(v for v, _ in members) in keepers
