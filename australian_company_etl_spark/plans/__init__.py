@@ -70,6 +70,7 @@ _VERIFY_FIRST = [
     "join_skew_salted",
     "shard_shuffle_deterministic",
     "dedup_semantic_kmeans",
+    "sketch_cms_heavy_hitters",
     "cluster_kmeans_embed",
     "mm_audio_features",
     "mm_audio_resample",

@@ -202,14 +202,81 @@ LEFT JOIN members m ON m.event_type = t.event_type AND m.user_id = u.user_id
 """
 
 
+# ── M4: count-min heavy hitters ─────────────────────────────────────────────
+
+CMS_DEPTH = 3
+CMS_WIDTH = 32
+CMS_HEAVY_FRAC = 20  # heavy hitter = estimated count >= stream_size / 20 (5%)
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — count-min sketch: per-user event counts estimated from a
+    CMS_DEPTH × CMS_WIDTH counter table (min over rows of the hashed
+    bucket's count), flagged heavy when the estimate crosses the
+    5%-of-stream threshold. CMS never underestimates (est ≥ exact), and with
+    independent row hashes the overestimate is bounded by collisions.
+
+    Scale: the sketch build is one map-side-combined groupBy over
+    depth×width = 96 counters — mergeable across partitions/days exactly
+    like a production CMS; the per-key probe joins the tiny counter table
+    broadcast. The exact count column exists only to exhibit the error
+    bound; a real 100 TB run would keep just the sketch."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    buckets = [
+        F.struct(
+            F.lit(d).alias("d"),
+            (phash_spark(F.concat(F.lit(f"cms{d}:"), F.col("user_id").cast("string"))) % CMS_WIDTH).alias("b"),
+        )
+        for d in range(CMS_DEPTH)
+    ]
+    rows = ev.select("user_id", F.explode(F.array(*buckets)).alias("x")).select(
+        "user_id", F.col("x.d").alias("d"), F.col("x.b").alias("b")
+    )
+    cms = rows.groupBy("d", "b").agg(F.count("*").alias("c"))
+    keys = rows.groupBy("user_id", "d", "b").agg(F.count("*").alias("n_key"))
+    probed = (
+        keys.join(F.broadcast(cms), ["d", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("n_est"), F.max("n_key").alias("n_exact"))
+    )
+    total = ev.count()  # stream size; at scale this is a 1-row agg, not a collect of data
+    return probed.select(
+        "user_id",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") * CMS_HEAVY_FRAC >= F.lit(total)).alias("is_heavy"),
+    )
+
+
+def _cms_sql() -> str:
+    parts = []
+    for d in range(CMS_DEPTH):
+        h = phash_sql(f"'cms{d}:' || user_id::VARCHAR")
+        parts.append(f"SELECT user_id, {d} AS d, {h} % {CMS_WIDTH} AS b FROM events")
+    bucket_rows = " UNION ALL ".join(parts)
+    return f"""
+WITH rows_ AS ({bucket_rows}),
+cms AS (SELECT d, b, count(*) AS c FROM rows_ GROUP BY d, b),
+keys_ AS (SELECT user_id, d, b, count(*) AS n_key FROM rows_ GROUP BY 1, 2, 3)
+SELECT k.user_id,
+       max(k.n_key) AS n_exact,
+       min(cms.c) AS n_est,
+       (min(cms.c) * {CMS_HEAVY_FRAC} >= (SELECT count(*) FROM events)) AS is_heavy
+FROM keys_ k JOIN cms USING (d, b)
+GROUP BY k.user_id
+"""
+
+
 QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "quantiles_event_value": quantiles_event_value,
     "sketch_bloom_membership": sketch_bloom_membership,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
 }
 
 ORACLES = {
     "sketch_kmv_distinct": KMV_SQL,
     "quantiles_event_value": QUANTILES_SQL,
     "sketch_bloom_membership": _bloom_sql(),
+    "sketch_cms_heavy_hitters": _cms_sql(),
 }

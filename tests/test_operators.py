@@ -414,3 +414,13 @@ def test_semantic_dedup_keeps_one_per_cluster(spark, sf_dir):
         # keep-lowest-id policy: the smallest vec_id in a cluster can never
         # be dropped (it is never the 'b' side of a qualifying pair)
         assert min(v for v, _ in members) in keepers
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    from australian_company_etl_spark.plans.sketches import sketch_cms_heavy_hitters
+
+    rows = sketch_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # the count-min guarantee: collisions only ever ADD
+        assert r.n_est >= r.n_exact
