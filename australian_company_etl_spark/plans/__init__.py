@@ -71,6 +71,8 @@ _VERIFY_FIRST = [
     "shard_shuffle_deterministic",
     "dedup_semantic_kmeans",
     "sketch_cms_heavy_hitters",
+    "rolling_window_24h",
+    "pivot_user_event_matrix",
     "cluster_kmeans_embed",
     "mm_audio_features",
     "mm_audio_resample",

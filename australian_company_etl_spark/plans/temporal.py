@@ -228,12 +228,82 @@ GROUP BY 1, 2, 3
 """
 
 
+# ── L6: event-time RANGE-frame rolling window ───────────────────────────────
+
+ROLL_US = 24 * 3600 * 1_000_000  # 24-hour trailing window
+
+
+def rolling_window_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 — trailing 24-hour rolling aggregate per user at every event: a
+    RANGE frame over event-time micros (not N rows — the frame follows the
+    clock, so sparse and dense activity windows are comparable). The
+    standard feature-engineering shape for fraud/engagement features.
+
+    Scale: one shuffle on user_id; the range frame is evaluated in one
+    sorted pass per partition. At 100 TB you bound the frame state by the
+    window width, never by the partition length."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select("event_id", "user_id", us.alias("us"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ROLL_US, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count("*").over(w).alias("n_24h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_24h"),
+    )
+
+
+ROLLING_SQL = f"""
+SELECT event_id, user_id, us,
+       count(*) OVER w AS n_24h,
+       round(sum(value) OVER w, 2) AS sum_24h
+FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+# ── L7: pivot (cross-tab) ───────────────────────────────────────────────────
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 — per-user event-type count matrix via `pivot` with an EXPLICIT
+    value list: with the values pinned, Spark skips the extra
+    distinct-values job and plans a single map-side-combined aggregation —
+    the only pivot form that belongs on a 100 TB table."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [t for t in PIVOT_TYPES])
+    )
+
+
+def _pivot_sql() -> str:
+    cols = ", ".join(
+        f'coalesce(sum(CASE WHEN event_type = \'{t}\' THEN 1 ELSE 0 END), 0) AS "{t}"'
+        for t in PIVOT_TYPES
+    )
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
 QUERIES = {
     "asof_join_last_error": asof_join_last_error,
     "range_join_close_pairs": range_join_close_pairs,
     "rollup_events_hourly": rollup_events_hourly,
     "cube_orders_priority": cube_orders_priority,
     "join_skew_salted": join_skew_salted,
+    "rolling_window_24h": rolling_window_24h,
+    "pivot_user_event_matrix": pivot_user_event_matrix,
 }
 
 ORACLES = {
@@ -242,4 +312,6 @@ ORACLES = {
     "rollup_events_hourly": ROLLUP_SQL,
     "cube_orders_priority": CUBE_SQL,
     "join_skew_salted": SKEW_SALTED_SQL,
+    "rolling_window_24h": ROLLING_SQL,
+    "pivot_user_event_matrix": _pivot_sql(),
 }
