@@ -48,3 +48,28 @@ def test_text_round_trip(spark, sf_dir, tmp_path):
     docs.write.mode("overwrite").text(path)
     back = spark.read.text(path)
     assert back.count() == docs.count()
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """A dataset whose later shards gained a column must read as the union
+    schema with nulls backfilled for old shards — the additive schema
+    evolution every long-lived 100 TB lake dataset goes through."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    path = str(tmp_path / "evolving")
+    v1 = docs.select("doc_id", "text").filter(F.col("doc_id") < 250)
+    v2 = (
+        docs.select("doc_id", "text", F.col("lang").alias("lang_tag"))
+        .filter(F.col("doc_id") >= 250)
+    )
+    v1.write.mode("overwrite").parquet(path + "/batch=1")
+    v2.write.mode("overwrite").parquet(path + "/batch=2")
+
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    assert {"doc_id", "text", "lang_tag", "batch"} <= set(back.columns)
+    assert back.count() == docs.count()
+    old = back.filter(F.col("batch") == 1)
+    assert old.filter(F.col("lang_tag").isNotNull()).count() == 0, (
+        "pre-evolution shards must backfill the new column with nulls"
+    )
+    new = back.filter(F.col("batch") == 2)
+    assert new.filter(F.col("lang_tag").isNull()).count() == 0
