@@ -59,7 +59,6 @@ _VERIFY_FIRST = [
     "extract_title_company",
     "filter_valid_names",
     "match_multi_scorer",
-    "quality_table_health",
     "dedup_url_canonical",
     "dedup_lines",
     "text_gopher_filters",
@@ -80,11 +79,17 @@ _VERIFY_FIRST = [
     # round-2 semantic changes needing fresh driver rows (simhash exact-recall
     # blocking, Q11 exact integer units, F4 compound blocking key, multi-scorer
     # B3/B6, fingerprint tokenize-rejoin normalization)
+    # output-changing semantic updates first (their r01 rows describe OLD
+    # outputs); q11/ngram changed plan internals but are value-identical to
+    # their r01-verified results, and table_health's driver row is the weak
+    # rows-only form (its real gate is the os.stat test) — those three can
+    # sit past the driver's 50-entry cap
     "dedup_simhash",
-    "q11_important_stock",
-    "dedup_ngram_jaccard",
     "match_fuzzy_levenshtein",
     "unify_entities",
+    "q11_important_stock",
+    "dedup_ngram_jaccard",
+    "quality_table_health",
 ]
 
 
