@@ -76,14 +76,18 @@ _VERIFY_FIRST = [
     "mm_audio_features",
     "mm_audio_resample",
     "mm_image_features",
-    # round-2 semantic changes needing fresh driver rows (simhash exact-recall
-    # blocking, Q11 exact integer units, F4 compound blocking key, multi-scorer
-    # B3/B6, fingerprint tokenize-rejoin normalization)
-    # output-changing semantic updates first (their r01 rows describe OLD
-    # outputs); q11/ngram changed plan internals but are value-identical to
-    # their r01-verified results, and table_health's driver row is the weak
-    # rows-only form (its real gate is the os.stat test) — those three can
-    # sit past the driver's 50-entry cap
+    "events_retention_cohorts",
+    "events_value_outliers",
+    "text_tfidf_topterms",
+    # ---- the 50-entry driver cap lands at events_value_outliers: the 50
+    # entries above it all lack a green CORRECTNESS row (never checked,
+    # failed the r01 hash, or new this round). text_tfidf_topterms (position
+    # 51, also new) plus everything below rotates to lead round 3 ----
+    # output-changing semantic updates whose r01 rows describe OLD outputs
+    # (simhash exact-recall blocking, multi-scorer B3/B6) — still green rows,
+    # re-verify next round; q11/ngram changed plan internals but are
+    # value-identical to their r01-verified results, and table_health's driver
+    # row is the weak rows-only form (its real gate is the os.stat test)
     "dedup_simhash",
     "match_fuzzy_levenshtein",
     "unify_entities",

@@ -225,12 +225,117 @@ GROUP BY event_type
 """
 
 
+# ── J9: weekly retention cohorts ────────────────────────────────────────────
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — weekly retention matrix: cohort = each user's first active week
+    (epoch-week by exact integer division of micros), cell (cohort_week,
+    week_offset) = distinct users from that cohort active offset weeks
+    later. The product-analytics twin of the reference's per-run ingest
+    accounting (extract_commoncrawl.py:89-110) once runs become user weeks.
+
+    Scale: the distinct (user_id, week) pre-aggregation is the skew guard —
+    raw events collapse to at most users×weeks rows with map-side combine
+    before anything else shuffles (same two-phase shape as J7). The
+    cohort min rides the user_id partitioning of that dedup, the join back
+    is user_id⋈user_id on the same key, and the final (cohort, offset)
+    aggregate is a shuffle over a ~|weeks|² -sized result. No count
+    (DISTINCT ...) ever funnels one hot key through a single reducer."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    active = (
+        ev.select("user_id", F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week"))
+        .distinct()
+    )
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+RETENTION_SQL = f"""
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM active GROUP BY user_id
+)
+SELECT cohort.cohort_week, active.week - cohort.cohort_week AS week_offset,
+       count(*) AS n_users
+FROM active JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ── J10: exact z-score outlier flags ────────────────────────────────────────
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — per-event |z| > 3 outlier flag against the event_type's own
+    value distribution, decided in EXACT integer arithmetic: with v in
+    floor-centi-units and per-type (n, s=Σv, ssq=Σv²),
+
+        |z| > 3  ⇔  (v − s/n)² > 9·(n·ssq − s²)/n²  ⇔  (n·v − s)² > 9·(n·ssq − s²)
+
+    so the flag is a pure integer comparison — no engine-specific sqrt/
+    division ulps can flip a boundary row (the anomaly-gate analog of the
+    reference's value-distribution check, run_quality_checks.py:64-78).
+    Spark computes in DECIMAL(38,0), DuckDB in HUGEINT; both exact up to
+    ~1e38, which holds to ~1e12 rows per type at these magnitudes.
+
+    Scale: one map-side-combined aggregate per event_type (5 rows) +
+    a broadcast join back — a single pass over the fact table, no window,
+    no second shuffle. Population σ (point included) by design."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    rows = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("cast(floor(value * 100) as bigint)").alias("v_centi"),
+    )
+    d38 = "decimal(38,0)"
+    stats = rows.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("v_centi").cast(d38)).alias("s"),
+        F.sum((F.col("v_centi") * F.col("v_centi")).cast(d38)).alias("ssq"),
+    )
+    j = rows.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("v_centi") - F.col("s")
+    var9 = F.lit(9).cast(d38) * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
+    return j.select(
+        "event_id",
+        "event_type",
+        "v_centi",
+        (dev * dev > var9).alias("is_outlier"),
+    )
+
+
+OUTLIERS_SQL = """
+WITH rows_ AS (
+  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS v_centi FROM events
+), stats AS (
+  SELECT event_type,
+         count(*)::HUGEINT AS n,
+         sum(v_centi)::HUGEINT AS s,
+         sum(v_centi::HUGEINT * v_centi) AS ssq
+  FROM rows_ GROUP BY event_type
+)
+SELECT r.event_id, r.event_type, r.v_centi,
+       (n * r.v_centi - s) * (n * r.v_centi - s) > 9 * (n * ssq - s * s) AS is_outlier
+FROM rows_ r JOIN stats USING (event_type)
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": events_tumbling_agg,
     "events_sessionize": events_sessionize,
     "events_scd2_history": events_scd2_history,
     "events_funnel_steps": events_funnel_steps,
     "events_distinct_skewsafe": events_distinct_skewsafe,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_value_outliers": events_value_outliers,
 }
 
 ORACLES = {
@@ -239,4 +344,6 @@ ORACLES = {
     "events_scd2_history": SCD2_SQL,
     "events_funnel_steps": FUNNEL_SQL,
     "events_distinct_skewsafe": DISTINCT_SKEWSAFE_SQL,
+    "events_retention_cohorts": RETENTION_SQL,
+    "events_value_outliers": OUTLIERS_SQL,
 }

@@ -506,6 +506,71 @@ FROM m
 """
 
 
+# ── H11: per-document TF-IDF top terms ──────────────────────────────────────
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H11 — top-5 salient terms per document by tf×(N/df), the keyword-
+    extraction twin of H6's corpus-level vocabulary (the reference scores
+    name-token overlap the same way, entity_matching.py:142-170; this is the
+    per-document generalization a curation pipeline uses for topic tagging).
+
+    The score is kept EXACT: ``score_micro = (tf * 1_000_000 * N) div df``
+    (integer division, identical in both dialects) rather than tf·ln(N/df) —
+    ln() is engine-specific ulp territory, and for ranking within one corpus
+    ln is monotone in N/df so top-k by the rational surrogate equals top-k by
+    tf-idf whenever tf ties break the same way (deterministic ties: score
+    desc, token asc). BIGINT headroom: tf·1e6·N overflows past N≈9e18/tf —
+    at trillion-doc scale move the constant into the df side or use
+    DECIMAL(38,0); noted, not needed here.
+
+    Scale: tf = one shuffle on (doc_id, tok) with map-side combine; df = one
+    shuffle on tok over the already-deduped tf rows; the tf⋈df equi-join
+    reuses the tok partitioning; top-k is one window on doc_id. N is a
+    1-row broadcast scalar. No all-corpus collect anywhere."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select("doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_docs"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df_docs",
+            F.expr("(tf * 1000000 * n_docs) div df_docs").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("tok"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+TFIDF_TOPTERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_all_sql('text')}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS df_docs FROM tf GROUP BY tok
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, tok, tf, df_docs, score_micro, rnk FROM (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df_docs,
+         (tf.tf * 1000000 * n.n_docs) // dfreq.df_docs AS score_micro,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY (tf.tf * 1000000 * n.n_docs) // dfreq.df_docs DESC,
+                                     tf.tok ASC) AS rnk
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+)
+WHERE rnk <= 5
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
@@ -517,6 +582,7 @@ QUERIES = {
     "text_contamination": text_contamination,
     "text_unigram_logprob": text_unigram_logprob,
     "text_gopher_filters": text_gopher_filters,
+    "text_tfidf_topterms": text_tfidf_topterms,
 }
 
 ORACLES = {
@@ -530,4 +596,5 @@ ORACLES = {
     "text_contamination": _contamination_sql(),
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "text_gopher_filters": _gopher_sql(),
+    "text_tfidf_topterms": TFIDF_TOPTERMS_SQL,
 }

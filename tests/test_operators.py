@@ -424,3 +424,62 @@ def test_cms_never_underestimates(spark, sf_dir):
     for r in rows:
         # the count-min guarantee: collisions only ever ADD
         assert r.n_est >= r.n_exact
+
+
+def test_retention_week0_counts_whole_cohort(spark, sf_dir):
+    from australian_company_etl_spark.plans.streaming_batch import (
+        events_retention_cohorts,
+    )
+
+    rows = events_retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict[int, dict[int, int]] = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_users
+    for offsets in by_cohort.values():
+        # every cohort member is active in their own first week, so the
+        # offset-0 cell is the cohort size and bounds every later cell
+        assert 0 in offsets
+        assert offsets[0] == max(offsets.values())
+
+
+def test_outlier_flag_matches_float_zscore(spark, sf_dir):
+    import statistics
+
+    from australian_company_etl_spark.plans.streaming_batch import (
+        events_value_outliers,
+    )
+
+    rows = events_value_outliers(spark, sf_dir).collect()
+    vals: dict[str, list[int]] = {}
+    for r in rows:
+        vals.setdefault(r.event_type, []).append(r.v_centi)
+    for r in rows:
+        vs = vals[r.event_type]
+        mu = statistics.fmean(vs)
+        sigma = statistics.pstdev(vs)
+        z = abs(r.v_centi - mu) / sigma if sigma else 0.0
+        # away from the boundary the exact-integer flag must agree with the
+        # float z-score; within 1e-6 of |z|=3 the float path itself is moot
+        if abs(z - 3.0) > 1e-6:
+            assert r.is_outlier == (z > 3.0), (r.event_type, r.v_centi, z)
+
+
+def test_tfidf_topterms_rank_and_salience(spark, sf_dir):
+    from australian_company_etl_spark.plans.text import text_tfidf_topterms
+
+    rows = text_tfidf_topterms(spark, sf_dir).collect()
+    assert rows
+    per_doc: dict[str, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in per_doc.values():
+        assert len(doc_rows) <= 5
+        doc_rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in doc_rows] == list(range(1, len(doc_rows) + 1))
+        # ranking is by the exact integer surrogate, ties broken by token
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            assert (a.score_micro, b.tok) >= (b.score_micro, a.tok)
+            # surrogate agrees with float tf-idf ordering (ln monotone in N/df)
+            assert a.tf / a.df_docs >= b.tf / b.df_docs or a.score_micro > b.score_micro
