@@ -101,3 +101,94 @@ def verify_manifest(spark, path: str) -> dict:
         if expected.get(k) != actual.get(k)
     )
     return {"ok": not mismatches, "mismatches": mismatches}
+
+
+def compact_dataset(spark, path: str, target_bytes: int = 128 << 20) -> dict:
+    """Small-file compaction for a manifest-published dataset — the lake
+    analog of the reference's VACUUM maintenance step
+    (run_quality_checks.py:100-116), completing the C5 health report with
+    the repair action it recommends.
+
+    Rewrites every partition into ceil(partition_bytes / target_bytes)
+    files of ~target size, then atomically swaps directories ONLY after
+    `verify_manifest` proves the rewrite preserved every partition's row
+    count and content hash (so a failed/partial compaction can never
+    replace good data).
+
+    Scale posture: file count per partition comes from the manifest's exact
+    row counts (no driver listing of data rows), and rows are routed by
+    repartition on (partition cols, salt) where salt = crc32(row) mod
+    n_files — a 10-billion-row partition becomes n_files balanced writer
+    tasks instead of one straggler, and output file count is bounded by
+    construction (hash collisions between salt groups of one partition can
+    only merge files, never fragment), not a maxRecordsPerFile heuristic.
+    """
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    part_cols = manifest["partition_by"]
+
+    files_before = glob.glob(os.path.join(path, *["*"] * len(part_cols), "*.parquet"))
+    bytes_total = sum(os.path.getsize(p) for p in files_before)
+    rows_total = sum(p["rows"] for p in manifest["partitions"].values()) or 1
+    bytes_per_row = max(1.0, bytes_total / rows_total)
+    rows_per_file = max(1, int(target_bytes / bytes_per_row))
+
+    # exact per-partition target file counts from the manifest row counts
+    plan_rows = [
+        (*key.split("|"), -(-stats["rows"] // rows_per_file))
+        for key, stats in manifest["partitions"].items()
+    ]
+    plan = spark.createDataFrame(
+        plan_rows, ", ".join(f"{c} string" for c in part_cols) + ", n_files long"
+    )
+
+    df = spark.read.parquet(path)
+    # partition columns read back typed; join on their string form to match
+    # the manifest's key encoding
+    join_on = [df[c].cast("string") == plan[c] for c in part_cols]
+    salt = F.pmod(
+        F.crc32(F.concat_ws("\x1f", *[df[c].cast("string") for c in sorted(df.columns)])),
+        F.col("n_files"),
+    ).alias("_salt")
+    routed = df.join(F.broadcast(plan), join_on).select(
+        *[df[c] for c in df.columns], salt
+    )
+
+    tmp = path.rstrip("/") + ".compacting"
+    # explicit partition count: the planned total file count. Without it,
+    # AQE coalesces the shuffle (it only sees bytes, not the files-per-
+    # directory contract) and a coalesced task writes one oversized file
+    # per partition dir it holds — exactly the layout being repaired.
+    total_files = int(sum(r[-1] for r in plan_rows))
+    (
+        routed.repartition(total_files, *[F.col(c) for c in part_cols], F.col("_salt"))
+        .drop("_salt")
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    shutil.copy(os.path.join(path, MANIFEST_NAME), os.path.join(tmp, MANIFEST_NAME))
+
+    check = verify_manifest(spark, tmp)
+    if not check["ok"]:
+        shutil.rmtree(tmp)
+        raise RuntimeError(f"compaction dropped data, aborted: {check['mismatches']}")
+
+    old = path.rstrip("/") + ".precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after = glob.glob(os.path.join(path, *["*"] * len(part_cols), "*.parquet"))
+    return {
+        "files_before": len(files_before),
+        "files_after": len(files_after),
+        "rows_per_file": rows_per_file,
+        "ok": True,
+    }

@@ -62,3 +62,58 @@ def test_manifest_detects_lost_partition(spark, sf_dir, tmp_path):
     res = verify_manifest(spark, path)
     assert not res["ok"]
     assert len(res["mismatches"]) == 1
+
+
+def test_compaction_merges_small_files_and_preserves_content(spark, sf_dir, tmp_path):
+    import glob
+
+    from australian_company_etl_spark.sources.export import (
+        compact_dataset,
+        export_with_manifest,
+        verify_manifest,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    path = str(tmp_path / "docs_release")
+    # fragment: 12 writer tasks per partition → many tiny files
+    export_with_manifest(docs.repartition(12), path, ["source"])
+    n_parts = len(glob.glob(f"{path}/source=*"))
+    frag = glob.glob(f"{path}/source=*/*.parquet")
+    assert len(frag) > 2 * n_parts
+
+    res = compact_dataset(spark, path, target_bytes=128 << 20)
+    assert res["ok"]
+    assert res["files_before"] == len(frag)
+    # every partition fits one target file → exactly one file per partition
+    assert res["files_after"] == n_parts
+    # content survived byte-for-byte (manifest hash) and the original
+    # manifest still verifies against the rewritten layout
+    assert verify_manifest(spark, path)["ok"]
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+
+
+def test_compaction_splits_large_partitions_evenly(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    from australian_company_etl_spark.sources.export import (
+        compact_dataset,
+        export_with_manifest,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    path = str(tmp_path / "docs_release")
+    export_with_manifest(docs.repartition(12), path, ["source"])
+    # tiny target → each partition must split into several balanced files
+    res = compact_dataset(spark, path, target_bytes=2 << 10)
+    n_parts = len(glob.glob(f"{path}/source=*"))
+    assert res["files_after"] > n_parts
+    # balance: within each partition no file dwarfs the rest — salt routing
+    # is crc32-uniform; a hash collision can merge salt groups (≈2× avg),
+    # never concentrate the whole partition in one file
+    for pdir in glob.glob(f"{path}/source=*"):
+        sizes = sorted(os.path.getsize(f) for f in glob.glob(f"{pdir}/*.parquet"))
+        if len(sizes) > 1:
+            assert sizes[-1] < 4 * (sum(sizes) / len(sizes))
