@@ -286,3 +286,59 @@ def run_upsert_stream_to_parquet(
     q = writer.start()
     q.awaitTermination()
     return n_batches
+
+
+# ── stream-stream interval join: click → purchase attribution ───────────────
+# The last big Structured Streaming surface: joining two live streams.
+# Semantics mirror the batch range join (plans/temporal.py L2) and funnel
+# (J6): every purchase attributed to same-user clicks in the preceding
+# hour. Both sides carry watermarks and the join predicate carries an
+# event-time interval — that pair is what lets Spark EVICT join state
+# (clicks older than watermark + 1h can never match again and are
+# dropped). An unwatermarked stream-stream join buffers both streams
+# forever, which is the classic 100 TB state blow-up.
+
+
+def click_purchase_join_stream(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    c = clicks.select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    ).withWatermark("click_ts", "2 hours")
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", "2 hours")
+    joined = c.join(
+        p,
+        (c.user_id == p.p_user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr("interval 1 hour")),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+def run_click_purchase_join_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "cpjoin"
+) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    out = click_purchase_join_stream(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

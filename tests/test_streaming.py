@@ -256,3 +256,42 @@ def test_streaming_upsert_checkpoint_restart_skips_processed(spark, sf_dir, tmp_
     out = spark.read.parquet(target)
     assert out.count() == docs.count()
     assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Watermarked click→purchase interval join must equal the plain batch
+    join over the same source (availableNow drains everything, so no rows
+    are watermark-dropped at this horizon)."""
+    from australian_company_etl_spark.streaming.pipeline import (
+        run_click_purchase_join_to_memory,
+    )
+
+    stream_res = run_click_purchase_join_to_memory(spark, sf_dir, name="t_cpjoin")
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = (
+        c.join(
+            p,
+            (c.user_id == p.p_user_id)
+            & (p.purchase_ts >= c.click_ts)
+            & (p.purchase_ts <= c.click_ts + F.expr("interval 1 hour")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+    )
+    assert len(_rows(stream_res)) > 0
+    assert _rows(stream_res) == _rows(batch)
