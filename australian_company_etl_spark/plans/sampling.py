@@ -24,7 +24,7 @@ stable key, not by run order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from australian_company_etl_spark.functions.textfns import phash_sql, phash_spark
@@ -258,6 +258,73 @@ FROM documents
 """
 
 
+
+
+# ── N7: weighted priority sampling ──────────────────────────────────────────
+
+PRIORITY_K = 16
+TWO60 = 1 << 60
+
+
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7 — priority sampling (Duffield, Lund & Thorup 2007): a
+    weight-proportional without-replacement sample of K docs per source,
+    weight = n_chars (long docs proportionally likelier — the "sample by
+    token mass, not by document count" primitive corpus audits need).
+
+    Priority q = w / u with u uniform in (0,1], kept top-K per stratum.
+    Determinism and cross-engine exactness: u comes from the portable
+    60-bit hash, and q is the exact integer quotient
+    ``(w · 2^60) div max(h+1, w div 8 + 1)`` — the divisor clamp keeps the
+    quotient < 2^63 (Spark's `div` yields BIGINT and silently wraps past
+    it; the clamp binds with probability ~2^-50 and is applied identically
+    in both dialects, so parity is exact even when it does). Numerator in
+    DECIMAL(38,0)/HUGEINT. Ties (astronomically unlikely) break by doc_id.
+
+    Scale: no shuffle for the priority computation (pure row expressions);
+    the per-source top-K runs through the same WindowGroupLimit rank-filter
+    pushdown as M1's KMV — each map task pre-prunes to its local top-K, so
+    the shuffle carries O(K · tasks) rows per stratum, not the corpus."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    h = phash_spark(F.col("doc_id").cast("string"))
+    prio = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        h.alias("h"),
+    ).withColumn(
+        "priority",
+        F.expr(
+            f"cast(n_chars as decimal(38,0)) * {TWO60} div greatest(h + 1, n_chars div 8 + 1)"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        prio.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PRIORITY_K)
+        .select("source", "rnk", "doc_id", "n_chars", "priority")
+    )
+
+
+def _priority_sql() -> str:
+    h = phash_sql("doc_id::VARCHAR")
+    return f"""
+WITH prio AS (
+  SELECT doc_id, source, n_chars,
+         (n_chars::HUGEINT * {TWO60})
+           // greatest({h} + 1, n_chars // 8 + 1) AS priority
+  FROM documents
+)
+SELECT source, rnk, doc_id, n_chars, priority FROM (
+  SELECT source, doc_id, n_chars, priority::BIGINT AS priority,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY priority DESC, doc_id ASC) AS rnk
+  FROM prio
+)
+WHERE rnk <= {PRIORITY_K}
+"""
+
+
 QUERIES = {
     "sample_stratified_hash": sample_stratified_hash,
     "split_train_holdout": split_train_holdout,
@@ -265,6 +332,7 @@ QUERIES = {
     "mix_corpus_weighted": mix_corpus_weighted,
     "chunk_documents": chunk_documents,
     "shard_shuffle_deterministic": shard_shuffle_deterministic,
+    "sample_weighted_priority": sample_weighted_priority,
 }
 
 ORACLES = {
@@ -274,4 +342,5 @@ ORACLES = {
     "mix_corpus_weighted": _mix_sql(),
     "chunk_documents": _chunk_sql(),
     "shard_shuffle_deterministic": SHARD_SHUFFLE_SQL,
+    "sample_weighted_priority": _priority_sql(),
 }

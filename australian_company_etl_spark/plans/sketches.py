@@ -267,11 +267,125 @@ GROUP BY k.user_id
 """
 
 
+
+
+# ── M5: portable HyperLogLog ────────────────────────────────────────────────
+
+HLL_M = 64  # registers (p = 6)
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007)
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — HyperLogLog distinct-user estimate per event_type, made fully
+    portable/deterministic (Flajolet et al. 2007; production twin:
+    `approx_count_distinct`, whose register layout is engine-private and
+    therefore un-oracle-able).
+
+    Register build: bucket = h mod 64 over the portable 60-bit hash; rho =
+    leading zeros of the remaining 54 bits + 1 = 55 − bitlength(h div 64),
+    with bitlength computed EXACTLY via length(bin(x)) in both engines —
+    no float log2, no ulp risk at power-of-two boundaries. The harmonic
+    mean is likewise exact: Z = Σ 2^(55−M_j) summed as BIGINT (each term
+    ≤ 2^54, 64 terms < 2^61), so the only float ops are one multiply-divide
+    at the end plus the small-range linear-counting branch, identical
+    expressions in both dialects, rounded to 4dp.
+
+    Scale: duplicates never shuffle — the (event_type, bucket) max(rho)
+    aggregation combines map-side to ≤ 64 rows per group, the same
+    mergeable-register shape as a production HLL aggregator (union of two
+    sketches = elementwise max), and the estimate is a 64-row-per-group
+    reduction. This is why HLL beats exact distinct at 100 TB: state is
+    64 registers per group, not |D| rows.
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hashed = ev.select(
+        "event_type", phash_spark(F.col("user_id").cast("string")).alias("h")
+    )
+    buckets = hashed.select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("r"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("r") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.bin(F.col("r")))
+        ),
+    )
+    regs = buckets.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_reg"))
+    agg = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m_reg)")).alias("z_present"),
+        F.count("*").alias("n_present"),
+    )
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_exact"))
+    )
+    z = F.col("z_present") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << 55)
+    raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M)
+        * F.pow(F.lit(2.0), F.lit(55))
+        / z.cast("double")
+    )
+    v = F.lit(HLL_M) - F.col("n_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_distinct_exact",
+        "n_present",
+        F.round(est, 4).alias("hll_estimate"),
+    )
+
+
+def _hll_sql() -> str:
+    h = phash_sql("user_id::VARCHAR")
+    return f"""
+WITH buckets AS (
+  SELECT event_type,
+         {h} % {HLL_M} AS bucket,
+         {h} // {HLL_M} AS r
+  FROM events
+), rho_ AS (
+  SELECT event_type, bucket,
+         CASE WHEN r = 0 THEN 55 ELSE 55 - length(bin(r)) END AS rho
+  FROM buckets
+), regs AS (
+  SELECT event_type, bucket, max(rho) AS m_reg FROM rho_ GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         sum(1::BIGINT << (55 - m_reg))::BIGINT AS z_present,
+         count(*) AS n_present
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_distinct_exact
+  FROM events GROUP BY 1
+)
+SELECT a.event_type,
+       e.n_distinct_exact,
+       a.n_present,
+       round(
+         CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M}) * pow(2.0, 55)
+                   / (a.z_present + ({HLL_M} - a.n_present) * (1::BIGINT << 55))::DOUBLE
+                   <= {2.5 * HLL_M}
+               AND ({HLL_M} - a.n_present) > 0
+              THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - a.n_present)::DOUBLE)
+              ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M}) * pow(2.0, 55)
+                   / (a.z_present + ({HLL_M} - a.n_present) * (1::BIGINT << 55))::DOUBLE
+         END, 4) AS hll_estimate
+FROM agg a JOIN exact e USING (event_type)
+"""
+
+
 QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "quantiles_event_value": quantiles_event_value,
     "sketch_bloom_membership": sketch_bloom_membership,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "sketch_hll_distinct": sketch_hll_distinct,
 }
 
 ORACLES = {
@@ -279,4 +393,5 @@ ORACLES = {
     "quantiles_event_value": QUANTILES_SQL,
     "sketch_bloom_membership": _bloom_sql(),
     "sketch_cms_heavy_hitters": _cms_sql(),
+    "sketch_hll_distinct": _hll_sql(),
 }

@@ -483,3 +483,44 @@ def test_tfidf_topterms_rank_and_salience(spark, sf_dir):
             assert (a.score_micro, b.tok) >= (b.score_micro, a.tok)
             # surrogate agrees with float tf-idf ordering (ln monotone in N/df)
             assert a.tf / a.df_docs >= b.tf / b.df_docs or a.score_micro > b.score_micro
+
+
+def test_hll_registers_and_error_bound(spark, sf_dir):
+    from australian_company_etl_spark.plans.sketches import sketch_hll_distinct
+
+    rows = sketch_hll_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_present <= 64
+        # m=64 gives ~13% standard error; 3 sigma as the invariant
+        rel = abs(r.hll_estimate - r.n_distinct_exact) / r.n_distinct_exact
+        assert rel < 0.4, (r.event_type, r.hll_estimate, r.n_distinct_exact)
+
+
+def test_priority_sample_is_weight_biased_and_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.plans.sampling import (
+        PRIORITY_K,
+        sample_weighted_priority,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    out = sample_weighted_priority(spark, sf_dir)
+    rows = out.collect()
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_per_src = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, srows in per_src.items():
+        assert len(srows) == min(PRIORITY_K, n_per_src[src])
+        ranks = sorted(r.rnk for r in srows)
+        assert ranks == list(range(1, len(srows) + 1))
+    # weight-proportional: sampled docs are longer than the corpus average
+    mean_sample = sum(r.n_chars for r in rows) / len(rows)
+    mean_corpus = docs.agg(F.avg("n_chars")).first()[0]
+    assert mean_sample > mean_corpus
+    # deterministic: a second build yields the identical sample
+    again = sorted((r.source, r.rnk, r.doc_id) for r in sample_weighted_priority(spark, sf_dir).collect())
+    assert again == sorted((r.source, r.rnk, r.doc_id) for r in rows)
