@@ -296,6 +296,66 @@ def _pivot_sql() -> str:
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
 
 
+
+
+# ── L8: incremental rollup via mergeable partial aggregates ─────────────────
+
+
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8 — materialized-view maintenance dataflow: per-(day, event_type)
+    PARTIAL aggregates (count, sum in exact centi-units, min/max) merged
+    into per-type totals WITHOUT touching raw rows again — the two-level
+    shape where adding a day to a 100 TB rollup recomputes one day's
+    partial and re-merges ~365 tiny rows, instead of rescanning history.
+
+    Everything materializable must be algebraic (count/sum merge by sum,
+    min/max by min/max; avg only as sum/count at merge time) — the same
+    constraint a production incremental MV imposes. The oracle computes
+    the totals DIRECTLY from raw events, so the parity gate is the real
+    theorem: merge(partials(raw)) == agg(raw), i.e. the partials lose
+    nothing. Sums ride exact integers (floor-centi-units) so re-
+    aggregation order can't flip a float ulp between the two paths.
+
+    Scale: pass 1 is one map-side-combined shuffle to |days × types| rows;
+    pass 2 merges that tiny frame. The partial frame IS the incremental
+    state you'd persist (and what J8's foreachBatch upsert would maintain
+    per micro-batch)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    partials = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.expr("cast(floor(value * 100) as bigint)").alias("v_centi"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("p_n"),
+            F.sum("v_centi").alias("p_sum"),
+            F.min("v_centi").alias("p_min"),
+            F.max("v_centi").alias("p_max"),
+        )
+    )
+    return partials.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("p_n").alias("n_events"),
+        F.sum("p_sum").alias("sum_centi"),
+        F.min("p_min").alias("min_centi"),
+        F.max("p_max").alias("max_centi"),
+    )
+
+
+INCR_ROLLUP_SQL = """
+SELECT event_type,
+       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_centi,
+       min(CAST(floor(value * 100) AS BIGINT)) AS min_centi,
+       max(CAST(floor(value * 100) AS BIGINT)) AS max_centi
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "asof_join_last_error": asof_join_last_error,
     "range_join_close_pairs": range_join_close_pairs,
@@ -304,6 +364,7 @@ QUERIES = {
     "join_skew_salted": join_skew_salted,
     "rolling_window_24h": rolling_window_24h,
     "pivot_user_event_matrix": pivot_user_event_matrix,
+    "incremental_rollup_merge": incremental_rollup_merge,
 }
 
 ORACLES = {
@@ -314,4 +375,5 @@ ORACLES = {
     "join_skew_salted": SKEW_SALTED_SQL,
     "rolling_window_24h": ROLLING_SQL,
     "pivot_user_event_matrix": _pivot_sql(),
+    "incremental_rollup_merge": INCR_ROLLUP_SQL,
 }

@@ -571,6 +571,43 @@ WHERE rnk <= 5
 """
 
 
+
+
+# ── H12: inverted index build ───────────────────────────────────────────────
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12 — token → sorted posting list (distinct doc_ids) + document
+    frequency: the search-index build pass (and the exact structure a
+    contamination/attribution lookup service serves). Postings are sorted
+    arrays so the output is canonical — no collect_list order dependence
+    survives into the result.
+
+    Scale: one shuffle on tok after the per-doc distinct (map-side
+    combine collapses each doc's repeats before anything moves). A real
+    web-scale index would shard postings by (tok, bucket) past ~1e6 docs
+    per token to bound a stop-word row; at that point df stays exact and
+    the posting array becomes segment files — same plan shape, noted not
+    needed at gate scale."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok")
+    ).distinct()
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("df_docs"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+INVERTED_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({tokens_all_sql('text')}) AS tok FROM documents
+)
+SELECT tok, count(*) AS df_docs, list(doc_id ORDER BY doc_id) AS postings
+FROM toks GROUP BY tok
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
@@ -583,6 +620,7 @@ QUERIES = {
     "text_unigram_logprob": text_unigram_logprob,
     "text_gopher_filters": text_gopher_filters,
     "text_tfidf_topterms": text_tfidf_topterms,
+    "text_inverted_index": text_inverted_index,
 }
 
 ORACLES = {
@@ -597,4 +635,5 @@ ORACLES = {
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "text_gopher_filters": _gopher_sql(),
     "text_tfidf_topterms": TFIDF_TOPTERMS_SQL,
+    "text_inverted_index": INVERTED_INDEX_SQL,
 }
