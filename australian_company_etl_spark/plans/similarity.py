@@ -26,6 +26,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.textfns import phash_sql
 from australian_company_etl_spark.sources.registry import load_tables
 
 N_QUERIES = 10  # query set: vec_id < 10
@@ -556,6 +557,80 @@ SELECT q_id, n_id, adist, rank FROM (
 """
 
 
+
+
+# ── G7: random-projection (Johnson-Lindenstrauss) reduction ─────────────────
+# 64-d → 16-d with a ±1 sign matrix (Achlioptas 2003: database-friendly
+# random projections — sign entries preserve pairwise distances in
+# expectation like Gaussians, but the projection is pure integer
+# arithmetic). The matrix entry s_ij is the parity of the portable hash of
+# "rp:i:j", so Spark, DuckDB, AND the driver-side Python that builds the
+# broadcast dim all derive the identical matrix from first principles —
+# nothing is shipped, nothing is random at runtime.
+
+RP_IN_DIM = 64
+RP_OUT_DIM = 16
+_RP_SCALE = 1_000_000
+
+
+def _rp_sign_py(i: int, j: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — exact integer JL projection: y_j = Σ_i s_ij · q_i over
+    micro-quantized components (|y| ≤ 64·2·10^6·max|x| ≪ 2^63, no
+    overflow, no float summation order anywhere).
+
+    Scale: the sign matrix is a 1024-row broadcast dim (built locally,
+    validated against the in-SQL hash by the oracle gate); the projection
+    is posexplode → broadcast equi-join → one map-side-combined (vec_id, j)
+    aggregation — a single shuffle of 16 rows per vector, embarrassingly
+    parallel in N. This is the memory lever BEFORE the ANN stage: 16
+    bigints/vector instead of 64 floats feeding G1/G2/G5."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    signs = spark.createDataFrame(
+        [(i, j, _rp_sign_py(i, j)) for i in range(RP_IN_DIM) for j in range(RP_OUT_DIM)],
+        "i int, j int, s long",
+    )
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * _RP_SCALE).cast("bigint"),
+            )
+        ).alias("i", "qv"),
+    )
+    return (
+        q.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("qv") * F.col("s")).alias("y_micro"))
+    )
+
+
+def _rp_sql() -> str:
+    sign = phash_sql("'rp:' || i::VARCHAR || ':' || j::VARCHAR")
+    return f"""
+WITH dims AS (SELECT unnest(range({RP_IN_DIM}))::INT AS i),
+outs AS (SELECT unnest(range({RP_OUT_DIM}))::INT AS j),
+signs AS (
+  SELECT i, j, CASE WHEN {sign} % 2 = 0 THEN 1::BIGINT ELSE -1::BIGINT END AS s
+  FROM dims, outs
+),
+q AS (
+  SELECT vec_id, i, CAST(round(embedding[i + 1]::DOUBLE * {_RP_SCALE}) AS BIGINT) AS qv
+  FROM embeddings, dims
+)
+SELECT q.vec_id, signs.j, CAST(sum(q.qv * signs.s) AS BIGINT) AS y_micro
+FROM q JOIN signs USING (i)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -563,6 +638,7 @@ QUERIES = {
     "cluster_kmeans_embed": cluster_kmeans_embed,
     "ann_pq_topk": ann_pq_topk,
     "dedup_semantic_kmeans": dedup_semantic_kmeans,
+    "embed_random_projection": embed_random_projection,
 }
 
 ORACLES = {
@@ -572,4 +648,5 @@ ORACLES = {
     "cluster_kmeans_embed": _kmeans_sql(),
     "ann_pq_topk": _pq_sql(),
     "dedup_semantic_kmeans": _semantic_sql(),
+    "embed_random_projection": _rp_sql(),
 }

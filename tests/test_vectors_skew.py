@@ -56,3 +56,38 @@ def test_salted_broadcast_join_is_broadcast(spark, sf_dir):
     out = salted_broadcast_join(t["orders"], dim, on=["o_custkey"])
     # the fact side must not shuffle: broadcast hash join in the plan
     assert "BroadcastHashJoin" in out._jdf.queryExecution().sparkPlan().toString()
+
+
+def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
+    """JL property: for a sign matrix, E[y_j^2] = ||x||^2 per output dim,
+    so mean_j(y_j^2) / ||q||^2 concentrates near 1 (loose 3x bound at
+    d'=16); and the projection must be exactly reproducible."""
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.plans.similarity import (
+        _RP_SCALE,
+        embed_random_projection,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    out = embed_random_projection(spark, sf_dir)
+    norms_proj = out.groupBy("vec_id").agg(
+        F.avg(F.col("y_micro") * F.col("y_micro")).alias("mean_y2")
+    )
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q2 = F.aggregate(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * _RP_SCALE).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x * x,
+    )
+    norms_in = emb.select("vec_id", q2.alias("q2"))
+    joined = norms_proj.join(norms_in, "vec_id").collect()
+    assert joined
+    ratios = [r.mean_y2 / r.q2 for r in joined if r.q2 > 0]
+    # per-vector: loose concentration bound
+    assert all(0.2 < x < 5.0 for x in ratios)
+    # corpus mean tightens hard around 1
+    assert 0.7 < sum(ratios) / len(ratios) < 1.3
