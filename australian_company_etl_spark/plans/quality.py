@@ -192,12 +192,94 @@ def quality_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name", "metric")
 
 
+
+
+# ── C7: exact column profile (ANALYZE TABLE statistics) ─────────────────────
+
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "dbl"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _str_spark(col, kind: str):
+    """Stringify an already-aggregated native min/max (NEVER aggregate the
+    string form — lexicographic min('99993.10') beats min('100279.40'))."""
+    if kind == "dbl":
+        return F.round(col, 2).cast("decimal(18,2)").cast("string")
+    if kind == "ts":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    return col.cast("string")
+
+
+def _str_sql(expr: str, kind: str) -> str:
+    if kind == "dbl":
+        return f"round({expr}, 2)::DECIMAL(18,2)::VARCHAR"
+    if kind == "ts":
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+    return f"({expr})::VARCHAR"
+
+
+def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — the ANALYZE TABLE statistics pass over orders: per column, row
+    count, null count, exact distinct count, stringified min/max (doubles
+    via DECIMAL(18,2) and timestamps via a fixed format so the rendering
+    is engine-identical). These are the stats a cost-based optimizer (or a
+    data catalog) keeps per column.
+
+    Scale: one table scan. The multi-column count(DISTINCT) pairs are
+    planned through Spark's expand rewrite (rows × |cols|, combined
+    map-side); at 100 TB you swap the exact distincts for M5's HLL
+    registers with the same output shape — the scan/merge topology is
+    unchanged. Min/max/null partials are algebraic and ride the same
+    pass, exactly like L8's mergeable-partial contract."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            _str_spark(F.min(F.col(c)), kind).alias(f"{c}__mn"),
+            _str_spark(F.max(F.col(c)), kind).alias(f"{c}__mx"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__nd, {c}__mn, {c}__mx"
+        for c, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_s, max_s)"
+        )
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" {_str_sql(f'min({c})', kind)} AS min_s,"
+            f" {_str_sql(f'max({c})', kind)} AS max_s FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "quality_row_counts": quality_row_counts,
     "quality_table_health": quality_table_health,
     "quality_null_counts": quality_null_counts,
     "quality_dup_keys": quality_dup_keys,
     "quality_conf_distribution": quality_conf_distribution,
+    "quality_column_profile": quality_column_profile,
 }
 
 ORACLES = {
@@ -205,4 +287,5 @@ ORACLES = {
     "quality_null_counts": NULL_COUNTS_SQL,
     "quality_dup_keys": DUP_KEYS_SQL,
     "quality_conf_distribution": CONF_DIST_SQL,
+    "quality_column_profile": _profile_sql(),
 }
