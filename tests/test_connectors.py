@@ -73,3 +73,44 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
     )
     new = back.filter(F.col("batch") == 2)
     assert new.filter(F.col("lang_tag").isNull()).count() == 0
+
+
+def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    from australian_company_etl_spark.sources.ingest import read_json_quarantine
+
+    path = str(tmp_path / "feed.jsonl")
+    lines = [
+        '{"id": 1, "name": "acme"}',
+        'this is not json at all',
+        '{"id": 2, "name": "widgetco"}',
+        '{"id": "NOT_A_NUMBER", "name": "badtype"}',
+        '{"id": 3, "name": "third"}',
+        '{broken json',
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    good, bad = read_json_quarantine(spark, path, "id bigint, name string")
+    assert sorted((r.id, r.name) for r in good.collect()) == [
+        (1, "acme"), (2, "widgetco"), (3, "third"),
+    ] or sorted((r.id, r.name) for r in good.collect()) == sorted(
+        [(1, "acme"), (2, "widgetco"), (3, "third")]
+    )
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert len(bad_lines) == 3
+    assert "{broken json" in bad_lines
+    assert "this is not json at all" in bad_lines
+    # the bad-type line is preserved verbatim for replay
+    assert any("NOT_A_NUMBER" in b for b in bad_lines)
+    # good frame carries only schema columns
+    assert good.columns == ["id", "name"]
+
+
+def test_csv_quarantine_catches_bad_types(spark, tmp_path):
+    from australian_company_etl_spark.sources.ingest import read_csv_quarantine
+
+    path = str(tmp_path / "feed.csv")
+    with open(path, "w") as f:
+        f.write("id,qty\n1,10\nnope,20\n3,thirty\n4,40\n")
+    good, bad = read_csv_quarantine(spark, path, "id bigint, qty bigint")
+    assert sorted((r.id, r.qty) for r in good.collect()) == [(1, 10), (4, 40)]
+    assert sorted(r.raw_line for r in bad.collect()) == ["3,thirty", "nope,20"]
