@@ -85,6 +85,7 @@ _VERIFY_FIRST = [
     "text_inverted_index",
     "embed_random_projection",
     "quality_column_profile",
+    "rank_neardup_pagerank",
     # ---- the 50-entry driver cap lands at events_value_outliers: the 50
     # entries above it all lack a green CORRECTNESS row (never checked,
     # failed the r01 hash, or new this round). text_tfidf_topterms (position

@@ -711,6 +711,88 @@ GROUP BY doc_id
 """
 
 
+
+
+# ── F9: exact fixed-point PageRank over the near-dup graph ──────────────────
+
+PR_ITERS = 3
+PR_ONE = 1_000_000  # fixed-point unit (ppm)
+PR_DAMP = 850_000  # 0.85 in ppm
+
+
+def rank_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — PageRank centrality over the F2 near-dup graph: inside a
+    duplicate cluster the highest-rank document is the most-connected
+    canonical candidate (a smarter keep policy than min-doc_id when near-
+    dup families chain A~B~C with A,C dissimilar).
+
+    Exact fixed-point arithmetic so three Lloyd-style iterations land
+    bit-identically in both engines: ranks live in ppm BIGINTs,
+    contribution = pr div degree (integer floor), update =
+    150_000 + (850_000 · Σcontrib) div 1_000_000 — no float division
+    anywhere, so no summation-order or ulp divergence. This is the
+    unnormalized random-surfer variant over edge-connected nodes only
+    (isolated docs have no rank mass to receive; documented semantics).
+    Headroom: 850_000·Σcontrib < 2^63 up to ~1e7 ranked nodes; past that,
+    DECIMAL(38,0)/HUGEINT — same expressions.
+
+    Scale: the edge list is built once and persisted; each iteration is
+    one equi-join shuffle on src + a map-side-combined sum on dst — the
+    canonical distributed-pagerank shape (same loop posture as F6:
+    checkpoint lineage periodically at 100 TB)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = persist_tracked(
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    pr = deg.select(F.col("src").alias("node"), F.lit(PR_ONE).cast("bigint").alias("pr"))
+    for _ in range(PR_ITERS):
+        state = pr.join(deg, pr.node == deg.src).select(
+            "node", F.expr("pr div d").alias("contrib")
+        )
+        pr = (
+            edges.join(state, edges.src == state.node)
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"{PR_ONE - PR_DAMP} + ({PR_DAMP} * s) div {PR_ONE}").alias("pr"),
+            )
+        )
+    return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pr_ppm"))
+
+
+def _pagerank_sql() -> str:
+    iters = []
+    prev = "pr0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""pr{i} AS (
+  SELECT e.dst AS node,
+         {PR_ONE - PR_DAMP} + ({PR_DAMP} * sum(p.pr // g.d)) // {PR_ONE} AS pr
+  FROM edges e JOIN {prev} p ON e.src = p.node JOIN deg g ON e.src = g.src
+  GROUP BY e.dst
+)"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH pairs AS ({_minhash_pairs_body()}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+pr0 AS (SELECT src AS node, {PR_ONE}::BIGINT AS pr FROM deg),
+{chain}
+SELECT node AS doc_id, CAST(pr AS BIGINT) AS pr_ppm FROM {prev}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_url_canonical": dedup_url_canonical,
@@ -720,6 +802,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_cc": dedup_cluster_cc,
+    "rank_neardup_pagerank": rank_neardup_pagerank,
 }
 
 ORACLES = {
@@ -730,5 +813,6 @@ ORACLES = {
     "dedup_ngram_jaccard": _ngram_sql(),
     "dedup_embedding_cosine": _emb_cosine_sql(),
     "dedup_cluster_cc": _cluster_cc_sql(),
+    "rank_neardup_pagerank": _pagerank_sql(),
     "dedup_lines": _dedup_lines_sql(),
 }

@@ -524,3 +524,31 @@ def test_priority_sample_is_weight_biased_and_bounded(spark, sf_dir):
     # deterministic: a second build yields the identical sample
     again = sorted((r.source, r.rnk, r.doc_id) for r in sample_weighted_priority(spark, sf_dir).collect())
     assert again == sorted((r.source, r.rnk, r.doc_id) for r in rows)
+
+
+def test_pagerank_matches_independent_python_reimplementation(spark, sf_dir):
+    """Exact fixed-point PageRank must equal a from-scratch driver-side
+    reimplementation over the same edge list — catches any silent
+    integer/float divergence in the distributed update."""
+    from australian_company_etl_spark.plans.dedup import (
+        PR_DAMP,
+        PR_ITERS,
+        PR_ONE,
+        dedup_minhash_lsh,
+        rank_neardup_pagerank,
+    )
+
+    pairs = [(r.doc_id_a, r.doc_id_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()]
+    edges = pairs + [(b, a) for a, b in pairs]
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {n: PR_ONE for n in deg}
+    for _ in range(PR_ITERS):
+        acc: dict[int, int] = {}
+        for s, d in edges:
+            acc[d] = acc.get(d, 0) + pr[s] // deg[s]
+        pr = {n: (PR_ONE - PR_DAMP) + (PR_DAMP * s_) // PR_ONE for n, s_ in acc.items()}
+    got = {r.doc_id: r.pr_ppm for r in rank_neardup_pagerank(spark, sf_dir).collect()}
+    assert got == pr
+    assert all(v >= PR_ONE - PR_DAMP for v in got.values())
