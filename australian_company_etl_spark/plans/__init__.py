@@ -86,6 +86,7 @@ _VERIFY_FIRST = [
     "embed_random_projection",
     "quality_column_profile",
     "rank_neardup_pagerank",
+    "events_resample_ffill",
     # ---- the 50-entry driver cap lands at events_value_outliers: the 50
     # entries above it all lack a green CORRECTNESS row (never checked,
     # failed the r01 hash, or new this round). text_tfidf_topterms (position

@@ -356,6 +356,99 @@ GROUP BY event_type
 """
 
 
+
+
+# ── L9: hourly resample + forward fill ──────────────────────────────────────
+
+
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 — regularize an irregular event stream onto an hourly grid, per
+    user, from their first to their last active hour: gap hours appear
+    with n_events = 0 and carry the last observed value forward (the
+    time-series feature-engineering transform: models want a dense grid,
+    sensors/users emit sparsely).
+
+    The carried value is in exact centi-units and the per-hour "observed"
+    value is the LAST event of the hour by (ts, event_id) — a
+    deterministic tie-break, so the forward-fill chain is identical in
+    both engines. Window ffill via last(..., ignorenulls) over the dense
+    spine.
+
+    Scale: the spine is sequence()-generated per user (rows ∝ user
+    lifetime hours, never a global calendar cross join); the hourly
+    pre-aggregation shuffles once on (user, hour); spine join and ffill
+    window both ride the user_id partitioning. A pathological always-on
+    entity yields ~9k rows/year — bounded."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hr"),
+        "ts",
+        "event_id",
+        F.expr("cast(floor(value * 100) as bigint)").alias("v_centi"),
+    )
+    w_last = Window.partitionBy("user_id", "hr").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        base.withColumn("rn", F.row_number().over(w_last))
+        .groupBy("user_id", "hr")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("v_centi"))).alias("last_v"),
+        )
+    )
+    spine = (
+        base.groupBy("user_id")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_at"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("last_v", ignorenulls=True).over(w_fill).alias("v_ffill_centi"),
+        )
+    )
+
+
+RESAMPLE_SQL = """
+WITH base AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS v_centi
+  FROM events
+), hourly AS (
+  SELECT user_id, hr, count(*) AS n_events,
+         max(CASE WHEN rn = 1 THEN v_centi END) AS last_v
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, hr
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM base
+  ) GROUP BY user_id, hr
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+  FROM (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM base GROUP BY user_id)
+)
+SELECT s.user_id,
+       strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour_at,
+       coalesce(h.n_events, 0) AS n_events,
+       last_value(h.last_v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill_centi
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+"""
+
+
 QUERIES = {
     "asof_join_last_error": asof_join_last_error,
     "range_join_close_pairs": range_join_close_pairs,
@@ -365,6 +458,7 @@ QUERIES = {
     "rolling_window_24h": rolling_window_24h,
     "pivot_user_event_matrix": pivot_user_event_matrix,
     "incremental_rollup_merge": incremental_rollup_merge,
+    "events_resample_ffill": events_resample_ffill,
 }
 
 ORACLES = {
@@ -376,4 +470,5 @@ ORACLES = {
     "rolling_window_24h": ROLLING_SQL,
     "pivot_user_event_matrix": _pivot_sql(),
     "incremental_rollup_merge": INCR_ROLLUP_SQL,
+    "events_resample_ffill": RESAMPLE_SQL,
 }

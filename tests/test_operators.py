@@ -552,3 +552,27 @@ def test_pagerank_matches_independent_python_reimplementation(spark, sf_dir):
     got = {r.doc_id: r.pr_ppm for r in rank_neardup_pagerank(spark, sf_dir).collect()}
     assert got == pr
     assert all(v >= PR_ONE - PR_DAMP for v in got.values())
+
+
+def test_resample_ffill_grid_is_dense_and_carries_values(spark, sf_dir):
+    from australian_company_etl_spark.plans.temporal import events_resample_ffill
+
+    rows = events_resample_ffill(spark, sf_dir).collect()
+    assert rows
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    for user_rows in per_user.values():
+        user_rows.sort(key=lambda r: r.hour_at)
+        # dense hourly grid: consecutive rows are exactly 1h apart
+        from datetime import datetime, timedelta
+
+        ts = [datetime.strptime(r.hour_at, "%Y-%m-%d %H:%M:%S") for r in user_rows]
+        assert all(b - a == timedelta(hours=1) for a, b in zip(ts, ts[1:]))
+        # first row is an observed hour, so the fill chain starts non-null
+        assert user_rows[0].n_events > 0
+        assert user_rows[0].v_ffill_centi is not None
+        # gap rows (n_events = 0) carry the previous row's value verbatim
+        for prev, cur in zip(user_rows, user_rows[1:]):
+            if cur.n_events == 0:
+                assert cur.v_ffill_centi == prev.v_ffill_centi
