@@ -102,6 +102,8 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "dedup_ngram_jaccard",
     "quality_table_health",
+    "dedup_setsim_prefix",
+    "dedup_substring_spans",
 ]
 
 

@@ -793,6 +793,248 @@ SELECT node AS doc_id, CAST(pr AS BIGINT) AS pr_ppm FROM {prev}
 """
 
 
+# ── F11: cross-doc repeated-span detection (suffix-array dedup signal) ──────
+
+SPAN_W = 12  # window width in tokens (matches F8's segment unit)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — repeated-span detection, the distributed analog of
+    suffix-array exact-substring dedup (Lee et al. ACL'22, "Deduplicating
+    Training Data Makes Language Models Better"): every ROLLING SPAN_W-token
+    window (stride 1 — unlike F8's disjoint segments, which miss repeats
+    that straddle a boundary) is checked for occurrence in MORE THAN ONE
+    document; per doc it reports how many window positions are cross-doc
+    duplicated and the longest contiguous duplicated span in tokens
+    (consecutive duplicated positions chain: run of r windows = r+W-1
+    tokens), the memorization-risk signal per document.
+
+    Scale: windows are hashed to 60-bit ints immediately (the F2-verify
+    trick) so both shuffles move (int64, int64) pairs, never window text:
+    (1) doc-frequency per window hash — two-phase distinct-then-count, the
+    skew-safe exact-distinct rewrite; (2) flag join back on the hash. The
+    per-doc run/island analysis rides the doc_id partitioning (window
+    functions only). A true suffix array generalizes to any-length repeats;
+    at fixed W this plan is exact for spans ≥ W and is the standard
+    production approximation."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens_all_spark(F.col("text"))).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(wd).alias(f"_l{j}") for j in range(1, SPAN_W)]
+    gram = F.concat_ws(" ", "tok", *[f"_l{j}" for j in range(1, SPAN_W)])
+    rows = persist_tracked(
+        ex.select("doc_id", "pos", "tok", *leads)
+        .filter(F.col(f"_l{SPAN_W - 1}").isNotNull())
+        .select("doc_id", "pos", phash_spark(gram).alias("gh"))
+    )
+    # windows present in >1 distinct doc (explicit dedup-then-count: exact
+    # and skew-safe — a boilerplate window IS a hot key)
+    multi = (
+        rows.dropDuplicates(["gh", "doc_id"])
+        .groupBy("gh")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    flagged = rows.join(multi, "gh").select("doc_id", "pos")
+    runs = (
+        flagged.withColumn(
+            "rid", F.col("pos") - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+        )
+        .groupBy("doc_id", "rid")
+        .agg(F.count("*").alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("max_run"), F.count("*").alias("n_runs"))
+    )
+    per_doc = rows.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    dup_counts = flagged.groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    return (
+        per_doc.join(dup_counts, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("int").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("int").alias("n_dup"),
+            F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_windows"), 4).alias("dup_frac"),
+            F.when(F.col("max_run").isNull(), 0)
+            .otherwise(F.col("max_run") + SPAN_W - 1)
+            .cast("int")
+            .alias("max_dup_span"),
+        )
+    )
+
+
+def _substring_spans_sql() -> str:
+    w = SPAN_W
+    gh = phash_sql("u.g")
+    return f"""
+WITH toks AS (SELECT doc_id, {tokens_all_sql('text')} AS t FROM documents),
+grams AS (
+  SELECT doc_id, u.pos AS pos, {gh} AS gh
+  FROM (
+    SELECT doc_id, unnest(l) AS u
+    FROM (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - {w} + 2),
+               i -> {{'pos': i, 'g': array_to_string(list_slice(t, i, i + {w} - 1), ' ')}}) AS l
+      FROM toks WHERE len(t) >= {w}
+    )
+  )
+),
+multi AS (
+  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gh)
+  WHERE nd > 1
+),
+flagged AS (SELECT doc_id, pos FROM grams JOIN multi USING (gh)),
+runs AS (
+  SELECT doc_id, max(run) AS max_run
+  FROM (
+    SELECT doc_id, rid, count(*) AS run
+    FROM (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+          FROM flagged)
+    GROUP BY doc_id, rid
+  )
+  GROUP BY doc_id
+),
+per_doc AS (SELECT doc_id, count(*) AS n_windows FROM grams GROUP BY doc_id),
+dup_counts AS (SELECT doc_id, count(*) AS n_dup FROM flagged GROUP BY doc_id)
+SELECT p.doc_id,
+       p.n_windows::INT AS n_windows,
+       coalesce(d.n_dup, 0)::INT AS n_dup,
+       round(coalesce(d.n_dup, 0)::DOUBLE / p.n_windows, 4) AS dup_frac,
+       (CASE WHEN r.max_run IS NULL THEN 0 ELSE r.max_run + {w} - 1 END)::INT AS max_dup_span
+FROM per_doc p
+LEFT JOIN dup_counts d USING (doc_id)
+LEFT JOIN runs r USING (doc_id)
+"""
+
+
+# ── F10: prefix-filtering set-similarity join (AllPairs/PPJoin family) ──────
+
+# τ = SETSIM_NUM/SETSIM_DEN, kept as an exact rational so the prefix length,
+# the length filter, and the verify compare are all integer arithmetic in
+# both dialects (no float threshold can flip at a boundary).
+SETSIM_NUM = 2
+SETSIM_DEN = 5
+
+
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — set-similarity self-join with EXACT-recall prefix filtering
+    (Bayardo et al. WWW'07 "Scaling Up All Pairs", Xiao et al. WWW'08
+    PPJoin): word-3gram shingle sets, Jaccard ≥ 2/5.
+
+    Unlike LSH (F2, probabilistic recall) or single-key blocking (F4,
+    heuristic recall), the prefix filter is LOSSLESS: order every doc's
+    shingles by ascending global document frequency (rarest first, ties by
+    value) and keep only the first n - ⌈τ·n⌉ + 1 as the doc's prefix. If
+    two sets share NO prefix element, their overlap is provably < the
+    τ-required minimum, so joining on prefix tokens alone surfaces every
+    qualifying pair. The length filter τ·|a| ≤ |b| ≤ |a|/τ (integer form)
+    prunes further; survivors are verified with exact integer Jaccard.
+
+    Scale: candidate cost concentrates on RARE shingles by construction —
+    frequent (boilerplate) shingles sit at the back of the df ordering and
+    never enter prefixes, so the hot keys of F4's naive blocking vanish
+    here. Plan: one shuffle to compute df (groupBy shingle), one join back
+    + per-doc window (rides the doc_id partitioning), the prefix self-join
+    on shingle value, then a verify join against the persisted shingle
+    sets. At 100 TB this is the standard production set-sim join; df is
+    the only global state and it is itself a shuffle-friendly aggregate."""
+    rows = persist_tracked(_doc_shingle_rows(spark, sf_dir).dropDuplicates(["doc_id", "s"]))
+    sets = rows.groupBy("doc_id").agg(
+        F.collect_set("s").alias("sh"), F.count("*").alias("n")
+    )
+    dfreq = rows.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        rows.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"({SETSIM_NUM} * n + {SETSIM_DEN - 1}) div {SETSIM_DEN}") + 1
+    ).select("doc_id", "s", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (SETSIM_NUM * F.col("a.n") <= SETSIM_DEN * F.col("b.n"))
+            & (SETSIM_NUM * F.col("b.n") <= SETSIM_DEN * F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn("inter", inter)
+        .filter(
+            SETSIM_DEN * F.col("inter")
+            >= SETSIM_NUM * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("inter").cast("int").alias("n_common"),
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _setsim_sql() -> str:
+    n, d = SETSIM_NUM, SETSIM_DEN
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+rows_ AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM rows_ GROUP BY s),
+ranked AS (
+  SELECT r.doc_id, r.s, r.n,
+         row_number() OVER (PARTITION BY r.doc_id ORDER BY d.df, r.s) AS rn
+  FROM rows_ r JOIN dfreq d USING (s)
+),
+prefix AS (
+  SELECT doc_id, s, n FROM ranked
+  WHERE rn <= n - (({n} * n + {d - 1}) // {d}) + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM prefix a JOIN prefix b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND {n} * a.n <= {d} * b.n AND {n} * b.n <= {d} * a.n
+),
+verify AS (
+  SELECT doc_id_a, doc_id_b,
+         len(list_intersect(ta.sh, tb.sh)) AS inter,
+         len(ta.sh) AS na, len(tb.sh) AS nb
+  FROM cands
+  JOIN sh ta ON ta.doc_id = doc_id_a
+  JOIN sh tb ON tb.doc_id = doc_id_b
+)
+SELECT doc_id_a, doc_id_b, inter::INT AS n_common,
+       round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+FROM verify
+WHERE {d} * inter >= {n} * (na + nb - inter)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_url_canonical": dedup_url_canonical,
@@ -803,6 +1045,8 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_cc": dedup_cluster_cc,
     "rank_neardup_pagerank": rank_neardup_pagerank,
+    "dedup_setsim_prefix": dedup_setsim_prefix,
+    "dedup_substring_spans": dedup_substring_spans,
 }
 
 ORACLES = {
@@ -815,4 +1059,6 @@ ORACLES = {
     "dedup_cluster_cc": _cluster_cc_sql(),
     "rank_neardup_pagerank": _pagerank_sql(),
     "dedup_lines": _dedup_lines_sql(),
+    "dedup_setsim_prefix": _setsim_sql(),
+    "dedup_substring_spans": _substring_spans_sql(),
 }

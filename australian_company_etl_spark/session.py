@@ -41,9 +41,12 @@ def get_spark(
         # every micro-round pays a 32-task scheduling bill for ~500 rows
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark refuses;
-        # read as epoch-nanos long and convert in the source registry.
+        # events.parquet has carried TIMESTAMP(NANOS) (vanilla Spark refuses
+        # it — read as epoch-nanos long, converted in the source registry) or
+        # naive TIMESTAMP(MICROS) (don't infer NTZ — read as a UTC instant,
+        # matching DuckDB's view of the same bytes under a UTC session).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -36,18 +36,26 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     # defensive: plans may receive an externally-built SparkSession (the
-    # driver contract passes one in). events.parquet carries
-    # TIMESTAMP(NANOS), which vanilla Spark refuses without this flag, and
-    # timestamp-formatting plans assume a UTC session.
+    # driver contract passes one in). events.parquet has carried either
+    # TIMESTAMP(NANOS) (needs nanosAsLong or Spark refuses the file) or
+    # naive TIMESTAMP(MICROS) (Spark 4 would infer TIMESTAMP_NTZ, which
+    # unix_micros/window reject or treat differently — read it as a UTC
+    # instant instead, exactly how DuckDB surfaces the same bytes under a
+    # UTC session). Timestamp-formatting plans assume a UTC session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for n in names or TABLES:
         df = spark.read.parquet(table_path(sf_dir, n))
-        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if n == "events" and ts_type == "bigint":
             # TIMESTAMP(NANOS) read as epoch-nanos long (see session.py);
             # truncate to micros — same precision DuckDB surfaces.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif n == "events" and ts_type == "timestamp_ntz":
+            # reader built before the conf landed (cached session state)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out[n] = df
     return out
 

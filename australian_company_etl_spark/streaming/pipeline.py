@@ -28,18 +28,40 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    "event_id bigint, ts {ts_type}, user_id bigint, event_type string, value double, props string"
 )
 
 
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """The corpus has shipped events.ts as either TIMESTAMP(NANOS) (must be
+    read as epoch-nanos long) or naive TIMESTAMP(MICROS) (reads directly
+    into TimestampType as a UTC instant). File streams need an explicit
+    schema, so sniff the footer of one file — a driver-side metadata read,
+    same cost class as Spark's own schema inference."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    t = pq.read_schema(path).field("ts").type
+    return getattr(t, "unit", None) == "ns"
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts → timestamp)."""
+    """File-source stream over the events parquet (ts → timestamp)."""
+    nanos = _events_ts_is_nanos(sf_dir)
+    schema = EVENTS_SCHEMA.format(ts_type="bigint" if nanos else "timestamp")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_agg_stream(events: DataFrame) -> DataFrame:

@@ -224,6 +224,47 @@ def test_ngram_compound_blocking_bounds_skew(spark, sf_dir):
     assert compound_max < token_only_max
 
 
+def test_setsim_prefix_recall_is_exact(spark):
+    """F10 — the prefix filter must be LOSSLESS: the blocked join's pair set
+    equals the unblocked all-pairs ground truth (exact integer Jaccard ≥ τ
+    over every doc pair, no candidate generation at all)."""
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.plans.dedup import (
+        SETSIM_DEN,
+        SETSIM_NUM,
+        _doc_shingles,
+        dedup_setsim_prefix,
+    )
+
+    # pinned to the smallest SF: ground truth is a quadratic all-pairs join
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.n_common, r.jaccard)
+        for r in dedup_setsim_prefix(spark, sf_dir).collect()
+    }
+    base = _doc_shingles(spark, sf_dir)
+    a = base.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    want = {
+        (r.doc_id_a, r.doc_id_b, r.n_common, r.jaccard)
+        for r in a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("inter", inter)
+        .withColumn("uni", union)
+        .filter(SETSIM_DEN * F.col("inter") >= SETSIM_NUM * F.col("uni"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("inter").cast("int").alias("n_common"),
+            F.round(F.col("inter") / F.col("uni"), 4).alias("jaccard"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_contamination_automaton_matches_expression_path(spark, sf_dir):
     """H8 — the Aho-Corasick mapInPandas path must produce exactly the
     expression path's rows on the standard blocklist."""
