@@ -104,6 +104,8 @@ _VERIFY_FIRST = [
     "quality_table_health",
     "dedup_setsim_prefix",
     "dedup_substring_spans",
+    "curate_keep_best",
+    "dedup_incremental",
 ]
 
 

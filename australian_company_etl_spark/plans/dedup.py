@@ -143,18 +143,10 @@ GROUP BY 1
 # ── F2 minhash + LSH ────────────────────────────────────────────────────────
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 — minhash/LSH candidate pairs with verified Jaccard ≥ 0.2.
-
-    The verify Jaccard is computed over 60-bit shingle-HASH sets, not the
-    shingle strings: md5 runs once per shingle occurrence into a persisted
-    (doc_id, h60) table that feeds all three branches (signature build +
-    both verify sides), and the verify join shuffles int64 arrays instead
-    of long string arrays — measured 2.5× end-to-end at sf1. Hash-set
-    Jaccard equals string-set Jaccard unless two distinct shingles collide
-    in 60 bits (odds ~n²/2⁶¹ per doc — negligible), and the oracle hashes
-    identically so parity is exact either way.
-    """
+def _minhash_bands_sets(spark: SparkSession, sf_dir: str):
+    """Shared F2/F12 signature builder: (bands, shingle-hash sets). The
+    per-shingle md5 runs once into a persisted int table feeding both the
+    signature build and the verify sides."""
     rows = _doc_shingle_rows(spark, sf_dir)
     hashed = persist_tracked(
         rows.select("doc_id", phash_spark(F.col("s")).alias("h60"))
@@ -180,6 +172,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("x"))
         .select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
     )
+    return bands, sh
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — minhash/LSH candidate pairs with verified Jaccard ≥ 0.2.
+
+    The verify Jaccard is computed over 60-bit shingle-HASH sets, not the
+    shingle strings: md5 runs once per shingle occurrence into a persisted
+    (doc_id, h60) table that feeds all three branches (signature build +
+    both verify sides), and the verify join shuffles int64 arrays instead
+    of long string arrays — measured 2.5× end-to-end at sf1. Hash-set
+    Jaccard equals string-set Jaccard unless two distinct shingles collide
+    in 60 bits (odds ~n²/2⁶¹ per doc — negligible), and the oracle hashes
+    identically so parity is exact either way.
+    """
+    bands, sh = _minhash_bands_sets(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -913,6 +921,103 @@ LEFT JOIN runs r USING (doc_id)
 """
 
 
+# ── F12: incremental dedup — new batch vs existing corpus ───────────────────
+
+# deterministic batch split: docs with doc_id ≡ 4 (mod 5) are "today's
+# ingest" (20%); the rest are the already-deduplicated corpus.
+NEW_MOD = 5
+NEW_RESIDUE = 4
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — incremental minhash dedup, the daily-ingest shape: only NEW
+    documents are checked — against the existing corpus and among
+    themselves — instead of recomputing the full corpus pair set. A new
+    doc is a duplicate if it near-matches (Jaccard ≥ τ, F2's verify) any
+    existing doc (any id) or an earlier new doc (smaller id — first-wins
+    inside the batch). Emits every new doc with its verdict, the minimum
+    matching partner, and that partner's Jaccard.
+
+    Scale: THE point of the operator — the band self-join of F2 becomes a
+    probe join `bands ⋈ bands_new`, so candidate generation is
+    O(corpus-bands × batch-bands-per-bucket), linear in the batch, not in
+    the corpus; at 100 TB the corpus bands/sets live as a bucketed table
+    and the daily batch streams against it. The verify join only carries
+    shingle-hash sets for docs that appear in some candidate pair."""
+    bands, sh = _minhash_bands_sets(spark, sf_dir)
+    is_new = lambda c: c % NEW_MOD == NEW_RESIDUE  # noqa: E731
+    bands_new = bands.filter(is_new(F.col("doc_id")))
+    a, b = bands.alias("a"), bands_new.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("lo"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("hi"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("lo"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("hi"), F.col("sh").alias("sh_b"))
+    vp = (
+        cand.join(sa, "lo")
+        .join(sb, "hi")
+        .select("lo", "hi", F.round(_jaccard_spark(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+    # qualifying (new_doc, partner): the partner is existing (any id) or an
+    # earlier new doc; pairs are (lo < hi) so a new hi always qualifies
+    # against lo, and a new lo only against an EXISTING hi.
+    qual = (
+        vp.filter(is_new(F.col("hi")))
+        .select(F.col("hi").alias("doc_id"), F.col("lo").alias("partner"), "jaccard")
+        .unionByName(
+            vp.filter(is_new(F.col("lo")) & ~is_new(F.col("hi"))).select(
+                F.col("lo").alias("doc_id"), F.col("hi").alias("partner"), "jaccard"
+            )
+        )
+    )
+    best = qual.groupBy("doc_id").agg(F.min("partner").alias("best_match"))
+    best_j = best.join(
+        qual.withColumnRenamed("partner", "best_match"), ["doc_id", "best_match"]
+    )
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    new_docs = docs.filter(is_new(F.col("doc_id"))).select("doc_id")
+    return new_docs.join(best_j, "doc_id", "left").select(
+        "doc_id",
+        F.col("best_match").isNotNull().alias("is_dup"),
+        "best_match",
+        "jaccard",
+    )
+
+
+def _incremental_sql() -> str:
+    m, r = NEW_MOD, NEW_RESIDUE
+    return f"""
+WITH pairs AS ({_minhash_pairs_body()}),
+new_docs AS (SELECT doc_id FROM documents WHERE doc_id % {m} = {r}),
+qual AS (
+  SELECT doc_id_b AS doc_id, doc_id_a AS partner, jaccard FROM pairs
+  WHERE doc_id_b % {m} = {r}
+  UNION ALL
+  SELECT doc_id_a, doc_id_b, jaccard FROM pairs
+  WHERE doc_id_a % {m} = {r} AND doc_id_b % {m} <> {r}
+),
+best AS (SELECT doc_id, min(partner) AS best_match FROM qual GROUP BY doc_id)
+SELECT n.doc_id,
+       (b.best_match IS NOT NULL) AS is_dup,
+       b.best_match,
+       q.jaccard
+FROM new_docs n
+LEFT JOIN best b USING (doc_id)
+LEFT JOIN qual q ON q.doc_id = n.doc_id AND q.partner = b.best_match
+"""
+
+
 # ── F10: prefix-filtering set-similarity join (AllPairs/PPJoin family) ──────
 
 # τ = SETSIM_NUM/SETSIM_DEN, kept as an exact rational so the prefix length,
@@ -1047,6 +1152,7 @@ QUERIES = {
     "rank_neardup_pagerank": rank_neardup_pagerank,
     "dedup_setsim_prefix": dedup_setsim_prefix,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES = {
@@ -1061,4 +1167,5 @@ ORACLES = {
     "dedup_lines": _dedup_lines_sql(),
     "dedup_setsim_prefix": _setsim_sql(),
     "dedup_substring_spans": _substring_spans_sql(),
+    "dedup_incremental": _incremental_sql(),
 }

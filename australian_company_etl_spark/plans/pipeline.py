@@ -53,6 +53,53 @@ WHERE doc_id NOT IN (SELECT doc_id FROM kill)
 """
 
 
+def curate_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 — keep-BEST near-dup resolution: F6's connected-component
+    clusters joined with H2's quality score; within every cluster the
+    highest-quality member is the keeper (ties → lowest doc_id). This is
+    the curation decision rule production pipelines actually use —
+    keep-first (F1/F8) discards by arrival order, keep-best discards by
+    value (RefinedWeb, FineWeb keep the longest/cleanest copy of a
+    near-dup family, not the earliest).
+
+    The ranking key is the ROUNDED (4dp) quality column both engines
+    already agree on hash-exactly, so the argmax can never flip on an ulp.
+
+    Scale: the cluster labels and the score are both per-doc frames keyed
+    by doc_id — one equi-join, then a per-cluster window (single shuffle on
+    cluster_id, where cluster cardinality ≈ corpus cardinality)."""
+    from australian_company_etl_spark.plans.dedup import dedup_cluster_cc
+    from pyspark.sql import Window
+
+    labels = dedup_cluster_cc(spark, sf_dir)
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        labels.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "quality",
+            (F.col("rk") == 1).alias("is_keeper"),
+        )
+    )
+
+
+def _keep_best_sql() -> str:
+    from australian_company_etl_spark.plans.dedup import _cluster_cc_sql
+
+    return f"""
+WITH clusters AS ({_cluster_cc_sql()}),
+q AS ({_quality_sql()})
+SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality,
+       (row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY q.quality DESC, c.doc_id) = 1) AS is_keeper
+FROM clusters c JOIN q USING (doc_id)
+"""
+
+
 def etl_dag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 — the reference's full Airflow DAG as ONE declarative plan
     (airflow/dags/etl_pipeline.py: t1+t2 extract → t3 entity_matching →
@@ -118,5 +165,13 @@ SELECT 'conf_50_79', coalesce(count(*) FILTER (WHERE merged_confidence >= 50 AND
 """
 
 
-QUERIES = {"curate_corpus": curate_corpus, "etl_dag_end_to_end": etl_dag_end_to_end}
-ORACLES = {"curate_corpus": _curate_sql(), "etl_dag_end_to_end": _etl_dag_sql()}
+QUERIES = {
+    "curate_corpus": curate_corpus,
+    "etl_dag_end_to_end": etl_dag_end_to_end,
+    "curate_keep_best": curate_keep_best,
+}
+ORACLES = {
+    "curate_corpus": _curate_sql(),
+    "etl_dag_end_to_end": _etl_dag_sql(),
+    "curate_keep_best": _keep_best_sql(),
+}

@@ -265,6 +265,58 @@ def test_setsim_prefix_recall_is_exact(spark):
     assert got == want and len(got) > 0
 
 
+def test_incremental_dedup_matches_full_pair_set(spark, sf_dir):
+    """F12 — the probe-side (batch-only) candidate generation must reach
+    the same verdicts as deriving them from the FULL F2 pair set: a new doc
+    is a dup iff the full pair list links it to an existing doc or an
+    earlier new doc, and best_match/jaccard are the minimum such partner."""
+    from australian_company_etl_spark.plans.dedup import (
+        NEW_MOD,
+        NEW_RESIDUE,
+        dedup_incremental,
+        dedup_minhash_lsh,
+    )
+
+    got = {
+        r.doc_id: (r.is_dup, r.best_match, r.jaccard)
+        for r in dedup_incremental(spark, sf_dir).collect()
+    }
+    is_new = lambda d: d % NEW_MOD == NEW_RESIDUE  # noqa: E731
+    partners: dict[int, dict[int, float]] = {}
+    for p in dedup_minhash_lsh(spark, sf_dir).collect():
+        lo, hi = p.doc_id_a, p.doc_id_b
+        if is_new(hi):
+            partners.setdefault(hi, {})[lo] = p.jaccard
+        if is_new(lo) and not is_new(hi):
+            partners.setdefault(lo, {})[hi] = p.jaccard
+    assert set(got) == {d for d in got if is_new(d)} and len(got) > 0
+    for doc_id, (is_dup, best, jac) in got.items():
+        if doc_id in partners:
+            want_best = min(partners[doc_id])
+            assert (is_dup, best, jac) == (True, want_best, partners[doc_id][want_best])
+        else:
+            assert (is_dup, best, jac) == (False, None, None)
+    assert any(v[0] for v in got.values()), "fixture has no incremental dups"
+
+
+def test_keep_best_selects_max_quality_per_cluster(spark, sf_dir):
+    """K3 — exactly one keeper per cluster; the keeper attains the cluster's
+    max quality, with the lowest doc_id winning ties."""
+    from australian_company_etl_spark.plans.pipeline import curate_keep_best
+
+    rows = curate_keep_best(spark, sf_dir).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert any(len(m) > 1 for m in by_cluster.values()), "no multi-doc clusters"
+    for members in by_cluster.values():
+        keepers = [r for r in members if r.is_keeper]
+        assert len(keepers) == 1
+        want = min(members, key=lambda r: (-r.quality, r.doc_id))
+        assert keepers[0].doc_id == want.doc_id
+        assert all(r.cluster_size == len(members) for r in members)
+
+
 def test_contamination_automaton_matches_expression_path(spark, sf_dir):
     """H8 — the Aho-Corasick mapInPandas path must produce exactly the
     expression path's rows on the standard blocklist."""
