@@ -1044,31 +1044,39 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate cost concentrates on RARE shingles by construction —
     frequent (boilerplate) shingles sit at the back of the df ordering and
     never enter prefixes, so the hot keys of F4's naive blocking vanish
-    here. Plan: one shuffle to compute df (groupBy shingle), one join back
-    + per-doc window (rides the doc_id partitioning), the prefix self-join
-    on shingle value, then a verify join against the persisted shingle
-    sets. At 100 TB this is the standard production set-sim join; df is
-    the only global state and it is itself a shuffle-friendly aggregate."""
-    rows = persist_tracked(_doc_shingle_rows(spark, sf_dir).dropDuplicates(["doc_id", "s"]))
-    sets = rows.groupBy("doc_id").agg(
-        F.collect_set("s").alias("sh"), F.count("*").alias("n")
+    here. Plan: shingles are 60-bit-hashed immediately (the F2 verify
+    trick — every shuffle and both verify sides move int64, never shingle
+    text; the hash is also the in-doc total order, equally valid for the
+    prefix guarantee and computed identically by the oracle). One shuffle
+    to compute df (groupBy hash), one join back + per-doc window (rides
+    the doc_id partitioning), the prefix self-join on hash, then a verify
+    join against the persisted hash sets. At 100 TB this is the standard
+    production set-sim join; df is the only global state and it is itself
+    a shuffle-friendly aggregate."""
+    rows = persist_tracked(
+        _doc_shingle_rows(spark, sf_dir)
+        .select("doc_id", phash_spark(F.col("s")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
     )
-    dfreq = rows.groupBy("s").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    sets = rows.groupBy("doc_id").agg(
+        F.collect_set("h").alias("sh"), F.count("*").alias("n")
+    )
+    dfreq = rows.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
     ranked = (
-        rows.join(dfreq, "s")
+        rows.join(dfreq, "h")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     )
     prefix = ranked.filter(
         F.col("rn")
         <= F.col("n") - F.expr(f"({SETSIM_NUM} * n + {SETSIM_DEN - 1}) div {SETSIM_DEN}") + 1
-    ).select("doc_id", "s", "n")
+    ).select("doc_id", "h", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (SETSIM_NUM * F.col("a.n") <= SETSIM_DEN * F.col("b.n"))
             & (SETSIM_NUM * F.col("b.n") <= SETSIM_DEN * F.col("a.n")),
@@ -1108,30 +1116,34 @@ def _setsim_sql() -> str:
     n, d = SETSIM_NUM, SETSIM_DEN
     return f"""
 WITH {_SHINGLES_CTE.strip()},
-rows_ AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh),
-dfreq AS (SELECT s, count(*) AS df FROM rows_ GROUP BY s),
+rows_ AS (
+  SELECT DISTINCT doc_id, {phash_sql('s')} AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+),
+hsets AS (SELECT doc_id, list(h) AS hs, count(*) AS n FROM rows_ GROUP BY doc_id),
+dfreq AS (SELECT h, count(*) AS df FROM rows_ GROUP BY h),
 ranked AS (
-  SELECT r.doc_id, r.s, r.n,
-         row_number() OVER (PARTITION BY r.doc_id ORDER BY d.df, r.s) AS rn
-  FROM rows_ r JOIN dfreq d USING (s)
+  SELECT r.doc_id, r.h, hs.n,
+         row_number() OVER (PARTITION BY r.doc_id ORDER BY d.df, r.h) AS rn
+  FROM rows_ r JOIN dfreq d USING (h) JOIN hsets hs USING (doc_id)
 ),
 prefix AS (
-  SELECT doc_id, s, n FROM ranked
+  SELECT doc_id, h, n FROM ranked
   WHERE rn <= n - (({n} * n + {d - 1}) // {d}) + 1
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM prefix a JOIN prefix b
-    ON a.s = b.s AND a.doc_id < b.doc_id
+    ON a.h = b.h AND a.doc_id < b.doc_id
    AND {n} * a.n <= {d} * b.n AND {n} * b.n <= {d} * a.n
 ),
 verify AS (
   SELECT doc_id_a, doc_id_b,
-         len(list_intersect(ta.sh, tb.sh)) AS inter,
-         len(ta.sh) AS na, len(tb.sh) AS nb
+         len(list_intersect(ta.hs, tb.hs)) AS inter,
+         ta.n AS na, tb.n AS nb
   FROM cands
-  JOIN sh ta ON ta.doc_id = doc_id_a
-  JOIN sh tb ON tb.doc_id = doc_id_b
+  JOIN hsets ta ON ta.doc_id = doc_id_a
+  JOIN hsets tb ON tb.doc_id = doc_id_b
 )
 SELECT doc_id_a, doc_id_b, inter::INT AS n_common,
        round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard

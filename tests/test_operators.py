@@ -230,10 +230,11 @@ def test_setsim_prefix_recall_is_exact(spark):
     over every doc pair, no candidate generation at all)."""
     from pyspark.sql import functions as F
 
+    from australian_company_etl_spark.functions.textfns import phash_spark
     from australian_company_etl_spark.plans.dedup import (
         SETSIM_DEN,
         SETSIM_NUM,
-        _doc_shingles,
+        _doc_shingle_rows,
         dedup_setsim_prefix,
     )
 
@@ -243,7 +244,14 @@ def test_setsim_prefix_recall_is_exact(spark):
         (r.doc_id_a, r.doc_id_b, r.n_common, r.jaccard)
         for r in dedup_setsim_prefix(spark, sf_dir).collect()
     }
-    base = _doc_shingles(spark, sf_dir)
+    # same hashed-set universe the operator works over
+    base = (
+        _doc_shingle_rows(spark, sf_dir)
+        .select("doc_id", phash_spark(F.col("s")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("sh"))
+    )
     a = base.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
