@@ -106,6 +106,7 @@ _VERIFY_FIRST = [
     "dedup_substring_spans",
     "curate_keep_best",
     "dedup_incremental",
+    "graph_triangle_count",
 ]
 
 

@@ -921,6 +921,104 @@ LEFT JOIN runs r USING (doc_id)
 """
 
 
+# ── F13: triangle counting over the near-dup graph ──────────────────────────
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — per-document triangle participation + local clustering
+    coefficient over the F2 near-dup graph: distinguishes docs inside
+    DENSE duplicate families (template farms, mirrored sites — every copy
+    near-matches every other) from chain-like incidental matches, a
+    signal CC (F6) cannot give since it only knows reachability.
+
+    Enumeration is the oriented node-iterator join: edges are (a < b), a
+    triangle a<b<c is found exactly once as e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) —
+    three equi-joins, no direction double-count, no post-dedup. Per-node
+    counts come from unioning the three corners.
+
+    Scale: the canonical production refinement is orienting edges
+    low-degree → high-degree instead of by id, which bounds the join
+    fan-out of hub nodes (Σ d(v)^{3/2} work); by-id orientation keeps the
+    pair set identical to the oracle's and is exact at any scale — swap
+    the orientation key for degree when hubs appear. The near-dup graph's
+    edge list is tiny relative to the corpus, so all three joins ride one
+    shuffle on the shared edge frame."""
+    e = persist_tracked(dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_id_a") == F.col("e1.doc_id_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_id_a") == F.col("e1.doc_id_a"))
+            & (F.col("e3.doc_id_b") == F.col("e2.doc_id_b")),
+        )
+        .select(
+            F.col("e1.doc_id_a").alias("a"),
+            F.col("e1.doc_id_b").alias("b"),
+            F.col("e2.doc_id_b").alias("c"),
+        )
+    )
+    tri_counts = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("doc_id_a").alias("doc_id"))
+        .unionAll(e.select(F.col("doc_id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.join(tri_counts, "doc_id", "left").select(
+        "doc_id",
+        F.col("degree").cast("int").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("int").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2 * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def _triangle_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_pairs_body()}),
+e AS (SELECT doc_id_a, doc_id_b FROM pairs),
+tri AS (
+  SELECT e1.doc_id_a AS a, e1.doc_id_b AS b, e2.doc_id_b AS c
+  FROM e e1
+  JOIN e e2 ON e2.doc_id_a = e1.doc_id_b
+  JOIN e e3 ON e3.doc_id_a = e1.doc_id_a AND e3.doc_id_b = e2.doc_id_b
+),
+tri_counts AS (
+  SELECT doc_id, count(*) AS n_triangles FROM (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY doc_id
+),
+deg AS (
+  SELECT doc_id, count(*) AS degree FROM (
+    SELECT doc_id_a AS doc_id FROM e UNION ALL SELECT doc_id_b FROM e
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, d.degree::INT AS degree,
+       coalesce(t.n_triangles, 0)::INT AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1)), 4)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tri_counts t USING (doc_id)
+"""
+
+
 # ── F12: incremental dedup — new batch vs existing corpus ───────────────────
 
 # deterministic batch split: docs with doc_id ≡ 4 (mod 5) are "today's
@@ -1165,6 +1263,7 @@ QUERIES = {
     "dedup_setsim_prefix": dedup_setsim_prefix,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_incremental": dedup_incremental,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 ORACLES = {
@@ -1180,4 +1279,5 @@ ORACLES = {
     "dedup_setsim_prefix": _setsim_sql(),
     "dedup_substring_spans": _substring_spans_sql(),
     "dedup_incremental": _incremental_sql(),
+    "graph_triangle_count": _triangle_sql(),
 }

@@ -38,6 +38,11 @@ LARGE_HEADLINERS = [
     "q5_local_supplier",
     "q3_shipping_priority",
     "q10_returned_items",
+    # one representative per remaining family, so the scale trend covers
+    # ANN, codegen text scoring, and event-time aggregation too
+    "ann_brute_topk",
+    "text_quality_score",
+    "events_tumbling_agg",
 ]
 
 

@@ -325,6 +325,34 @@ def test_keep_best_selects_max_quality_per_cluster(spark, sf_dir):
         assert all(r.cluster_size == len(members) for r in members)
 
 
+def test_triangle_count_matches_python_enumeration(spark, sf_dir):
+    """F13 — per-doc triangle counts and degrees must equal an independent
+    Python enumeration over the same F2 pair list."""
+    from itertools import combinations
+
+    from australian_company_etl_spark.plans.dedup import (
+        dedup_minhash_lsh,
+        graph_triangle_count,
+    )
+
+    edges = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_of = dict.fromkeys(adj, 0)
+    for v, nbrs in adj.items():
+        for x, y in combinations(sorted(nbrs), 2):
+            if (x, y) in edges or (y, x) in edges:
+                tri_of[v] += 1
+    got = {r.doc_id: (r.degree, r.n_triangles) for r in graph_triangle_count(spark, sf_dir).collect()}
+    want = {v: (len(adj[v]), tri_of[v]) for v in adj}
+    assert got == want and len(got) > 0
+
+
 def test_contamination_automaton_matches_expression_path(spark, sf_dir):
     """H8 — the Aho-Corasick mapInPandas path must produce exactly the
     expression path's rows on the standard blocklist."""
