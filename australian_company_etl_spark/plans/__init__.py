@@ -107,6 +107,8 @@ _VERIFY_FIRST = [
     "curate_keep_best",
     "dedup_incremental",
     "graph_triangle_count",
+    "text_entropy",
+    "events_anomaly_mad",
 ]
 
 

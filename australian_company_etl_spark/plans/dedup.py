@@ -469,7 +469,9 @@ WHERE round({cos}, 4) >= {COSINE_T}
 # ── F6 connected-component clustering over the near-dup graph ───────────────
 
 
-def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_cc(
+    spark: SparkSession, sf_dir: str, checkpoint_every: int = 8
+) -> DataFrame:
     """F6 — near-dup clusters: connected components over the F2 pair graph,
     so a whole family of mutual near-dups collapses to ONE representative
     (the min doc_id) instead of pairwise drops.
@@ -481,9 +483,15 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each round is one equi-join shuffle on doc_id + a map-side-
     combinable min-agg; the convergence check is a counted diff, not a
-    collect. At 100 TB you add periodic checkpoints to truncate lineage and
-    the large-star/small-star rewrite for pathological diameters — the loop
-    structure is unchanged.
+    collect. Every `checkpoint_every` rounds the label frame is
+    localCheckpoint-ed, truncating the otherwise linearly-growing lineage —
+    without this, a deep component makes round N's plan re-describe all
+    N-1 predecessors and the scheduler/serializer cost compounds (on a
+    cluster with HDFS you'd use reliable `checkpoint()` instead so lineage
+    also survives executor loss). Near-dup graphs converge shallow, so the
+    default interval rarely triggers; pathological diameters additionally
+    want the large-star/small-star rewrite — the loop structure is
+    unchanged.
     """
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
@@ -496,6 +504,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # superseded label frames are unpersisted inline each round; the final
     # frame backs the returned plan, so it is registered for release at the
     # next top-level query instead (operators/cache.py).
+    rounds = 0
     while True:
         prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
             F.col("dst").alias("doc_id"), "lbl"
@@ -509,6 +518,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         labels.unpersist()
+        rounds += 1
+        if checkpoint_every and rounds % checkpoint_every == 0:
+            chk = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            new_labels = chk
         labels = new_labels
         if changed == 0:
             break

@@ -328,6 +328,61 @@ FROM rows_ r JOIN stats USING (event_type)
 """
 
 
+MAD_K = 4.4478  # 3 × 1.4826 (MAD→σ consistency constant for normal data)
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 — robust outlier detection via Median Absolute Deviation:
+    |value − median| > 3·1.4826·MAD per event_type. Unlike the z-score
+    (J10), the median/MAD estimators don't move when the outliers
+    themselves inflate the mean/σ — the standard robust alternative.
+
+    Determinism: Spark `percentile` and DuckDB `quantile_cont` share the
+    rank = p·(n−1) interpolation (proven hash-exact in M2); every
+    downstream operand (abs dev, the K·MAD threshold) is scalar arithmetic
+    on those identical doubles, so the flag can't flip on an ulp.
+
+    Scale: two stats passes (median, then MAD over deviations), each a
+    per-type aggregate whose result is a tiny broadcast dim; the event
+    stream is scanned twice but never shuffled on a per-row key. At 100 TB
+    swap `percentile` for `percentile_approx`/a mergeable quantile sketch
+    — same dataflow."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5D)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5D)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > MAD_K * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round("adev", 6).alias("abs_dev"),
+        )
+    )
+
+
+MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.value,
+       round(d.med, 6) AS med, round(m.mad, 6) AS mad, round(d.adev, 6) AS abs_dev
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.adev > {MAD_K} * m.mad
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": events_tumbling_agg,
     "events_sessionize": events_sessionize,
@@ -336,6 +391,7 @@ QUERIES = {
     "events_distinct_skewsafe": events_distinct_skewsafe,
     "events_retention_cohorts": events_retention_cohorts,
     "events_value_outliers": events_value_outliers,
+    "events_anomaly_mad": events_anomaly_mad,
 }
 
 ORACLES = {
@@ -346,4 +402,5 @@ ORACLES = {
     "events_distinct_skewsafe": DISTINCT_SKEWSAFE_SQL,
     "events_retention_cohorts": RETENTION_SQL,
     "events_value_outliers": OUTLIERS_SQL,
+    "events_anomaly_mad": MAD_SQL,
 }

@@ -300,6 +300,78 @@ FROM t
 """
 
 
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H13 — token-type Shannon entropy per document: H = ln(n) −
+    (Σ cᵢ·ln cᵢ)/n over token-type counts cᵢ. Low entropy = repetitive /
+    machine-generated text (keyword stuffing, log spew); high ≈ ln(n_types)
+    = natural prose. Complements H7 (which sees 3-gram repeats, not
+    skewed unigram distributions).
+
+    Determinism: Σ cᵢ·ln cᵢ is a SEQUENTIAL left-to-right fold over the
+    count list sorted by token — Spark's F.aggregate and DuckDB's
+    list_reduce evaluate the identical double sequence, so the sum (and
+    every downstream comparison) is bit-identical, never an
+    accumulation-order ulp.
+
+    Scale: token counts ride the doc_id partitioning (posexplode preserves
+    it → groupBy(doc_id, tok) needs no shuffle); the fold is per-doc over
+    the type list. One shuffle-free corpus pass + the final projection."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    counts = (
+        docs.select("doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_types"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok", "c"))),
+                lambda s: s["c"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, c: acc + c * F.log(c),
+        ).alias("s"),
+    )
+    ent = F.log(F.col("n").cast("double")) - F.col("s") / F.col("n")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("int").alias("n_types"),
+            F.round(F.coalesce(ent, F.lit(0.0)), 4).alias("entropy"),
+        )
+    )
+
+
+def _entropy_sql() -> str:
+    toks = tokens_all_sql("text")
+    return f"""
+WITH counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS n_types,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(list_sort(list({{'tok': tok, 'c': c}})), s -> s.c::DOUBLE)),
+           (acc, c) -> acc + c * ln(c)) AS s
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n, 0)::INT AS n_tokens,
+       coalesce(p.n_types, 0)::INT AS n_types,
+       round(coalesce(ln(p.n::DOUBLE) - p.s / p.n, 0.0), 4) AS entropy
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 # benchmark-contamination blocklist: fixed literal phrases (in a real
 # pipeline: eval-set n-grams). Substring semantics, case-sensitive.
 CONTAM_PHRASES = ["big big", "table table", "spark data", "quick brown fox"]
@@ -621,6 +693,7 @@ QUERIES = {
     "text_gopher_filters": text_gopher_filters,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_inverted_index": text_inverted_index,
+    "text_entropy": text_entropy,
 }
 
 ORACLES = {
@@ -636,4 +709,5 @@ ORACLES = {
     "text_gopher_filters": _gopher_sql(),
     "text_tfidf_topterms": TFIDF_TOPTERMS_SQL,
     "text_inverted_index": INVERTED_INDEX_SQL,
+    "text_entropy": _entropy_sql(),
 }

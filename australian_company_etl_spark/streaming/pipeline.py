@@ -249,6 +249,40 @@ def run_dedup_stream_to_memory(
     return spark.table(name)
 
 
+def run_dedup_within_watermark_to_memory(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    keys: list[str],
+    name: str = "wmdedup",
+    delay: str = "1 hour",
+    max_files: int = 1,
+) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`):
+    unlike `dedup_stream`'s plain dropDuplicates — whose key state grows
+    forever, the correct-but-unbounded ledger — this keeps a key's state
+    only until the event-time watermark passes it. At 100 TB/day of events
+    this is the only viable streaming dedup: state is proportional to the
+    duplication WINDOW, not stream history, at the documented cost that a
+    duplicate arriving later than the watermark delay is re-admitted."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(keys)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ── foreachBatch incremental upsert: continuous keyed merge into a target ───
 # The streaming form of the reference's ON CONFLICT DO NOTHING ingest
 # (extract_abr.py:57-66): each micro-batch merges into a keyed parquet

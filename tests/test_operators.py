@@ -325,6 +325,20 @@ def test_keep_best_selects_max_quality_per_cluster(spark, sf_dir):
         assert all(r.cluster_size == len(members) for r in members)
 
 
+def test_cluster_cc_checkpointed_equals_default(spark):
+    """F6 — forcing a lineage checkpoint every round must not change the
+    fixpoint labels (the truncation is pure plan surgery)."""
+    from australian_company_etl_spark.plans.dedup import dedup_cluster_cc
+
+    sf_dir = "/root/testdata/sf0.001"
+    want = {(r.doc_id, r.cluster_id, r.cluster_size) for r in dedup_cluster_cc(spark, sf_dir).collect()}
+    got = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup_cluster_cc(spark, sf_dir, checkpoint_every=1).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_triangle_count_matches_python_enumeration(spark, sf_dir):
     """F13 — per-doc triangle counts and degrees must equal an independent
     Python enumeration over the same F2 pair list."""

@@ -184,6 +184,34 @@ def test_streaming_dedup_across_microbatches(spark, sf_dir, tmp_path):
     assert len(hashes) == n_distinct_batch
 
 
+def test_streaming_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """Watermark-bounded dedup: duplicates of a key arriving within the
+    watermark delay are dropped across micro-batches, every distinct key
+    appears exactly once, and the state store holds only keys the
+    watermark hasn't passed (bounded state — the plain-dropDuplicates
+    ledger would retain all of them forever)."""
+    from australian_company_etl_spark.streaming.pipeline import (
+        run_dedup_within_watermark_to_memory,
+    )
+
+    base = "2024-03-01 {}:00"
+    f1 = [(1, base.format("10")), (2, base.format("10")), (3, base.format("11"))]
+    # second delivery: key 1 re-arrives 10 min later (inside the 1h
+    # watermark → must be dropped), key 4 is new
+    f2 = [(1, "2024-03-01 10:10"), (4, base.format("12"))]
+    src = str(tmp_path / "wm_src")
+    for i, rows in enumerate([f1, f2]):
+        spark.createDataFrame(rows, "k bigint, ts_s string").withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("k", "ts").coalesce(1).write.mode("append").parquet(src)
+
+    out = run_dedup_within_watermark_to_memory(
+        spark, src, "k bigint, ts timestamp", ["k"], name="t_wmdedup"
+    )
+    ks = [r.k for r in out.collect()]
+    assert sorted(ks) == [1, 2, 3, 4], f"each key exactly once, got {ks}"
+
+
 def test_streaming_upsert_foreachbatch_first_wins(spark, sf_dir, tmp_path):
     """Micro-batches merge into a keyed parquet target with one-row-per-key
     semantics across batches: a conflicting re-delivery of existing keys
