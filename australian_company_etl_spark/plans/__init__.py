@@ -109,6 +109,8 @@ _VERIFY_FIRST = [
     "graph_triangle_count",
     "text_entropy",
     "events_anomaly_mad",
+    "grouping_sets_report",
+    "events_zorder_key",
 ]
 
 

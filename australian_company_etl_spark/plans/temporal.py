@@ -180,6 +180,103 @@ GROUP BY CUBE(1, 2)
 """
 
 
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 — explicit GROUPING SETS over the event log: exactly the three
+    report granularities a dashboard needs — per type, per (type, day),
+    and the grand total — WITHOUT the unwanted fourth combo (per-day-only)
+    a CUBE would also compute and a reporting job would throw away. One
+    aggregation pass; the expand operator replicates each input row once
+    per grouping set, all map-side-combined (the same executed shape as
+    L3/L4 but with a hand-picked set list).
+
+    grouping_id disambiguates the NULL produced by a rolled-up column from
+    a genuine NULL value — the standard contract consumers key on."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    prepared = ev.select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return prepared.groupingSets(
+        [["event_type"], ["event_type", "day"], []], "event_type", "day"
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT event_type, ts::DATE AS day,
+       GROUPING(event_type, ts::DATE) AS gid,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (event_type, ts::DATE), ())
+"""
+
+
+ZORDER_BITS = 16
+
+
+def _interleave_expr(a: str, b: str, spark_dialect: bool) -> str:
+    """Bit-interleave two ZORDER_BITS-wide ints: bit k of `a` lands at
+    position 2k, bit k of `b` at 2k+1. Same unrolled integer expression in
+    both dialects — no floats, no UDF."""
+    terms = []
+    for k in range(ZORDER_BITS):
+        if spark_dialect:
+            terms.append(f"shiftleft(shiftright({a}, {k}) & 1, {2 * k})")
+            terms.append(f"shiftleft(shiftright({b}, {k}) & 1, {2 * k + 1})")
+        else:
+            terms.append(f"((({a} >> {k}) & 1) << {2 * k})")
+            terms.append(f"((({b} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 — Z-order (Morton) layout key over (user_id, hour-index): the
+    multi-dimensional data-layout lever. Range-partitioning + sorting a
+    100 TB table by z(user, time) clusters BOTH dimensions into every
+    parquet row group, so min/max footer stats prune scans filtered on
+    either column (or a rectangle of both) — a single-column sort can only
+    serve one of the two predicates. This computes the key; the write path
+    is `repartitionByRange(zvalue).sortWithinPartitions(zvalue)` (the
+    Delta/Iceberg OPTIMIZE ZORDER dataflow).
+
+    The interleave is an unrolled 32-term integer expression (shift/mask/
+    add), generated from the same builder for both dialects — whole-stage
+    codegen on the Spark side, never a UDF."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.select(
+        "event_id",
+        (F.col("user_id") % (1 << ZORDER_BITS)).alias("ua"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hb_raw"),
+    ).select(
+        "event_id", "ua", (F.col("hb_raw") % (1 << ZORDER_BITS)).alias("hb")
+    )
+    return base.select(
+        "event_id",
+        F.col("ua").cast("int").alias("u_bucket"),
+        F.col("hb").cast("int").alias("h_bucket"),
+        F.expr(_interleave_expr("ua", "hb", spark_dialect=True)).alias("zvalue"),
+    )
+
+
+def _zorder_sql() -> str:
+    m = 1 << ZORDER_BITS
+    inter = _interleave_expr("ua", "hb", spark_dialect=False)
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         user_id % {m} AS ua,
+         (epoch_us(ts) // 3600000000) % {m} AS hb
+  FROM events
+)
+SELECT event_id, ua::INT AS u_bucket, hb::INT AS h_bucket,
+       ({inter})::BIGINT AS zvalue
+FROM base
+"""
+
+
 # ── L5: explicitly salted skew join ─────────────────────────────────────────
 
 JOIN_SALT = 8
@@ -459,6 +556,8 @@ QUERIES = {
     "pivot_user_event_matrix": pivot_user_event_matrix,
     "incremental_rollup_merge": incremental_rollup_merge,
     "events_resample_ffill": events_resample_ffill,
+    "grouping_sets_report": grouping_sets_report,
+    "events_zorder_key": events_zorder_key,
 }
 
 ORACLES = {
@@ -471,4 +570,6 @@ ORACLES = {
     "pivot_user_event_matrix": _pivot_sql(),
     "incremental_rollup_merge": INCR_ROLLUP_SQL,
     "events_resample_ffill": RESAMPLE_SQL,
+    "grouping_sets_report": GROUPING_SETS_SQL,
+    "events_zorder_key": _zorder_sql(),
 }
