@@ -111,6 +111,7 @@ _VERIFY_FIRST = [
     "events_anomaly_mad",
     "grouping_sets_report",
     "events_zorder_key",
+    "events_session_window_native",
 ]
 
 

@@ -96,6 +96,58 @@ GROUP BY user_id, session_id
 """
 
 
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 — NATIVE session windows: `F.session_window(ts, gap)` merges
+    per-key events whose [t, t+gap) windows overlap, entirely inside one
+    aggregation operator — the API whose streaming twin gets incremental
+    state + watermark eviction for free, where J2's lag+cumsum form is
+    batch-only. Semantics differ from J2 at one boundary: session_window
+    is half-open, so a gap of EXACTLY 30 min starts a new session (J2's
+    `> gap` rule keeps it); the oracle reproduces the half-open rule, and
+    the window end is last_event + gap, not last_event.
+
+    Scale: one shuffle on user_id; Spark merges sessions inside the
+    aggregation (no window-function sort pass over the whole partition
+    history as in J2) — and the identical plan runs under readStream with
+    a watermark."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_NATIVE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, value, us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) + {SESSION_GAP_US} AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
 # ── J5: SCD type-2 state history from the event log ─────────────────────────
 
 
@@ -392,6 +444,7 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_value_outliers": events_value_outliers,
     "events_anomaly_mad": events_anomaly_mad,
+    "events_session_window_native": events_session_window_native,
 }
 
 ORACLES = {
@@ -403,4 +456,5 @@ ORACLES = {
     "events_retention_cohorts": RETENTION_SQL,
     "events_value_outliers": OUTLIERS_SQL,
     "events_anomaly_mad": MAD_SQL,
+    "events_session_window_native": SESSION_NATIVE_SQL,
 }

@@ -213,6 +213,28 @@ def test_partitioned_scan_uses_dynamic_partition_pruning(spark, sf_dir, tmp_path
     assert "dynamicpruning" in plan.lower(), plan
 
 
+def test_mapinpandas_path_prunes_scan_columns(spark, sf_dir):
+    """The Arrow/mapInPandas boundary must not defeat column pruning: the
+    audio-features plan consumes only (doc_id, text), so the documents scan
+    may not read lang/source/n_chars — at 100 TB reading two of five
+    columns is the difference between a 40 TB and a 100 TB scan."""
+    import re
+
+    from australian_company_etl_spark.plans.multimodal import mm_audio_features
+
+    plan = (
+        mm_audio_features(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"ReadSchema:\s*(\S+)", plan)
+    assert m, plan
+    schema = m.group(1)
+    for col in ("lang", "source", "n_chars"):
+        assert col not in schema, f"scan reads pruned column {col}: {schema}"
+
+
 def test_pq_codebook_and_query_tables_are_broadcast(spark, sf_dir):
     """G5: both small sides (centroid codebook joins, ADC query-distance
     table) must be broadcast — the corpus side is never replicated."""
