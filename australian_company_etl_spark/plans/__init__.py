@@ -112,6 +112,9 @@ _VERIFY_FIRST = [
     "grouping_sets_report",
     "events_zorder_key",
     "events_session_window_native",
+    "quality_constraint_checks",
+    "privacy_pseudonymize",
+    "privacy_k_anonymity",
 ]
 
 

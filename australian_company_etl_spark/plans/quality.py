@@ -273,6 +273,135 @@ def _profile_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+K_ANON = 5  # minimum group size for a quasi-identifier combo to be safe
+PSEUDO_SALT = "corpus-release-2026"  # rotate per release; never derivable from data
+
+
+def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — declarative data-contract validation (the dbt-tests /
+    Deequ-style gate the reference runs by hand in run_quality_checks.py):
+    each rule counts its violations, the report is (check, n_violations).
+
+    Rules: referential integrity (orders→customer, lineitem→orders, as
+    LEFT ANTI joins — the scalable FK check, no row explosion), domain
+    bounds (non-positive quantity/price, discount outside [0, 0.5]).
+
+    Scale: each anti join shuffles on its FK (AQE-coalesced); the three
+    scalar rules fold into ONE lineitem scan via conditional counts. The
+    three 1-row aggregates combine with broadcast cross joins and `stack`
+    unpivots — fully declarative, nothing collected on the driver. At
+    100 TB this whole report is two anti joins + one scan."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    oo = (
+        t["orders"]
+        .join(t["customer"].select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti")
+        .agg(F.count("*").alias("fk_orders_customer"))
+    )
+    ol = (
+        t["lineitem"]
+        .join(t["orders"].select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti")
+        .agg(F.count("*").alias("fk_lineitem_orders"))
+    )
+    li = t["lineitem"].agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("nonpos_qty"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias("nonpos_price"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1).otherwise(0)
+        ).alias("discount_out_of_range"),
+    )
+    return (
+        oo.crossJoin(F.broadcast(ol))
+        .crossJoin(F.broadcast(li))
+        .select(
+            F.expr(
+                "stack(5,"
+                " 'fk_orders_customer', fk_orders_customer,"
+                " 'fk_lineitem_orders', fk_lineitem_orders,"
+                " 'nonpositive_quantity', nonpos_qty,"
+                " 'nonpositive_price', nonpos_price,"
+                " 'discount_out_of_range', discount_out_of_range) AS (check, n_violations)"
+            )
+        )
+        .select("check", F.col("n_violations").cast("bigint").alias("n_violations"))
+    )
+
+
+CONSTRAINT_SQL = """
+SELECT 'fk_orders_customer' AS check, count(*)::BIGINT AS n_violations
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'fk_lineitem_orders', count(*)::BIGINT
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'nonpositive_quantity', coalesce(count(*) FILTER (WHERE l_quantity <= 0), 0)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'nonpositive_price', coalesce(count(*) FILTER (WHERE l_extendedprice <= 0), 0)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'discount_out_of_range', coalesce(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5), 0)::BIGINT FROM lineitem
+"""
+
+
+def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — keyed pseudonymization of the event log's user identifier:
+    user_pseudo = 60-bit hash of (salt ‖ user_id). Stable within a release
+    (joins/sessionization still work), unlinkable across releases when the
+    salt rotates, and the raw id never leaves the projection — the minimum
+    viable PII treatment before an event log feeds a training corpus
+    (complements H5, which scrubs PII inside free text).
+
+    Scale: a pure per-row projection — no shuffle, no UDF."""
+    from australian_company_etl_spark.functions.textfns import phash_spark
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return ev.select(
+        "event_id",
+        phash_spark(F.concat(F.lit(PSEUDO_SALT + ":"), F.col("user_id"))).alias(
+            "user_pseudo"
+        ),
+        "event_type",
+    )
+
+
+def _pseudonymize_sql() -> str:
+    from australian_company_etl_spark.functions.textfns import phash_sql
+
+    return f"""
+SELECT event_id,
+       {phash_sql(f"'{PSEUDO_SALT}:' || user_id")} AS user_pseudo,
+       event_type
+FROM events
+"""
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — k-anonymity audit over quasi-identifiers: every
+    (nation, market-segment) combination that fewer than K_ANON customers
+    share is a re-identification risk the release must generalize or
+    suppress. The standard pre-publication audit for any per-user table.
+
+    Scale: one map-side-combined groupBy on the quasi-identifier tuple."""
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("group_size").cast("int").alias("group_size"),
+            (F.col("group_size") >= K_ANON).alias("k_ok"),
+        )
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       count(*)::INT AS group_size,
+       count(*) >= {K_ANON} AS k_ok
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
 QUERIES = {
     "quality_row_counts": quality_row_counts,
     "quality_table_health": quality_table_health,
@@ -280,6 +409,9 @@ QUERIES = {
     "quality_dup_keys": quality_dup_keys,
     "quality_conf_distribution": quality_conf_distribution,
     "quality_column_profile": quality_column_profile,
+    "quality_constraint_checks": quality_constraint_checks,
+    "privacy_pseudonymize": privacy_pseudonymize,
+    "privacy_k_anonymity": privacy_k_anonymity,
 }
 
 ORACLES = {
@@ -288,4 +420,7 @@ ORACLES = {
     "quality_dup_keys": DUP_KEYS_SQL,
     "quality_conf_distribution": CONF_DIST_SQL,
     "quality_column_profile": _profile_sql(),
+    "quality_constraint_checks": CONSTRAINT_SQL,
+    "privacy_pseudonymize": _pseudonymize_sql(),
+    "privacy_k_anonymity": K_ANONYMITY_SQL,
 }
