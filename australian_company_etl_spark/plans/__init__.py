@@ -115,6 +115,9 @@ _VERIFY_FIRST = [
     "quality_constraint_checks",
     "privacy_pseudonymize",
     "privacy_k_anonymity",
+    "events_markov_transitions",
+    "sketch_hll_daily_merge",
+    "mix_corpus_temperature",
 ]
 
 

@@ -153,6 +153,53 @@ WHERE {phash_sql("doc_id::VARCHAR")} % 10000
 """
 
 
+def mix_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N8 — temperature-scaled corpus mixing (the multilingual/multi-source
+    sampling rule, α = 0.5): final counts ∝ n_s^α, so dominant sources are
+    damped and small sources keep everything. Keep-rate per source is
+    r_s = √(n_min / n_s) (the α = 0.5 instance of C·n_s^{α−1}, normalized
+    so the smallest source keeps 100%), applied as the same deterministic
+    hash-threshold filter as N4 — but with DATA-DERIVED rates instead of
+    config constants.
+
+    α is fixed at 0.5 deliberately: sqrt is correctly rounded under IEEE
+    754 (libm `pow` for fractional exponents is not), so both engines
+    compute the identical double and the identical floor(r·10⁴) basis-point
+    threshold — no boundary ulp can flip a doc's keep decision.
+
+    Scale: one map-side-combined count per source (tiny dim), broadcast
+    back; the filter itself stays shuffle-free."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    n_min = counts.agg(F.min("n_src").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_src")) * 10000
+        ).alias("thr_bp"),
+    )
+    bucket = phash_spark(F.col("doc_id").cast("string")) % 10000
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("thr_bp"))
+        .select("doc_id", "source", F.col("thr_bp").cast("int").alias("thr_bp"))
+    )
+
+
+def _mix_temperature_sql() -> str:
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+n_min AS (SELECT min(n_src) AS n_min FROM counts),
+rates AS (
+  SELECT source, floor(sqrt(n_min::DOUBLE / n_src) * 10000) AS thr_bp
+  FROM counts, n_min
+)
+SELECT d.doc_id, d.source, r.thr_bp::INT AS thr_bp
+FROM documents d JOIN rates r USING (source)
+WHERE {phash_sql("d.doc_id::VARCHAR")} % 10000 < r.thr_bp
+"""
+
+
 CHUNK_C = 64  # tokens per chunk
 CHUNK_S = 48  # stride (16-token overlap)
 
@@ -330,6 +377,7 @@ QUERIES = {
     "split_train_holdout": split_train_holdout,
     "pack_sequences": pack_sequences,
     "mix_corpus_weighted": mix_corpus_weighted,
+    "mix_corpus_temperature": mix_corpus_temperature,
     "chunk_documents": chunk_documents,
     "shard_shuffle_deterministic": shard_shuffle_deterministic,
     "sample_weighted_priority": sample_weighted_priority,
@@ -340,6 +388,7 @@ ORACLES = {
     "split_train_holdout": SPLIT_SQL,
     "pack_sequences": PACK_SQL,
     "mix_corpus_weighted": _mix_sql(),
+    "mix_corpus_temperature": _mix_temperature_sql(),
     "chunk_documents": _chunk_sql(),
     "shard_shuffle_deterministic": SHARD_SHUFFLE_SQL,
     "sample_weighted_priority": _priority_sql(),

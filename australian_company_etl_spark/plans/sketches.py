@@ -341,6 +341,107 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — HLL MERGEABILITY, demonstrated as the production dataflow: one
+    64-register sketch is built per (event_type, DAY) — the per-partition
+    partial a daily ingest job would persist — and the per-type cardinality
+    is answered by MERGING the daily sketches (elementwise register max,
+    associative + commutative + idempotent) without revisiting raw events.
+    Because max is associative, merge(daily partials) is REGISTER-IDENTICAL
+    to the all-data sketch — asserted against M5 in tests.
+
+    This is the whole reason sketches win at 100 TB: yesterday's raw events
+    can be archived; the 64-register partial answers every future union.
+
+    Scale: per-day build combines map-side to ≤64 rows per (type, day);
+    the merge is a ≤64-rows-per-group max-agg — bytes, not data."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hashed = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        phash_spark(F.col("user_id").cast("string")).alias("h"),
+    )
+    buckets = hashed.select(
+        "event_type",
+        "day",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("r"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("r") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.bin(F.col("r")))
+        ),
+    )
+    regs_day = buckets.groupBy("event_type", "day", "bucket").agg(
+        F.max("rho").alias("m_reg")
+    )
+    merged = regs_day.groupBy("event_type", "bucket").agg(F.max("m_reg").alias("m_reg"))
+    n_days = regs_day.select("event_type", "day").distinct().groupBy("event_type").agg(
+        F.count("*").alias("n_days")
+    )
+    agg = merged.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m_reg)")).alias("z_present"),
+        F.count("*").alias("n_present"),
+    )
+    z = F.col("z_present") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << 55)
+    raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M)
+        * F.pow(F.lit(2.0), F.lit(55))
+        / z.cast("double")
+    )
+    v = F.lit(HLL_M) - F.col("n_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.join(F.broadcast(n_days), "event_type").select(
+        "event_type",
+        F.col("n_days").cast("int").alias("n_days"),
+        "n_present",
+        F.round(est, 4).alias("hll_estimate"),
+    )
+
+
+def _hll_merge_sql() -> str:
+    h = phash_sql("user_id::VARCHAR")
+    return f"""
+WITH buckets AS (
+  SELECT event_type, ts::DATE AS day,
+         {h} % {HLL_M} AS bucket,
+         {h} // {HLL_M} AS r
+  FROM events
+), rho_ AS (
+  SELECT event_type, day, bucket,
+         CASE WHEN r = 0 THEN 55 ELSE 55 - length(bin(r)) END AS rho
+  FROM buckets
+), regs_day AS (
+  SELECT event_type, day, bucket, max(rho) AS m_reg FROM rho_ GROUP BY 1, 2, 3
+), merged AS (
+  SELECT event_type, bucket, max(m_reg) AS m_reg FROM regs_day GROUP BY 1, 2
+), n_days AS (
+  SELECT event_type, count(DISTINCT day) AS n_days FROM regs_day GROUP BY 1
+), agg AS (
+  SELECT event_type,
+         sum(1::BIGINT << (55 - m_reg))::BIGINT AS z_present,
+         count(*) AS n_present
+  FROM merged GROUP BY 1
+)
+SELECT a.event_type,
+       d.n_days::INT AS n_days,
+       a.n_present,
+       round(
+         CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M}) * pow(2.0, 55)
+                   / (a.z_present + ({HLL_M} - a.n_present) * (1::BIGINT << 55))::DOUBLE
+                   <= {2.5 * HLL_M}
+               AND ({HLL_M} - a.n_present) > 0
+              THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - a.n_present)::DOUBLE)
+              ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M}) * pow(2.0, 55)
+                   / (a.z_present + ({HLL_M} - a.n_present) * (1::BIGINT << 55))::DOUBLE
+         END, 4) AS hll_estimate
+FROM agg a JOIN n_days d USING (event_type)
+"""
+
+
 def _hll_sql() -> str:
     h = phash_sql("user_id::VARCHAR")
     return f"""
@@ -386,6 +487,7 @@ QUERIES = {
     "sketch_bloom_membership": sketch_bloom_membership,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_hll_daily_merge": sketch_hll_daily_merge,
 }
 
 ORACLES = {
@@ -394,4 +496,5 @@ ORACLES = {
     "sketch_bloom_membership": _bloom_sql(),
     "sketch_cms_heavy_hitters": _cms_sql(),
     "sketch_hll_distinct": _hll_sql(),
+    "sketch_hll_daily_merge": _hll_merge_sql(),
 }

@@ -148,6 +148,56 @@ GROUP BY user_id, session_id
 """
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15 — first-order behavior model: the event-type transition matrix.
+    Per user the event stream is ordered and each consecutive
+    (prev → next) pair counted; probabilities are exact integer ppm
+    ((n·10⁶) div total) so the matrix is bit-identical across engines —
+    the input for session simulation, anomaly scoring (improbable
+    transitions), and funnel design.
+
+    Scale: one shuffle on user_id for the lag window, then a
+    map-side-combined groupBy on the (prev, next) pair — K² rows out.
+    The per-prev totals join is a broadcast (K distinct types)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n_transitions").alias("total"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr("(n_transitions * 1000000) div total").alias("p_ppm"),
+    )
+
+
+MARKOV_SQL = """
+WITH pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+  FROM (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+totals AS (SELECT prev_type, sum(n_transitions) AS total FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.next_type, p.n_transitions,
+       ((p.n_transitions * 1000000) // t.total)::BIGINT AS p_ppm
+FROM pairs p JOIN totals t USING (prev_type)
+"""
+
+
 # ── J5: SCD type-2 state history from the event log ─────────────────────────
 
 
@@ -445,6 +495,7 @@ QUERIES = {
     "events_value_outliers": events_value_outliers,
     "events_anomaly_mad": events_anomaly_mad,
     "events_session_window_native": events_session_window_native,
+    "events_markov_transitions": events_markov_transitions,
 }
 
 ORACLES = {
@@ -457,4 +508,5 @@ ORACLES = {
     "events_value_outliers": OUTLIERS_SQL,
     "events_anomaly_mad": MAD_SQL,
     "events_session_window_native": SESSION_NATIVE_SQL,
+    "events_markov_transitions": MARKOV_SQL,
 }

@@ -339,6 +339,24 @@ def test_cluster_cc_checkpointed_equals_default(spark):
     assert got == want and len(got) > 0
 
 
+def test_hll_daily_merge_equals_global_sketch(spark, sf_dir):
+    """M6 — merging per-day register partials (elementwise max) must give
+    EXACTLY the all-data sketch's estimate: register max is associative, so
+    merge(partials) == whole, the property that lets raw data be archived."""
+    from australian_company_etl_spark.plans.sketches import (
+        sketch_hll_daily_merge,
+        sketch_hll_distinct,
+    )
+
+    merged = {
+        r.event_type: r.hll_estimate for r in sketch_hll_daily_merge(spark, sf_dir).collect()
+    }
+    whole = {
+        r.event_type: r.hll_estimate for r in sketch_hll_distinct(spark, sf_dir).collect()
+    }
+    assert merged == whole and len(merged) > 0
+
+
 def test_triangle_count_matches_python_enumeration(spark, sf_dir):
     """F13 — per-doc triangle counts and degrees must equal an independent
     Python enumeration over the same F2 pair list."""
