@@ -118,6 +118,8 @@ _VERIFY_FIRST = [
     "events_markov_transitions",
     "sketch_hll_daily_merge",
     "mix_corpus_temperature",
+    "api_page_keyset",
+    "api_fulltext_rank",
 ]
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.textfns import tokens_all_spark, tokens_all_sql
 from australian_company_etl_spark.sources.registry import load_tables
 
 LOOKUP_KEY = 42
@@ -69,14 +70,106 @@ WHERE n_name = '{STATE_NAME}'
 """
 
 
+PAGE_AFTER = 900  # cursor from the previous page
+PAGE_SIZE = 25
+
+
+def api_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — GET /companies?after={cursor}&limit=n: KEYSET pagination
+    (`WHERE key > cursor ORDER BY key LIMIT n`). Unlike OFFSET — which
+    scans and discards `offset` rows, O(page²) to walk a table and a
+    full-sort-per-page on an engine — the keyset predicate pushes into the
+    parquet scan (row-group min/max skips everything ≤ cursor) and the
+    sort-limit prunes to n rows per partition before the single-partition
+    merge. The only pagination that survives a 100 TB table."""
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    return (
+        c.filter(F.col("c_custkey") > PAGE_AFTER)
+        .orderBy("c_custkey")
+        .limit(PAGE_SIZE)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+PAGE_KEYSET_SQL = f"""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE c_custkey > {PAGE_AFTER}
+ORDER BY c_custkey LIMIT {PAGE_SIZE}
+"""
+
+
+FT_QUERY_TERMS = ["quick", "spark", "table"]
+FT_TOPK = 20
+
+
+def api_fulltext_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — GET /search?q=...: ranked full-text search over the corpus,
+    the query-side twin of the H12 inverted index. Per query term:
+    tf in the doc × the exact integer idf surrogate ((10⁶·N) div df, ln
+    being monotone ⇒ identical ranking); doc score = Σ over matched terms;
+    top-k with deterministic (score desc, doc_id) tie-break.
+
+    Scale: the term list is a broadcast literal; tf comes from one
+    map-side-combined (doc, term) aggregate over the posting rows of JUST
+    the query terms (filter pushed before the explode output shuffles);
+    df is a 3-row aggregate. Serving form: precompute H12's index and this
+    becomes an index lookup instead of a corpus scan — same ranking."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_docs"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("tf * ((1000000 * n_docs) div df_docs)")).alias("score_micro"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(FT_TOPK)
+        .select("doc_id", F.col("n_terms_hit").cast("int").alias("n_terms_hit"), "score_micro")
+    )
+
+
+def _fulltext_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in FT_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_all_sql('text')}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok IN ({terms})
+  GROUP BY doc_id, tok
+), dfreq AS (SELECT tok, count(*) AS df_docs FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id,
+       count(*)::INT AS n_terms_hit,
+       sum(tf * ((1000000 * n.n_docs) // dfreq.df_docs))::BIGINT AS score_micro
+FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT {FT_TOPK}
+"""
+
+
 QUERIES = {
     "api_lookup_by_key": api_lookup_by_key,
     "api_search_ilike": api_search_ilike,
     "api_by_state": api_by_state,
+    "api_page_keyset": api_page_keyset,
+    "api_fulltext_rank": api_fulltext_rank,
 }
 
 ORACLES = {
     "api_lookup_by_key": LOOKUP_SQL,
     "api_search_ilike": SEARCH_SQL,
     "api_by_state": BY_STATE_SQL,
+    "api_page_keyset": PAGE_KEYSET_SQL,
+    "api_fulltext_rank": _fulltext_sql(),
 }
