@@ -120,6 +120,7 @@ _VERIFY_FIRST = [
     "mix_corpus_temperature",
     "api_page_keyset",
     "api_fulltext_rank",
+    "events_corr_value_hour",
 ]
 
 

@@ -485,6 +485,70 @@ WHERE d.adev > {MAD_K} * m.mad
 """
 
 
+def events_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16 — Pearson correlation between event value and hour-of-day per
+    event_type (is traffic value time-of-day dependent?), computed the
+    numerically-principled way: all six sufficient statistics (n, Σx, Σy,
+    Σx², Σy², Σxy) are EXACT integer sums — x = hour ∈ [0,23], y = value
+    in floor-centi-units — held as DECIMAL(38,0) in Spark and HUGEINT in
+    DuckDB, so there is no accumulation-order float drift; the only float
+    ops are the final casts, one multiply, sqrt (correctly rounded), and
+    the division — identical expression order in both engines.
+
+    Built-in `corr()` would stream doubles through a partition-order-
+    dependent summation — unusable for a cross-engine exact gate; this is
+    the same exact-moments discipline as J10's z-score.
+
+    Scale: one map-side-combined aggregate, K rows out."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    d38 = "decimal(38,0)"
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("y"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / F.sqrt(vx * vy), 6).alias("pearson_r"),
+    )
+
+
+CORR_SQL = """
+WITH base AS (
+  SELECT event_type,
+         hour(ts)::BIGINT AS x,
+         CAST(floor(value * 100) AS BIGINT) AS y
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         count(*)::HUGEINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum((x * x)::HUGEINT) AS sxx, sum((y * y)::HUGEINT) AS syy,
+         sum((x * y)::HUGEINT) AS sxy
+  FROM base GROUP BY event_type
+)
+SELECT event_type,
+       n::BIGINT AS n,
+       round((n * sxy - sx * sy)::DOUBLE
+             / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
+             6) AS pearson_r
+FROM agg
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": events_tumbling_agg,
     "events_sessionize": events_sessionize,
@@ -496,6 +560,7 @@ QUERIES = {
     "events_anomaly_mad": events_anomaly_mad,
     "events_session_window_native": events_session_window_native,
     "events_markov_transitions": events_markov_transitions,
+    "events_corr_value_hour": events_corr_value_hour,
 }
 
 ORACLES = {
@@ -509,4 +574,5 @@ ORACLES = {
     "events_anomaly_mad": MAD_SQL,
     "events_session_window_native": SESSION_NATIVE_SQL,
     "events_markov_transitions": MARKOV_SQL,
+    "events_corr_value_hour": CORR_SQL,
 }
