@@ -121,6 +121,7 @@ _VERIFY_FIRST = [
     "api_page_keyset",
     "api_fulltext_rank",
     "events_corr_value_hour",
+    "text_collocations_pmi",
 ]
 
 

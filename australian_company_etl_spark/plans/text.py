@@ -302,6 +302,101 @@ FROM t
 """
 
 
+PMI_MIN_PAIR = 5  # ignore pairs seen fewer times (PMI noise floor)
+PMI_TOPK = 50
+
+
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H14 — collocation / phrase mining: top adjacent-bigram pairs by
+    pointwise mutual information, PMI = ln(N·c_xy / (c_x·c_y)). ln is
+    monotone, so ranking uses the EXACT integer surrogate
+    (1000·N·c_xy) div (c_x·c_y) — bit-identical across engines, no float
+    logs anywhere. The standard corpus step for finding multiword units
+    ("new york") before tokenizer/vocab training.
+
+    Overflow headroom: the surrogate peaks at 1000·N² ≈ 8·10¹⁶ for a
+    corpus of 9M tokens — inside BIGINT here; at 100 TB (10¹²⁺ tokens)
+    swap the arithmetic to DECIMAL(38,0)/HUGEINT, same expressions.
+
+    Scale: bigram rows ride the doc_id partitioning (posexplode + lead);
+    one shuffle each for pair and unigram counts; the unigram table joins
+    back twice — both sides shrink to vocabulary size first, and the
+    corpus total is a broadcast scalar."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    from pyspark.sql import Window
+
+    ex = docs.select("doc_id", F.posexplode(tokens_all_spark(F.col("text"))).alias("pos", "x"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        ex.withColumn("y", F.lead("x").over(wd))
+        .filter(F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_PAIR)
+    )
+    uni = ex.groupBy("x").agg(F.count("*").alias("c"))
+    n_tok = ex.agg(F.count("*").alias("n_total"))
+    scored = (
+        bi.join(uni.withColumnRenamed("c", "c_x"), "x")
+        .join(
+            uni.select(F.col("x").alias("y"), F.col("c").alias("c_y")), "y"
+        )
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("(1000 * n_total * c_xy) div (c_x * c_y)").alias("pmi_milli"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_milli"), F.asc("x"), F.asc("y"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PMI_TOPK)
+        .select("x", "y", "c_xy", "c_x", "c_y", "pmi_milli", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _collocations_sql() -> str:
+    toks = tokens_all_sql("text")
+    return f"""
+WITH ex AS (
+  SELECT doc_id, u.pos AS pos, u.x AS x
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+             i -> {{'pos': i, 'x': t[i]}})) AS u
+    FROM (SELECT doc_id, {toks} AS t FROM documents)
+  )
+),
+bi AS (
+  SELECT x, y, count(*) AS c_xy
+  FROM (
+    SELECT x, lead(x) OVER (PARTITION BY doc_id ORDER BY pos) AS y FROM ex
+  )
+  WHERE y IS NOT NULL
+  GROUP BY x, y
+  HAVING count(*) >= {PMI_MIN_PAIR}
+),
+uni AS (SELECT x, count(*) AS c FROM ex GROUP BY x),
+n AS (SELECT count(*) AS n_total FROM ex),
+scored AS (
+  SELECT b.x, b.y, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+         ((1000 * n.n_total * b.c_xy) // (ux.c * uy.c))::BIGINT AS pmi_milli
+  FROM bi b JOIN uni ux ON ux.x = b.x
+            JOIN uni uy ON uy.x = b.y
+            CROSS JOIN n
+)
+SELECT x, y, c_xy, c_x, c_y, pmi_milli, rnk::INT AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi_milli DESC, x, y) AS rnk FROM scored
+)
+WHERE rnk <= {PMI_TOPK}
+"""
+
+
 def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H13 — token-type Shannon entropy per document: H = ln(n) −
     (Σ cᵢ·ln cᵢ)/n over token-type counts cᵢ. Low entropy = repetitive /
@@ -696,6 +791,7 @@ QUERIES = {
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_inverted_index": text_inverted_index,
     "text_entropy": text_entropy,
+    "text_collocations_pmi": text_collocations_pmi,
 }
 
 ORACLES = {
@@ -712,4 +808,5 @@ ORACLES = {
     "text_tfidf_topterms": TFIDF_TOPTERMS_SQL,
     "text_inverted_index": INVERTED_INDEX_SQL,
     "text_entropy": _entropy_sql(),
+    "text_collocations_pmi": _collocations_sql(),
 }

@@ -26,6 +26,7 @@ NESTED_LOOP_OK = {
     "text_idf_vocab",  # 1-row corpus-size aggregate broadcast as a scalar
     "text_tfidf_topterms",  # 1-row corpus-size aggregate broadcast as a scalar
     "api_fulltext_rank",  # 1-row corpus-size aggregate broadcast as a scalar
+    "text_collocations_pmi",  # 1-row corpus-total aggregate broadcast as a scalar
     "q11_important_stock",  # 1-row total-value threshold broadcast as a scalar
     "q15_top_supplier",  # 1-row max-revenue aggregate broadcast as a scalar
     "q22_global_sales_opp",  # 1-row avg-balance threshold broadcast as a scalar
