@@ -102,6 +102,8 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "dedup_ngram_jaccard",
     "quality_table_health",
+    # ---- new operators added later in round 2 (beyond the driver cap;
+    # pytest + sf0.01 sweep green, rotate into the driver gate round 3+) ----
     "dedup_setsim_prefix",
     "dedup_substring_spans",
     "curate_keep_best",
