@@ -124,6 +124,8 @@ _VERIFY_FIRST = [
     "api_fulltext_rank",
     "events_corr_value_hour",
     "text_collocations_pmi",
+    "window_value_deciles",
+    "set_ops_customer_segments",
 ]
 
 

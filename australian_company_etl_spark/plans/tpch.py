@@ -373,6 +373,78 @@ LIMIT 100
 """
 
 
+def window_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 — distribution window functions over customer balances, per
+    market segment: percent_rank (exact rank position), cume_dist
+    (fraction ≤ this row), and ntile(10) decile assignment — the
+    feature-bucketing trio for scorecards and monotone binning.
+
+    Ties are broken by (c_acctbal, c_custkey), so every function is a pure
+    function of the data in both engines — ntile's uneven-bucket boundary
+    placement follows the same deterministic row order.
+
+    Scale: one shuffle on the partition key; all three functions share a
+    single sort, which Catalyst plans as one Window operator."""
+    from pyspark.sql import Window as W
+
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+DECILES_SQL = """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist,
+       ntile(10) OVER w AS decile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25 — relational set operators: customers who placed an order in
+    1995 INTERSECT those who placed one in 1996 (retained), plus 1995
+    EXCEPT 1996 (churned), labeled in one result. Spark plans INTERSECT as
+    a left-semi and EXCEPT as a left-anti over distinct keys — the
+    shuffle-dedup shape, never a full materialized union.
+
+    Scale: each branch is distinct-project → semi/anti join on the
+    customer key; AQE coalesces the small outputs."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    retained = y95.intersect(y96).select(
+        F.col("o_custkey").alias("c_custkey"), F.lit("retained").alias("cohort")
+    )
+    churned = y95.exceptAll(y96).select(
+        F.col("o_custkey").alias("c_custkey"), F.lit("churned").alias("cohort")
+    )
+    return retained.unionByName(churned)
+
+
+SET_OPS_SQL = """
+SELECT o_custkey AS c_custkey, 'retained' AS cohort FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+UNION ALL
+SELECT o_custkey, 'churned' FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -384,6 +456,8 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "window_top_orders_per_cust": window_top_orders_per_cust,
+    "window_value_deciles": window_value_deciles,
+    "set_ops_customer_segments": set_ops_customer_segments,
 }
 
 ORACLES = {
@@ -397,4 +471,6 @@ ORACLES = {
     "q14_promo_revenue": Q14_SQL,
     "q18_large_orders": Q18_SQL,
     "window_top_orders_per_cust": WINDOW_SQL,
+    "window_value_deciles": DECILES_SQL,
+    "set_ops_customer_segments": SET_OPS_SQL,
 }
