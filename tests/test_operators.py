@@ -325,6 +325,37 @@ def test_keep_best_selects_max_quality_per_cluster(spark, sf_dir):
         assert all(r.cluster_size == len(members) for r in members)
 
 
+def test_results_invariant_under_shuffle_fanout(spark):
+    """Partition-layout independence, the determinism claim behind every
+    'reproducible across cluster sizes' docstring: representative
+    order-sensitive queries (iterative k-means, window packing, hash
+    shard addressing, minhash pairs) must produce IDENTICAL rows when the
+    shuffle fan-out changes 32 → 7."""
+    from australian_company_etl_spark.plans.dedup import dedup_minhash_lsh
+    from australian_company_etl_spark.plans.sampling import (
+        pack_sequences,
+        shard_shuffle_deterministic,
+    )
+    from australian_company_etl_spark.plans.similarity import cluster_kmeans_embed
+
+    sf_dir = "/root/testdata/sf0.001"
+    targets = {
+        "kmeans": cluster_kmeans_embed,
+        "pack": pack_sequences,
+        "shard": shard_shuffle_deterministic,
+        "minhash": dedup_minhash_lsh,
+    }
+    base = {k: {tuple(r) for r in fn(spark, sf_dir).collect()} for k, fn in targets.items()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        for k, fn in targets.items():
+            got = {tuple(r) for r in fn(spark, sf_dir).collect()}
+            assert got == base[k], f"{k} changed under a different shuffle fan-out"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_cluster_cc_checkpointed_equals_default(spark):
     """F6 — forcing a lineage checkpoint every round must not change the
     fixpoint labels (the truncation is pure plan surgery)."""
