@@ -126,6 +126,9 @@ _VERIFY_FIRST = [
     "text_collocations_pmi",
     "window_value_deciles",
     "set_ops_customer_segments",
+    "events_freshness",
+    "events_gap_stats",
+    "orders_rfm_segments",
 ]
 
 

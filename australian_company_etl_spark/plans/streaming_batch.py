@@ -549,6 +549,84 @@ FROM agg
 """
 
 
+def events_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17 — ingest freshness / staleness monitor: per event_type, the last
+    seen event and how many whole hours it lags the stream's global
+    high-water mark. The first page of every pipeline dashboard — a source
+    whose staleness grows is a dead upstream. The reference's ledger
+    (processed_files timestamps) answers the same question per file.
+
+    Anchoring staleness to the GLOBAL max (not wall clock) keeps the
+    result a pure function of the data. Scale: two tiny aggregates; the
+    1-row high-water mark broadcasts."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.unix_micros(F.col("ts"))).alias("max_us"),
+    )
+    hwm = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("hwm_us"))
+    return per_type.crossJoin(F.broadcast(hwm)).select(
+        "event_type",
+        "n_events",
+        F.date_format(F.timestamp_micros(F.col("max_us")), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_seen"
+        ),
+        F.expr("(hwm_us - max_us) div 3600000000").alias("staleness_hours"),
+    )
+
+
+FRESHNESS_SQL = """
+WITH per_type AS (
+  SELECT event_type, count(*) AS n_events, max(epoch_us(ts)) AS max_us
+  FROM events GROUP BY event_type
+),
+hwm AS (SELECT max(epoch_us(ts)) AS hwm_us FROM events)
+SELECT event_type, n_events,
+       strftime(make_timestamp(max_us), '%Y-%m-%d %H:%M:%S') AS last_seen,
+       ((hwm_us - max_us) // 3600000000)::BIGINT AS staleness_hours
+FROM per_type, hwm
+"""
+
+
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J18 — inter-arrival statistics per user: count, median and p90 of
+    the gap between consecutive events (whole seconds, exact interpolated
+    percentiles — the M2-proven parity pair). The session-gap and
+    engagement-cadence evidence that motivates J2's 30-minute threshold.
+
+    Scale: one shuffle on user_id for the lag window; the percentile
+    aggregate rides the same partitioning."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
+        .filter(F.col("prev_us").isNotNull())
+        .select("user_id", F.expr("(us - prev_us) div 1000000").alias("gap_s"))
+    )
+    pct = F.expr("percentile(gap_s, array(0.5D, 0.9D))")
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(pct[0], 3).alias("median_gap_s"),
+        F.round(pct[1], 3).alias("p90_gap_s"),
+    )
+
+
+GAP_STATS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000)::BIGINT AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 3) AS median_gap_s,
+       round(quantile_cont(gap_s, 0.9), 3) AS p90_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": events_tumbling_agg,
     "events_sessionize": events_sessionize,
@@ -561,6 +639,8 @@ QUERIES = {
     "events_session_window_native": events_session_window_native,
     "events_markov_transitions": events_markov_transitions,
     "events_corr_value_hour": events_corr_value_hour,
+    "events_freshness": events_freshness,
+    "events_gap_stats": events_gap_stats,
 }
 
 ORACLES = {
@@ -575,4 +655,6 @@ ORACLES = {
     "events_session_window_native": SESSION_NATIVE_SQL,
     "events_markov_transitions": MARKOV_SQL,
     "events_corr_value_hour": CORR_SQL,
+    "events_freshness": FRESHNESS_SQL,
+    "events_gap_stats": GAP_STATS_SQL,
 }

@@ -445,6 +445,79 @@ SELECT o_custkey, 'churned' FROM (
 """
 
 
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26 — RFM customer segmentation: recency (days behind the dataset's
+    last order), frequency (order count), monetary (lifetime spend), each
+    scored into quintiles by ntile(5) with a deterministic c_custkey
+    tie-break (5 = best: most recent / most frequent / highest spend), and
+    the familiar 3-digit segment label. The marketing-analytics staple —
+    and the anchor is the data's own max date, so the result is a pure
+    function of the corpus.
+
+    Scale: one groupBy on the customer key; the three ntile windows are
+    unpartitioned global sorts over ONE row per customer (already
+    aggregated — tiny), not over orders."""
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    hwm = orders.agg(F.max(F.to_date("o_orderdate")).alias("hwm"))
+    base = per_cust.crossJoin(F.broadcast(hwm)).select(
+        "o_custkey",
+        F.datediff("hwm", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r_w = W.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    f_w = W.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+    m_w = W.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    scored = base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate::DATE) AS last_order,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+hwm AS (SELECT max(o_orderdate::DATE) AS hwm FROM orders),
+base AS (
+  SELECT o_custkey,
+         date_diff('day', last_order, hwm) AS recency_days,
+         frequency, monetary
+  FROM per_cust, hwm
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+  FROM base
+)
+SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+FROM scored
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -458,6 +531,7 @@ QUERIES = {
     "window_top_orders_per_cust": window_top_orders_per_cust,
     "window_value_deciles": window_value_deciles,
     "set_ops_customer_segments": set_ops_customer_segments,
+    "orders_rfm_segments": orders_rfm_segments,
 }
 
 ORACLES = {
@@ -473,4 +547,5 @@ ORACLES = {
     "window_top_orders_per_cust": WINDOW_SQL,
     "window_value_deciles": DECILES_SQL,
     "set_ops_customer_segments": SET_OPS_SQL,
+    "orders_rfm_segments": RFM_SQL,
 }
