@@ -39,6 +39,178 @@ def real_decode(payload: bytes) -> tuple[int, int, int, float]:
     )
 
 
+# ── AVI: a REAL video container codec (pure struct + numpy) ─────────────────
+# Uncompressed 24bpp DIB frames ('00db' chunks) in a standard RIFF/AVI
+# container: LIST hdrl (avih + strl(strh 'vids'/'DIB ', strf
+# BITMAPINFOHEADER)) followed by LIST movi — the layout every AVI demuxer
+# expects; media tools open these bytes directly. Decode walks the RIFF
+# chunk tree (word-aligned sizes), reads geometry from avih/strf, and
+# un-pads/un-flips each frame's DIB rows. Only COMPRESSED codecs
+# (H.264/JPEG/PNG) remain behind the declared `real_decode` stub.
+
+AVI_W, AVI_H = 8, 4  # 32 px per frame
+AVI_FPS = 10
+
+
+def _dib_body(gray: "np.ndarray", width: int, height: int) -> bytes:
+    import numpy as np
+
+    grid = gray.reshape(height, width)
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    return b"".join(
+        np.repeat(grid[r], 3).astype(np.uint8).tobytes() + b"\x00" * pad
+        for r in range(height - 1, -1, -1)
+    )
+
+
+def avi_encode(frames: list["np.ndarray"], width: int = AVI_W, height: int = AVI_H) -> bytes:
+    """List of width·height grayscale frames → RIFF/AVI bytes."""
+    import struct
+
+    n = len(frames)
+    row_bytes = width * 3
+    frame_bytes = (row_bytes + ((-row_bytes) % 4)) * height
+    avih = struct.pack(
+        "<4sI14I",
+        b"avih", 56,
+        1_000_000 // AVI_FPS, frame_bytes * AVI_FPS, 0, 0,
+        n, 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4sI4s4sIHHIIIIIIIIHHHH",
+        b"strh", 56, b"vids", b"DIB ",
+        0, 0, 0, 0, 1, AVI_FPS, 0, n, frame_bytes, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<4sIIiiHHIIiiII",
+        b"strf", 40, 40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi_chunks = b"".join(
+        b"00db" + struct.pack("<I", frame_bytes) + _dib_body(f, width, height)
+        for f in frames
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_chunks)) + b"movi" + movi_chunks
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(payload: bytes) -> tuple[int, int, list["np.ndarray"]]:
+    """(width, height, top-down grayscale frames) from an uncompressed AVI."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = None
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes, off: int, end: int) -> None:
+        nonlocal width, height
+        while off + 8 <= end:
+            cid = buf[off : off + 4]
+            (size,) = struct.unpack("<I", buf[off + 4 : off + 8])
+            data_off = off + 8
+            if cid == b"LIST":
+                walk(buf, data_off + 4, data_off + size)
+            elif cid == b"avih":
+                fields = struct.unpack("<14I", buf[data_off : data_off + 56])
+                width, height = fields[8], fields[9]
+            elif cid == b"00db" and width:
+                row_bytes = width * 3
+                stride = row_bytes + ((-row_bytes) % 4)
+                rows = []
+                for r in range(height):
+                    ro = data_off + r * stride
+                    rows.append(
+                        np.frombuffer(buf[ro : ro + row_bytes], dtype=np.uint8)[::3]
+                    )
+                rows.reverse()  # DIB rows are bottom-up
+                frames.append(np.concatenate(rows))
+            off = data_off + size + (size % 2)  # chunks are word-aligned
+
+    walk(payload, 12, len(payload))
+    return width, height, frames
+
+
+def text_to_frames(text: str) -> list["np.ndarray"]:
+    """Deterministic frames from text: 32 chars (codepoint bytes) per
+    8×4 frame, zero-padded; ≥ 1 frame so empty docs still decode."""
+    import numpy as np
+
+    px = text_to_pixels(text)
+    per = AVI_W * AVI_H
+    n_frames = max(1, -(-len(px) // per))
+    padded = np.zeros(n_frames * per, dtype=np.uint8)
+    padded[: len(px)] = px
+    return [padded[i * per : (i + 1) * per] for i in range(n_frames)]
+
+
+def attach_avi_payload(docs: DataFrame) -> DataFrame:
+    """Encode stage: text → real AVI bytes, Arrow-batched."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [avi_encode(text_to_frames(t or "")) for t in pdf["text"]],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _encode, schema="doc_id bigint, payload binary"
+    )
+
+
+VIDEO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_frames int, n_sampled int, n_px bigint, sum_px bigint, "
+    "max_px int, mean_e4 bigint"
+)
+
+
+def video_frame_sample_features(mm: DataFrame, stride: int = 2) -> DataFrame:
+    """Decode + frame-sample stage: AVI payload → every `stride`-th frame →
+    exact integer pixel features over the SAMPLED frames only (the
+    keyframe-sampling shape of a video preprocessing pipeline)."""
+    import math
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, frames = avi_decode(bytes(payload))
+                sampled = frames[::stride]
+                px = np.concatenate(sampled) if sampled else np.array([], dtype=np.uint8)
+                n_px = int(px.size)
+                s = int(px.sum(dtype=np.int64))
+                rows.append(
+                    (
+                        doc_id,
+                        len(frames),
+                        len(sampled),
+                        n_px,
+                        s,
+                        int(px.max()) if n_px else 0,
+                        math.floor(s / n_px * 10000) if n_px else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_sampled", "n_px", "sum_px", "max_px", "mean_e4",
+                ],
+            )
+
+    return mm.mapInPandas(_features, schema=VIDEO_FEATURES_SCHEMA)
+
+
 # ── WAV/PCM: a REAL audio codec (pure struct + numpy, no external libs) ─────
 # 16-bit little-endian mono PCM in a standard RIFF/WAVE container — bytes
 # produced here open in any audio tool (and in Python's stdlib `wave`,

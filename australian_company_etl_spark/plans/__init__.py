@@ -129,6 +129,7 @@ _VERIFY_FIRST = [
     "events_freshness",
     "events_gap_stats",
     "orders_rfm_segments",
+    "mm_video_framesample",
 ]
 
 

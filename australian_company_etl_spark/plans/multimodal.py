@@ -141,15 +141,65 @@ FROM (SELECT doc_id, {samples} AS s FROM documents)
 """
 
 
+def mm_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 — REAL video container path: text → uncompressed RIFF/AVI bytes
+    (24bpp DIB frames in the standard hdrl/movi layout) → chunk-walking
+    decode → every 2nd frame sampled → exact integer pixel features over
+    the sampled frames. This is the keyframe-sampling dataflow of a video
+    preprocessing pipeline with a real demuxer; only compressed codecs
+    (H.264/JPEG) remain behind the declared stub."""
+    from australian_company_etl_spark.operators.multimodal import (
+        attach_avi_payload,
+        video_frame_sample_features,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return video_frame_sample_features(attach_avi_payload(docs), stride=2)
+
+
+# frames hold 32 chars each (8×4, zero-padded); stride-2 sampling keeps
+# frames 0,2,4,… — i.e. chars whose 0-based frame index is even. The zero
+# padding adds nothing to sum/max, so the oracle reproduces every feature
+# from the characters alone.
+_VIDEO_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         greatest((length(text) + 31) // 32, 1) AS n_frames,
+         list_transform(range(1, length(text) + 1),
+                        i -> CASE WHEN ((i - 1) // 32) % 2 = 0
+                                  THEN ascii(substring(text, i, 1)) END) AS px0
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_frames,
+         (n_frames + 1) // 2 AS n_sampled,
+         list_filter(px0, x -> x IS NOT NULL) AS px
+  FROM base
+)
+SELECT doc_id,
+       n_frames::INT AS n_frames,
+       n_sampled::INT AS n_sampled,
+       (32 * n_sampled)::BIGINT AS n_px,
+       CAST(coalesce(list_sum(px), 0) AS BIGINT) AS sum_px,
+       CAST(coalesce(list_max(px), 0) AS INT) AS max_px,
+       CAST(floor(coalesce(list_sum(px), 0)::DOUBLE / (32 * n_sampled) * 10000)
+            AS BIGINT) AS mean_e4
+FROM s
+"""
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_audio_features": mm_audio_features,
     "mm_audio_resample": mm_audio_resample,
     "mm_image_features": mm_image_features,
+    "mm_video_framesample": mm_video_framesample,
 }
 ORACLES = {
     "mm_binary_meta": MM_BINARY_META_SQL,
     "mm_audio_features": _audio_sql(1),
     "mm_audio_resample": _audio_sql(4),
     "mm_image_features": _IMAGE_SQL,
+    "mm_video_framesample": _VIDEO_SQL,
 }

@@ -137,3 +137,36 @@ def test_sample_frames_shape(spark, sf_dir):
             range(len(frs))
         )
         assert all(len(bytes(f.frame_bytes)) <= 64 for f in frs)
+
+
+def test_avi_codec_roundtrip_and_container_fields():
+    """I6 — encode→decode recovers every frame exactly, and the container
+    carries the standard RIFF/AVI chunk layout (hdrl avih, strl strh/strf,
+    movi 00db) with consistent sizes."""
+    import struct
+
+    import numpy as np
+
+    from australian_company_etl_spark.operators.multimodal import (
+        avi_decode,
+        avi_encode,
+        text_to_frames,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog " * 3
+    frames = text_to_frames(text)
+    payload = avi_encode(frames)
+    # container invariants
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    assert riff_size == len(payload) - 8
+    assert b"hdrl" in payload and b"movi" in payload
+    assert payload.count(b"00db") == len(frames)
+    # lossless roundtrip
+    w, h, back = avi_decode(payload)
+    assert (w, h) == (8, 4) and len(back) == len(frames)
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    # empty doc still yields one decodable all-zero frame
+    _, _, empty = avi_decode(avi_encode(text_to_frames("")))
+    assert len(empty) == 1 and int(empty[0].sum()) == 0
