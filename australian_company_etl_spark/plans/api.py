@@ -105,9 +105,13 @@ FT_TOPK = 20
 def api_fulltext_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 — GET /search?q=...: ranked full-text search over the corpus,
     the query-side twin of the H12 inverted index. Per query term:
-    tf in the doc × the exact integer idf surrogate ((10⁶·N) div df, ln
-    being monotone ⇒ identical ranking); doc score = Σ over matched terms;
-    top-k with deterministic (score desc, doc_id) tie-break.
+    tf in the doc × the exact integer idf surrogate ((10⁶·N) div df); doc
+    score = Σ over matched terms; top-k with deterministic (score desc,
+    doc_id) tie-break. The surrogate is a deterministic cross-engine
+    ranking that equals true tf·ln-idf ranking for single-term matches;
+    for multi-term docs the monotone transform does not commute with the
+    sum, so orderings can differ from ln-idf — the oracle uses the same
+    surrogate, so parity is exact either way.
 
     Scale: the term list is a broadcast literal; tf comes from one
     map-side-combined (doc, term) aggregate over the posting rows of JUST

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -274,7 +276,11 @@ def _profile_sql() -> str:
 
 
 K_ANON = 5  # minimum group size for a quasi-identifier combo to be safe
-PSEUDO_SALT = "corpus-release-2026"  # rotate per release; never derivable from data
+# Demo default only — a salt is only a salt if it is secret; production loads
+# it from a secret store and rotates per release (see C9 docstring). The env
+# override is read at import so the Spark plan and the oracle SQL (both built
+# from this constant) stay in agreement.
+PSEUDO_SALT = os.environ.get("SPARK_GRAFT_PSEUDO_SALT", "corpus-release-2026")
 
 
 def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,6 +354,12 @@ def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt rotates, and the raw id never leaves the projection — the minimum
     viable PII treatment before an event log feeds a training corpus
     (complements H5, which scrubs PII inside free text).
+
+    The salt here is a source-committed demo constant, so the
+    unlinkability property only holds against parties without repo
+    access; a production deployment must load the salt from a secret
+    store (env var / KMS) — a salt is only a salt if it is secret — and
+    rotate it per release. Override via SPARK_GRAFT_PSEUDO_SALT.
 
     Scale: a pure per-row projection — no shuffle, no UDF."""
     from australian_company_etl_spark.functions.textfns import phash_spark

@@ -82,8 +82,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, value, us,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -101,10 +101,11 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key events whose [t, t+gap) windows overlap, entirely inside one
     aggregation operator — the API whose streaming twin gets incremental
     state + watermark eviction for free, where J2's lag+cumsum form is
-    batch-only. Semantics differ from J2 at one boundary: session_window
-    is half-open, so a gap of EXACTLY 30 min starts a new session (J2's
-    `> gap` rule keeps it); the oracle reproduces the half-open rule, and
-    the window end is last_event + gap, not last_event.
+    batch-only. Boundary semantics (verified empirically): session_window
+    MERGES events exactly gap apart — each event spans [t, t+gap) and a
+    next event at t+gap overlaps-or-touches, so an exact-gap pair stays
+    one session, same as J2's `> gap` rule; the window end is
+    last_event + gap, not last_event.
 
     Scale: one shuffle on user_id; Spark merges sessions inside the
     aggregation (no window-function sort pass over the whole partition
@@ -128,14 +129,14 @@ SESSION_NATIVE_SQL = f"""
 WITH flagged AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS us,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, value, us,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id,
@@ -518,10 +519,13 @@ def events_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # Zero-variance guard: a degenerate group (constant hour or constant
+    # value) must yield NULL in BOTH engines — unguarded, Spark's non-ANSI
+    # 0/0 is NULL while DuckDB's IEEE division is inf/nan.
     return agg.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        F.round(num / F.sqrt(vx * vy), 6).alias("pearson_r"),
+        F.when(vx * vy > 0, F.round(num / F.sqrt(vx * vy), 6)).alias("pearson_r"),
     )
 
 
@@ -542,9 +546,12 @@ agg AS (
 )
 SELECT event_type,
        n::BIGINT AS n,
-       round((n * sxy - sx * sy)::DOUBLE
-             / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
-             6) AS pearson_r
+       CASE WHEN (n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE > 0
+            THEN round((n * sxy - sx * sy)::DOUBLE
+                       / sqrt((n * sxx - sx * sx)::DOUBLE
+                              * (n * syy - sy * sy)::DOUBLE),
+                       6)
+            ELSE NULL END AS pearson_r
 FROM agg
 """
 

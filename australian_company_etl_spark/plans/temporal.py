@@ -387,7 +387,9 @@ def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pivot_sql() -> str:
     cols = ", ".join(
-        f'coalesce(sum(CASE WHEN event_type = \'{t}\' THEN 1 ELSE 0 END), 0) AS "{t}"'
+        # CAST: DuckDB sum(INTEGER) is HUGEINT, which the driver's fetch
+        # renders as float and hash-mismatches Spark's BIGINT cells.
+        f'CAST(coalesce(sum(CASE WHEN event_type = \'{t}\' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "{t}"'
         for t in PIVOT_TYPES
     )
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
