@@ -192,3 +192,87 @@ def compact_dataset(spark, path: str, target_bytes: int = 128 << 20) -> dict:
         "rows_per_file": rows_per_file,
         "ok": True,
     }
+
+
+# ── JDBC sink (reference terminal-store parity) ─────────────────────────────
+# The reference's terminal store is Postgres, loaded with driver-side
+# psycopg2 execute_values batches and ON CONFLICT DO NOTHING
+# (extract_abr.py:57-66, docker-compose.yml). Spark-first: every executor
+# opens its own connection and streams its partition through batched
+# INSERTs — N_partitions parallel writers instead of one driver loop.
+# Unverifiable end-to-end in this sandbox (no JDBC server, no driver jar);
+# the option-assembly contract below is what the tests pin.
+
+#: Spark's JDBC writer has no native upsert — append/overwrite only. The
+#: reference's ON CONFLICT DO NOTHING posture maps to the two-step lake
+#: pattern: `to_jdbc(df, ..., table="staging_x", mode="overwrite")` then a
+#: single driver-side `INSERT ... SELECT ... ON CONFLICT DO NOTHING` from
+#: staging to target — the MERGE runs in the database, where it is one
+#: statement, not a per-row round trip.
+JDBC_DEFAULT_BATCHSIZE = 10_000
+JDBC_DEFAULT_ISOLATION = "READ_COMMITTED"
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    batchsize: int = JDBC_DEFAULT_BATCHSIZE,
+    isolation_level: str = JDBC_DEFAULT_ISOLATION,
+    num_partitions: int | None = None,
+    truncate: bool = False,
+    driver: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Assemble the `spark.write.format("jdbc")` option map (pure, testable).
+
+    - ``batchsize``: rows per executeBatch round trip — the Spark analog of
+      the reference's execute_values page size.
+    - ``isolationLevel``: transaction isolation of each writer task's
+      connection (NONE/READ_COMMITTED/.../SERIALIZABLE).
+    - ``numPartitions``: cap on concurrent connections; a 1000-executor
+      cluster must not open 1000 sessions against one Postgres — repartition
+      down to the database's connection budget before the write.
+    - ``truncate``: with mode="overwrite", TRUNCATE instead of DROP+CREATE
+      so indexes/grants survive.
+    """
+    if batchsize < 1:
+        raise ValueError(f"batchsize must be >= 1, got {batchsize}")
+    allowed = {"NONE", "READ_UNCOMMITTED", "READ_COMMITTED", "REPEATABLE_READ", "SERIALIZABLE"}
+    if isolation_level not in allowed:
+        raise ValueError(f"isolationLevel {isolation_level!r} not in {sorted(allowed)}")
+    opts: dict[str, str] = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batchsize),
+        "isolationLevel": isolation_level,
+        "truncate": str(truncate).lower(),
+    }
+    if num_partitions is not None:
+        if num_partitions < 1:
+            raise ValueError(f"numPartitions must be >= 1, got {num_partitions}")
+        opts["numPartitions"] = str(num_partitions)
+    if driver:
+        opts["driver"] = driver
+    for k, v in (properties or {}).items():
+        opts[str(k)] = str(v)
+    return opts
+
+
+def to_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    **kwargs,
+) -> None:
+    """Write ``df`` to a JDBC table with the batched-writer posture above.
+
+    ``kwargs`` pass through to :func:`jdbc_options`. Modes: append /
+    overwrite / ignore / error (upsert: see module note — stage + one
+    in-database MERGE)."""
+    if mode not in {"append", "overwrite", "ignore", "error", "errorifexists"}:
+        raise ValueError(f"unsupported mode {mode!r}")
+    writer = df.write.format("jdbc").mode(mode)
+    for k, v in jdbc_options(url, table, **kwargs).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -257,6 +257,7 @@ def run_dedup_within_watermark_to_memory(
     name: str = "wmdedup",
     delay: str = "1 hour",
     max_files: int = 1,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Watermark-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`):
     unlike `dedup_stream`'s plain dropDuplicates — whose key state grows
@@ -280,6 +281,10 @@ def run_dedup_within_watermark_to_memory(
         .start()
     )
     q.awaitTermination()
+    if progress_out is not None:
+        # surface per-batch state-store metrics (numRowsTotal etc.) so tests
+        # can assert the bounded-state property, not just output equality
+        progress_out.extend(q.recentProgress)
     return spark.table(name)
 
 

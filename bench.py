@@ -54,37 +54,50 @@ def main() -> None:
     spark = get_spark(app_name="aus-etl-bench")
     queries = all_queries()
 
-    # JVM/codegen warmup outside the timed region: run every headliner once
-    # at the smallest SF so the timed loop measures throughput, not
-    # per-plan codegen/JIT
+    # JVM/codegen warmup outside the timed region, two tiers:
+    # (1) every headliner once at the smallest SF (plan compilation +
+    #     codegen for all 12 plans);
+    # (2) every headliner once UNTIMED at the benchmark SF itself — tiered
+    #     JIT only reaches steady state after the hot codegen paths see
+    #     full-scale row counts (the round-2 sf0.1 numbers were taken with
+    #     C2 still compiling: minhash timed 6.5s at sf0.1 but 2.2s at sf1,
+    #     where a full-scale warm run already preceded the timed loop).
     warm_dir = "/root/testdata/sf0.001" if os.path.isdir("/root/testdata/sf0.001") else sf_dir
     for name in HEADLINERS:
         queries[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+    for name in HEADLINERS:
+        spark.catalog.clearCache()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # min of 2 timed runs per query: machine noise at this data scale is of
+    # min of 3 timed runs per query: machine noise at this data scale is of
     # the same order as the queries themselves, and the driver records one
-    # number. The cache is cleared before every run so internal persists
-    # from the previous run can't turn the second run into a cache read —
-    # each timed run does the full compute with warmed codegen/JIT.
+    # number; the per-query spread (max-min across the timed runs) is
+    # reported alongside so that number carries an error bar. The cache is
+    # cleared before every run so internal persists from the previous run
+    # can't turn a later run into a cache read — each timed run does the
+    # full compute with warmed codegen/JIT.
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     total = 0.0
     for name in HEADLINERS:
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = round(time.perf_counter() - t0, 3)
-            best = dt if best is None else min(best, dt)
+            runs.append(round(time.perf_counter() - t0, 3))
+        best = min(runs)
         times[name] = best
+        spreads[name] = round(max(runs) - best, 3)
         total += best
-        print(f"# {name}: {best}s", file=sys.stderr)
+        print(f"# {name}: {best}s (spread {spreads[name]}s)", file=sys.stderr)
 
     result = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "spread": spreads,
     }
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result["sf"] = float(sf) if sf else sf_dir

@@ -117,3 +117,87 @@ def test_compaction_splits_large_partitions_evenly(spark, sf_dir, tmp_path):
         sizes = sorted(os.path.getsize(f) for f in glob.glob(f"{pdir}/*.parquet"))
         if len(sizes) > 1:
             assert sizes[-1] < 4 * (sum(sizes) / len(sizes))
+
+
+# ── JDBC sink option plumbing (no server in sandbox — the contract is the
+# option map and writer wiring, pinned here; end-to-end needs a database) ──
+
+
+def test_jdbc_options_defaults_and_overrides():
+    from australian_company_etl_spark.sources.export import jdbc_options
+
+    opts = jdbc_options("jdbc:postgresql://db:5432/ref", "staging_abr")
+    assert opts["dbtable"] == "staging_abr"
+    assert opts["batchsize"] == "10000"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+    assert opts["truncate"] == "false"
+    assert "numPartitions" not in opts
+
+    opts = jdbc_options(
+        "jdbc:postgresql://db/ref",
+        "t",
+        batchsize=500,
+        isolation_level="NONE",
+        num_partitions=16,
+        truncate=True,
+        driver="org.postgresql.Driver",
+        properties={"reWriteBatchedInserts": "true"},
+    )
+    assert opts["batchsize"] == "500"
+    assert opts["isolationLevel"] == "NONE"
+    assert opts["numPartitions"] == "16"
+    assert opts["truncate"] == "true"
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["reWriteBatchedInserts"] == "true"
+
+
+def test_jdbc_options_rejects_bad_values():
+    import pytest
+
+    from australian_company_etl_spark.sources.export import jdbc_options
+
+    with pytest.raises(ValueError):
+        jdbc_options("u", "t", batchsize=0)
+    with pytest.raises(ValueError):
+        jdbc_options("u", "t", isolation_level="DIRTY")
+    with pytest.raises(ValueError):
+        jdbc_options("u", "t", num_partitions=0)
+
+
+def test_to_jdbc_wires_writer(monkeypatch):
+    from australian_company_etl_spark.sources import export
+
+    class FakeWriter:
+        def __init__(self):
+            self.calls = {"options": {}}
+
+        def format(self, f):
+            self.calls["format"] = f
+            return self
+
+        def mode(self, m):
+            self.calls["mode"] = m
+            return self
+
+        def option(self, k, v):
+            self.calls["options"][k] = v
+            return self
+
+        def save(self):
+            self.calls["saved"] = True
+
+    class FakeDF:
+        def __init__(self):
+            self.write = FakeWriter()
+
+    df = FakeDF()
+    export.to_jdbc(df, "jdbc:postgresql://db/ref", "unified", mode="overwrite", truncate=True)
+    c = df.write.calls
+    assert c["format"] == "jdbc" and c["mode"] == "overwrite" and c["saved"]
+    assert c["options"]["dbtable"] == "unified"
+    assert c["options"]["truncate"] == "true"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        export.to_jdbc(FakeDF(), "u", "t", mode="upsert")

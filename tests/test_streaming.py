@@ -151,6 +151,17 @@ def test_watermark_drops_late_data(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped == 1, "the late 10:30 row must be dropped by the watermark"
+    # Bounded state — the property the 100 TB/day claim rests on: after the
+    # final batch the state store holds ONLY windows the watermark hasn't
+    # closed (the open 16:00 window), not every window ever seen (3). If
+    # eviction broke, numRowsTotal would grow with stream history.
+    state_totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    assert state_totals[-1] == 1, f"state must hold only the open window: {state_totals}"
+    assert max(state_totals) <= 2, f"state never exceeds open-window count: {state_totals}"
     rows = spark.table("t_late").collect()
     assert len(rows) == len({r.window_start for r in rows}), "window emitted twice"
     got = {r.window_start: r.n_events for r in rows}
@@ -205,11 +216,21 @@ def test_streaming_dedup_within_watermark_bounds_state(spark, tmp_path):
             "ts", F.to_timestamp("ts_s")
         ).select("k", "ts").coalesce(1).write.mode("append").parquet(src)
 
+    progress: list = []
     out = run_dedup_within_watermark_to_memory(
-        spark, src, "k bigint, ts timestamp", ["k"], name="t_wmdedup"
+        spark, src, "k bigint, ts timestamp", ["k"], name="t_wmdedup", progress_out=progress
     )
     ks = [r.k for r in out.collect()]
     assert sorted(ks) == [1, 2, 3, 4], f"each key exactly once, got {ks}"
+    # Bounded state: once the watermark (max ts 12:00 − 1h = 11:00) passes a
+    # key, its dedup state is evicted — the final batch must hold fewer
+    # state rows than the 4 distinct keys ever seen. Plain dropDuplicates
+    # would retain all 4 forever.
+    state_totals = [
+        p["stateOperators"][0]["numRowsTotal"] for p in progress if p["stateOperators"]
+    ]
+    assert state_totals, "no state-operator progress captured"
+    assert state_totals[-1] < 4, f"watermark must evict passed keys: {state_totals}"
 
 
 def test_streaming_upsert_foreachbatch_first_wins(spark, sf_dir, tmp_path):
