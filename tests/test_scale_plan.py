@@ -249,3 +249,32 @@ def test_pq_codebook_and_query_tables_are_broadcast(spark, sf_dir):
     plan = _spark_plan(ann_pq_topk(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, "codebook/ADC joins not broadcast"
     assert "CartesianProduct" not in plan
+
+
+# queries whose plan legitimately contains an Arrow-batched Python operator:
+# the multimodal decode/feature paths, where the semantics (byte-level codec
+# work) cannot be expressed as JVM column expressions. Everything else must
+# stay entirely JVM-side — a row-at-a-time BatchEvalPython anywhere is a
+# 10-100x regression at scale and always a bug in this codebase.
+PANDAS_PATH_OK = {
+    "mm_video_framesample",
+    "mm_audio_features",
+    "mm_audio_resample",
+    "mm_image_features",
+    "text_contamination",  # flag-gated Aho-Corasick mapInPandas variant
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_python_in_the_hot_path(name, spark, sf_dir):
+    plan = _spark_plan(QUERIES[name](spark, sf_dir))
+    assert "BatchEvalPython" not in plan, (
+        f"{name} plans a row-at-a-time Python UDF — rewrite with built-in "
+        f"column functions or an Arrow-batched pandas path"
+    )
+    if name not in PANDAS_PATH_OK:
+        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in plan, (
+                f"{name} plans {node}; only the declared multimodal/contamination "
+                f"paths may leave the JVM"
+            )
