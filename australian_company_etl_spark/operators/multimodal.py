@@ -2,9 +2,13 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata. The
 Spark-side plumbing is real — schema contracts, `mapInPandas` Arrow
-batching, partition-preserving shape — while the actual codec step is
-stubbed (`NotImplementedError`) or replaced by a deterministic fake,
-because no image/audio libraries ship in this environment.
+batching, partition-preserving shape — and so are four codecs, written
+against the container specs with only the stdlib: RIFF/WAVE PCM audio,
+24bpp BMP, RIFF/AVI video, and zlib-deflated grayscale PNG (a genuinely
+COMPRESSED format: deflate + the five scanline filters). Only JPEG and
+H.264-class codecs stay behind a declared `NotImplementedError` gate
+(`real_decode`) or the deterministic fake, because DCT/Huffman codec
+libraries don't ship in this environment.
 
 Scale: `mapInPandas` streams Arrow record batches through Python without
 collecting a partition in memory, so payload size per batch — not per
@@ -32,10 +36,12 @@ FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary"
 
 
 def real_decode(payload: bytes) -> tuple[int, int, int, float]:
-    """The IMAGE/VIDEO codec boundary. Plug PIL/ffmpeg here on a cluster
-    with codecs. (Audio is NOT stubbed — WAV/PCM below is a real codec.)"""
+    """The residual codec boundary: JPEG and H.264/compressed video. Plug
+    PIL/ffmpeg here on a cluster with codecs. (NOT stubbed: WAV/PCM audio,
+    24bpp BMP, RIFF/AVI, and zlib-deflated grayscale PNG below are all real
+    codecs — see `decode_image` for the format-sniffing image routing.)"""
     raise NotImplementedError(
-        "no image/video codecs in this environment — use fake_decode for tests"
+        "no JPEG/H.264 codecs in this environment — use fake_decode for tests"
     )
 
 
@@ -45,8 +51,9 @@ def real_decode(payload: bytes) -> tuple[int, int, int, float]:
 # BITMAPINFOHEADER)) followed by LIST movi — the layout every AVI demuxer
 # expects; media tools open these bytes directly. Decode walks the RIFF
 # chunk tree (word-aligned sizes), reads geometry from avih/strf, and
-# un-pads/un-flips each frame's DIB rows. Only COMPRESSED codecs
-# (H.264/JPEG/PNG) remain behind the declared `real_decode` stub.
+# un-pads/un-flips each frame's DIB rows. Only JPEG and H.264-class
+# compressed codecs remain behind the declared `real_decode` stub (PNG is
+# real — see the zlib codec below).
 
 AVI_W, AVI_H = 8, 4  # 32 px per frame
 AVI_FPS = 10
@@ -390,6 +397,190 @@ def attach_bmp_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+# ── PNG: a REAL compressed image codec (pure zlib + struct, no libs) ────────
+# 8-bit grayscale (colour type 0), non-interlaced: signature + IHDR + IDAT
+# (zlib-deflated, per-scanline filter byte) + IEND, CRC-checked chunks per
+# the spec — any image viewer opens these bytes. The decoder inflates IDAT
+# and inverts all five scanline filters (None/Sub/Up/Average/Paeth), so it
+# reads any compliant non-interlaced 8-bit gray PNG, whichever filters the
+# producing encoder chose. The encoder cycles filters row-by-row, so every
+# round-trip exercises every decode path. JPEG and H.264 remain behind the
+# declared `real_decode` gate (DCT/Huffman codecs don't ship here).
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ft: int, raw: bytes, prev: bytes, bpp: int) -> bytes:
+    """Forward scanline filter (encoder side), per the PNG spec."""
+    out = bytearray(len(raw))
+    for i in range(len(raw)):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (raw[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_row(ft: int, cur: bytearray, prev: bytes, bpp: int) -> None:
+    """Invert a scanline filter in place (decoder side)."""
+    if ft == 0:
+        return
+    for i in range(len(cur)):
+        a = cur[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        elif ft == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        cur[i] = (cur[i] + pred) & 0xFF
+
+
+def png_encode(
+    gray: "np.ndarray", width: int = BMP_WIDTH, filter_type: int | None = None
+) -> bytes:
+    """Grayscale byte array → real 8-bit gray PNG. ``filter_type`` pins one
+    scanline filter (0-4); default cycles r % 5 so a round-trip covers all
+    five decode paths."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    n = len(gray)
+    height = max(1, -(-n // width))
+    px = np.zeros(width * height, dtype=np.uint8)
+    px[:n] = gray
+    grid = px.reshape(height, width)
+    raw_lines = []
+    prev = bytes(width)
+    for r in range(height):
+        row = grid[r].tobytes()
+        ft = (r % 5) if filter_type is None else filter_type
+        raw_lines.append(bytes([ft]) + _png_filter_row(ft, row, prev, 1))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(raw_lines), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """(width, height, top-down grayscale pixels) from a non-interlaced
+    8-bit gray PNG; verifies chunk CRCs and inverts whatever filters the
+    encoder used."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off = 8
+    width = height = None
+    idat = bytearray()
+    while off + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[off : off + 4])
+        tag = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack(">I", payload[off + 8 + length : off + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt) != (8, 0, 0, 0):
+                raise ValueError("only non-interlaced 8-bit grayscale PNG supported")
+            if interlace != 0:
+                raise ValueError("Adam7 interlace not supported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        off += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + width
+    if len(raw) != stride * height:
+        raise ValueError("PNG pixel data size mismatch")
+    rows = []
+    prev = bytes(width)
+    for r in range(height):
+        line = raw[r * stride : (r + 1) * stride]
+        cur = bytearray(line[1:])
+        _png_unfilter_row(line[0], cur, prev, 1)
+        prev = bytes(cur)
+        rows.append(np.frombuffer(prev, dtype=np.uint8))
+    return width, height, np.concatenate(rows)
+
+
+def attach_png_payload(docs: DataFrame) -> DataFrame:
+    """Encode stage: text → real PNG bytes, Arrow-batched."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        png_encode(text_to_pixels(t or "")) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _encode, schema="doc_id bigint, payload binary"
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Format-sniffing image decode: routes BMP ('BM') and PNG payloads to
+    their codecs; anything else is a compressed format behind the declared
+    `real_decode` gate."""
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
+    if payload[:8] == PNG_SIG:
+        return png_decode(payload)
+    raise ValueError("unrecognized image payload (JPEG etc. sit behind real_decode)")
+
+
 IMAGE_FEATURES_SCHEMA = (
     "doc_id bigint, width int, height int, n_px bigint, sum_px bigint, "
     "max_px int, mean_e4 bigint"
@@ -408,7 +599,7 @@ def image_features(mm: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, px = bmp_decode(bytes(payload))
+                w, h, px = decode_image(bytes(payload))
                 n = len(px)
                 s = int(np.sum(px.astype(np.int64)))
                 rows.append(
