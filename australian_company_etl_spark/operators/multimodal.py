@@ -2,13 +2,14 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata. The
 Spark-side plumbing is real — schema contracts, `mapInPandas` Arrow
-batching, partition-preserving shape — and so are four codecs, written
-against the container specs with only the stdlib: RIFF/WAVE PCM audio,
-24bpp BMP, RIFF/AVI video, and zlib-deflated grayscale PNG (a genuinely
-COMPRESSED format: deflate + the five scanline filters). Only JPEG and
-H.264-class codecs stay behind a declared `NotImplementedError` gate
-(`real_decode`) or the deterministic fake, because DCT/Huffman codec
-libraries don't ship in this environment.
+batching, partition-preserving shape — and so are five codecs, written
+against their specs with only numpy + the stdlib: RIFF/WAVE PCM audio,
+24bpp BMP, RIFF/AVI video, zlib-deflated grayscale PNG (deflate + the
+five scanline filters), and baseline JPEG (8×8 DCT + Annex-K Huffman
+entropy coding, operators/jpegcodec.py). Only H.264-class compressed
+video stays behind a declared `NotImplementedError` gate (`real_decode`)
+or the deterministic fake — a motion-compensated video codec is beyond
+what ships in this environment.
 
 Scale: `mapInPandas` streams Arrow record batches through Python without
 collecting a partition in memory, so payload size per batch — not per
@@ -36,12 +37,12 @@ FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary"
 
 
 def real_decode(payload: bytes) -> tuple[int, int, int, float]:
-    """The residual codec boundary: JPEG and H.264/compressed video. Plug
-    PIL/ffmpeg here on a cluster with codecs. (NOT stubbed: WAV/PCM audio,
-    24bpp BMP, RIFF/AVI, and zlib-deflated grayscale PNG below are all real
+    """The residual codec boundary: H.264-class compressed video. Plug
+    ffmpeg here on a cluster with codecs. (NOT stubbed: WAV/PCM audio,
+    24bpp BMP, RIFF/AVI, grayscale PNG, and baseline JPEG are all real
     codecs — see `decode_image` for the format-sniffing image routing.)"""
     raise NotImplementedError(
-        "no JPEG/H.264 codecs in this environment — use fake_decode for tests"
+        "no compressed-video codecs in this environment — use fake_decode for tests"
     )
 
 
@@ -570,15 +571,40 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def attach_jpeg_payload(docs: DataFrame, quality: int = 90) -> DataFrame:
+    """Encode stage: text → real baseline JPEG bytes, Arrow-batched."""
+    from australian_company_etl_spark.operators.jpegcodec import jpeg_encode
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        jpeg_encode(text_to_pixels(t or ""), quality=quality)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _encode, schema="doc_id bigint, payload binary"
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Format-sniffing image decode: routes BMP ('BM') and PNG payloads to
-    their codecs; anything else is a compressed format behind the declared
-    `real_decode` gate."""
+    """Format-sniffing image decode: routes BMP ('BM'), PNG, and baseline
+    JPEG (SOI marker) payloads to their codecs; anything else sits behind
+    the declared `real_decode` gate."""
     if payload[:2] == b"BM":
         return bmp_decode(payload)
     if payload[:8] == PNG_SIG:
         return png_decode(payload)
-    raise ValueError("unrecognized image payload (JPEG etc. sit behind real_decode)")
+    if payload[:2] == b"\xff\xd8":
+        from australian_company_etl_spark.operators.jpegcodec import jpeg_decode
+
+        return jpeg_decode(payload)
+    raise ValueError("unrecognized image payload (only H.264-class video sits behind real_decode)")
 
 
 IMAGE_FEATURES_SCHEMA = (

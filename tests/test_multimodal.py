@@ -260,3 +260,83 @@ def test_png_pipeline_features_equal_bmp_pipeline(spark, sf_dir):
     # and the PNG payloads really are compressed deflate streams, not raw
     one = attach_png_payload(docs.limit(1)).collect()[0].payload
     assert bytes(one[:8]) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_jpeg_codec_roundtrip_and_markers():
+    """I2 — jpeg_encode emits a baseline JFIF stream (SOI/DQT/SOF0/DHT/SOS/
+    EOI) and jpeg_decode inverts it: exact at quality=100 up to DCT float
+    rounding (≤2 grey levels), bounded error at quality=75 on smooth data."""
+    import numpy as np
+
+    from australian_company_etl_spark.operators.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    patterns = [
+        np.arange(256, dtype=np.uint8),  # gradient: every DCT frequency
+        np.full(100, 200, dtype=np.uint8),  # flat: DC-only blocks + EOB path
+        (np.arange(97, dtype=np.uint16) * 71 % 256).astype(np.uint8),  # pseudo-noise
+        np.tile(np.array([0, 255], dtype=np.uint8), 64),  # max-frequency stress
+    ]
+    for pattern in patterns:
+        payload = jpeg_encode(pattern, width=16, quality=100)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda", b"JFIF"):
+            assert marker in payload
+        w, h, px = jpeg_decode(payload)
+        assert w == 16 and h == -(-len(pattern) // 16)
+        err = np.abs(px[: len(pattern)].astype(int) - pattern.astype(int))
+        assert err.max() <= 2, f"q100 loss {err.max()} exceeds DCT rounding bound"
+    # lossy-but-bounded at a real quality setting, and actually compressed
+    smooth = (np.sin(np.arange(512) / 40) * 100 + 120).astype(np.uint8)
+    payload = jpeg_encode(smooth, width=32, quality=75)
+    w, h, px = jpeg_decode(payload)
+    err = np.abs(px[:512].astype(int) - smooth.astype(int))
+    assert err.max() <= 12 and len(payload) < 512
+
+
+def test_jpeg_decode_rejects_non_baseline():
+    import numpy as np
+    import pytest
+
+    from australian_company_etl_spark.operators.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"BMxxxxxx")
+    # progressive (SOF2) must be rejected, not mis-decoded
+    good = bytearray(jpeg_encode(np.arange(64, dtype=np.uint8)))
+    sof = bytes(good).find(b"\xff\xc0")
+    good[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(good))
+
+
+def test_jpeg_pipeline_dims_match_bmp_pipeline(spark, sf_dir):
+    """Format-transparent decode stage, lossy edition: JPEG payloads give
+    the same geometry (width/height/n_px) as BMP for the same text, and at
+    quality=100 the pixel means agree within the DCT rounding bound."""
+    from australian_company_etl_spark.operators.multimodal import (
+        attach_bmp_payload,
+        attach_jpeg_payload,
+        image_features,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].limit(32)
+    via_bmp = {
+        r.doc_id: r for r in image_features(attach_bmp_payload(docs)).collect()
+    }
+    via_jpg = {
+        r.doc_id: r
+        for r in image_features(attach_jpeg_payload(docs, quality=100)).collect()
+    }
+    assert via_bmp.keys() == via_jpg.keys() and len(via_bmp) == 32
+    for k in via_bmp:
+        b, j = via_bmp[k], via_jpg[k]
+        assert (b.width, b.height, b.n_px) == (j.width, j.height, j.n_px)
+        # mean_e4 is floor(mean*1e4); ≤2 grey levels of per-pixel loss
+        assert abs(b.mean_e4 - j.mean_e4) <= 2 * 10000
