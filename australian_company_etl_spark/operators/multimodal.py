@@ -4,12 +4,13 @@ Images/audio/video are opaque `binary` columns with typed metadata. The
 Spark-side plumbing is real — schema contracts, `mapInPandas` Arrow
 batching, partition-preserving shape — and so are five codecs, written
 against their specs with only numpy + the stdlib: RIFF/WAVE PCM audio,
-24bpp BMP, RIFF/AVI video, zlib-deflated grayscale PNG (deflate + the
-five scanline filters), and baseline JPEG (8×8 DCT + Annex-K Huffman
-entropy coding, operators/jpegcodec.py). Only H.264-class compressed
-video stays behind a declared `NotImplementedError` gate (`real_decode`)
-or the deterministic fake — a motion-compensated video codec is beyond
-what ships in this environment.
+24bpp BMP, RIFF/AVI video (uncompressed DIB and Motion-JPEG variants),
+zlib-deflated grayscale PNG (deflate + the five scanline filters), and
+baseline JPEG (8×8 DCT + Annex-K Huffman entropy coding,
+operators/jpegcodec.py). Only motion-compensated video (H.264 class)
+stays behind a declared `NotImplementedError` gate (`real_decode`) or
+the deterministic fake — inter-frame prediction codecs are beyond what
+ships in this environment.
 
 Scale: `mapInPandas` streams Arrow record batches through Python without
 collecting a partition in memory, so payload size per batch — not per
@@ -72,34 +73,59 @@ def _dib_body(gray: "np.ndarray", width: int, height: int) -> bytes:
     )
 
 
-def avi_encode(frames: list["np.ndarray"], width: int = AVI_W, height: int = AVI_H) -> bytes:
-    """List of width·height grayscale frames → RIFF/AVI bytes."""
+def avi_encode(
+    frames: list["np.ndarray"],
+    width: int = AVI_W,
+    height: int = AVI_H,
+    codec: str = "dib",
+    quality: int = 100,
+) -> bytes:
+    """List of width·height grayscale frames → RIFF/AVI bytes.
+
+    codec="dib": uncompressed 24bpp DIB frames ('00db' chunks).
+    codec="mjpg": Motion JPEG — each frame is a full baseline JPEG
+    ('00dc' chunks, MJPG fourcc), the intra-frame compressed video format
+    real cameras emit; built on operators/jpegcodec.py."""
     import struct
 
     n = len(frames)
     row_bytes = width * 3
-    frame_bytes = (row_bytes + ((-row_bytes) % 4)) * height
+    dib_bytes = (row_bytes + ((-row_bytes) % 4)) * height
+    if codec == "dib":
+        handler, compression = b"DIB ", 0
+        chunks = [_dib_body(f, width, height) for f in frames]
+        chunk_id = b"00db"
+    elif codec == "mjpg":
+        from australian_company_etl_spark.operators.jpegcodec import jpeg_encode
+
+        handler = b"MJPG"
+        compression = int.from_bytes(b"MJPG", "little")
+        chunks = [jpeg_encode(f, width=width, quality=quality) for f in frames]
+        chunk_id = b"00dc"
+    else:
+        raise ValueError(f"unsupported AVI codec {codec!r}")
+    buf_size = max((len(c) for c in chunks), default=dib_bytes)
     avih = struct.pack(
         "<4sI14I",
         b"avih", 56,
-        1_000_000 // AVI_FPS, frame_bytes * AVI_FPS, 0, 0,
-        n, 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+        1_000_000 // AVI_FPS, buf_size * AVI_FPS, 0, 0,
+        n, 0, 1, buf_size, width, height, 0, 0, 0, 0,
     )
     strh = struct.pack(
         "<4sI4s4sIHHIIIIIIIIHHHH",
-        b"strh", 56, b"vids", b"DIB ",
-        0, 0, 0, 0, 1, AVI_FPS, 0, n, frame_bytes, 0, 0,
+        b"strh", 56, b"vids", handler,
+        0, 0, 0, 0, 1, AVI_FPS, 0, n, buf_size, 0, 0,
         0, 0, width, height,
     )
     strf = struct.pack(
         "<4sIIiiHHIIiiII",
-        b"strf", 40, 40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+        b"strf", 40, 40, width, height, 1, 24, compression, dib_bytes, 2835, 2835, 0, 0
     )
     strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
     hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
     movi_chunks = b"".join(
-        b"00db" + struct.pack("<I", frame_bytes) + _dib_body(f, width, height)
-        for f in frames
+        chunk_id + struct.pack("<I", len(c)) + c + (b"\x00" * (len(c) % 2))
+        for c in chunks
     )
     movi = b"LIST" + struct.pack("<I", 4 + len(movi_chunks)) + b"movi" + movi_chunks
     body = b"AVI " + hdrl + movi
@@ -107,7 +133,8 @@ def avi_encode(frames: list["np.ndarray"], width: int = AVI_W, height: int = AVI
 
 
 def avi_decode(payload: bytes) -> tuple[int, int, list["np.ndarray"]]:
-    """(width, height, top-down grayscale frames) from an uncompressed AVI."""
+    """(width, height, top-down grayscale frames) from an AVI — either
+    uncompressed DIB ('00db') or Motion-JPEG ('00dc' + MJPG fourcc)."""
     import struct
 
     import numpy as np
@@ -115,10 +142,11 @@ def avi_decode(payload: bytes) -> tuple[int, int, list["np.ndarray"]]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     width = height = None
+    compression = 0
     frames: list[np.ndarray] = []
 
     def walk(buf: bytes, off: int, end: int) -> None:
-        nonlocal width, height
+        nonlocal width, height, compression
         while off + 8 <= end:
             cid = buf[off : off + 4]
             (size,) = struct.unpack("<I", buf[off + 4 : off + 8])
@@ -128,6 +156,11 @@ def avi_decode(payload: bytes) -> tuple[int, int, list["np.ndarray"]]:
             elif cid == b"avih":
                 fields = struct.unpack("<14I", buf[data_off : data_off + 56])
                 width, height = fields[8], fields[9]
+            elif cid == b"strf":
+                # BITMAPINFOHEADER: biCompression at byte 16
+                (compression,) = struct.unpack(
+                    "<I", buf[data_off + 16 : data_off + 20]
+                )
             elif cid == b"00db" and width:
                 row_bytes = width * 3
                 stride = row_bytes + ((-row_bytes) % 4)
@@ -139,6 +172,15 @@ def avi_decode(payload: bytes) -> tuple[int, int, list["np.ndarray"]]:
                     )
                 rows.reverse()  # DIB rows are bottom-up
                 frames.append(np.concatenate(rows))
+            elif cid == b"00dc" and width:
+                if compression != int.from_bytes(b"MJPG", "little"):
+                    raise ValueError("compressed AVI stream is not MJPG")
+                from australian_company_etl_spark.operators.jpegcodec import jpeg_decode
+
+                w, h, px = jpeg_decode(buf[data_off : data_off + size])
+                if (w, h) != (width, height):
+                    raise ValueError("MJPG frame geometry disagrees with AVI header")
+                frames.append(px)
             off = data_off + size + (size % 2)  # chunks are word-aligned
 
     walk(payload, 12, len(payload))

@@ -340,3 +340,46 @@ def test_jpeg_pipeline_dims_match_bmp_pipeline(spark, sf_dir):
         assert (b.width, b.height, b.n_px) == (j.width, j.height, j.n_px)
         # mean_e4 is floor(mean*1e4); ≤2 grey levels of per-pixel loss
         assert abs(b.mean_e4 - j.mean_e4) <= 2 * 10000
+
+
+def test_mjpeg_avi_roundtrip_and_header_fields():
+    """I2/I6 — codec='mjpg' writes a Motion-JPEG AVI (MJPG fourcc in strh
+    and strf.biCompression, '00dc' chunks, each a standalone baseline
+    JPEG) and avi_decode reads it back within the DCT rounding bound;
+    the uncompressed DIB path stays bit-exact and format-sniffed."""
+    import struct
+
+    import numpy as np
+
+    from australian_company_etl_spark.operators.multimodal import (
+        AVI_H,
+        AVI_W,
+        avi_decode,
+        avi_encode,
+        text_to_frames,
+    )
+
+    frames = text_to_frames("pack my box with five dozen liquor jugs " * 3)
+    assert len(frames) >= 3
+    payload = avi_encode(frames, codec="mjpg", quality=100)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    assert b"MJPG" in payload and b"00dc" in payload and b"00db" not in payload
+    # every frame chunk is a standalone JPEG (SOI right after the chunk hdr)
+    off = payload.find(b"00dc")
+    assert payload[off + 8 : off + 10] == b"\xff\xd8"
+    w, h, back = avi_decode(payload)
+    assert (w, h) == (AVI_W, AVI_H) and len(back) == len(frames)
+    for a, b in zip(frames, back):
+        assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 2
+    # DIB stays exact through the same decoder
+    w, h, exact = avi_decode(avi_encode(frames))
+    assert all(np.array_equal(a, b) for a, b in zip(frames, exact))
+    # a 00dc stream without the MJPG fourcc must be rejected, not guessed:
+    # zero out strf.biCompression (strf body starts 8 bytes after the tag)
+    tampered = bytearray(payload)
+    strf = tampered.index(b"strf")
+    tampered[strf + 8 + 16 : strf + 8 + 20] = struct.pack("<I", 0)
+    import pytest
+
+    with pytest.raises(ValueError, match="not MJPG"):
+        avi_decode(bytes(tampered))
