@@ -120,3 +120,56 @@ def test_entropy_bounds(spark, batch):
         if r.n_types > 0:
             assert -1e-9 <= r.entropy <= math.log(r.n_types) + 1e-4, (doc_id, r)
     assert out[10_000].entropy == 0.0
+
+
+# ── codec properties: arbitrary pixel data round-trips every image codec ────
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    width=st.integers(min_value=1, max_value=40),
+)
+def test_png_bmp_roundtrip_exact_any_input(data, width):
+    """PNG and BMP are lossless: decode(encode(x)) == x (zero-padded to the
+    row grid) for arbitrary bytes and widths, through every filter path."""
+    import numpy as np
+
+    from australian_company_etl_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        png_decode,
+        png_encode,
+    )
+
+    gray = np.frombuffer(data, dtype=np.uint8)
+    for enc, dec in ((png_encode, png_decode), (bmp_encode, bmp_decode)):
+        w, h, px = dec(enc(gray, width=width))
+        assert w == width
+        assert h == max(1, -(-len(gray) // width))
+        assert np.array_equal(px[: len(gray)], gray)
+        assert not px[len(gray) :].any()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=300),
+    width=st.integers(min_value=1, max_value=32),
+)
+def test_jpeg_q100_bounded_error_any_input(data, width):
+    """Baseline JPEG at quality=100 quantizes with an all-ones table, so
+    the only loss is DCT float rounding — bounded by 2 grey levels for
+    ARBITRARY input, the worst case being max-frequency patterns."""
+    import numpy as np
+
+    from australian_company_etl_spark.operators.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    gray = np.frombuffer(data, dtype=np.uint8)
+    w, h, px = jpeg_decode(jpeg_encode(gray, width=width, quality=100))
+    assert w == width and h == max(1, -(-len(gray) // width))
+    if len(gray):
+        err = np.abs(px[: len(gray)].astype(int) - gray.astype(int))
+        assert err.max() <= 2
