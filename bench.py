@@ -107,6 +107,7 @@ def main() -> None:
 
         large_dir = ensure(spark)
         large_times: dict[str, float] = {}
+        large_spreads: dict[str, float] = {}
         large_total = 0.0
         for name in LARGE_HEADLINERS:
             # one untimed run at the large SF first: tiered JIT only reaches
@@ -115,21 +116,23 @@ def main() -> None:
             # through the first large run — measured ~3x on minhash)
             spark.catalog.clearCache()
             queries[name](spark, large_dir).write.mode("overwrite").format("noop").save()
-            best = None
-            for _ in range(2):
+            runs = []
+            for _ in range(3):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 queries[name](spark, large_dir).write.mode("overwrite").format("noop").save()
-                dt = round(time.perf_counter() - t0, 3)
-                best = dt if best is None else min(best, dt)
+                runs.append(round(time.perf_counter() - t0, 3))
+            best = min(runs)
             large_times[name] = best
+            large_spreads[name] = round(max(runs) - best, 3)
             large_total += best
-            print(f"# [sf1] {name}: {best}s", file=sys.stderr)
+            print(f"# [sf1] {name}: {best}s (spread {large_spreads[name]}s)", file=sys.stderr)
         result["large"] = {
             "sf": round((float(sf) if sf else 0.1) * REPLICAS, 3),
             "value": round(large_total, 3),
             "unit": "sec",
             "queries": large_times,
+            "spread": large_spreads,
         }
 
     print(json.dumps(result))
