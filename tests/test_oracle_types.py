@@ -48,3 +48,55 @@ def test_oracle_emits_no_hugeint_or_decimal(con, name):
         f"CAST the expression (AS BIGINT / AS DOUBLE) in the oracle SQL so "
         f"its wire type matches the Spark twin"
     )
+
+
+# ── rendering-class cross-check against the Spark twin ──────────────────────
+# The driver hashes STRINGIFIED values, so a (spark, duckdb) column-type
+# pair is safe iff both sides render identically: any integer width pairs
+# with any integer width ("5" == "5"), but DOUBLE must pair with double
+# (a float32 reprs differently from a float64, an int differently from a
+# float, a timestamp differently from a date). This test plans every Spark
+# twin (no execution) and checks each oracle output column's type pairs
+# into the same rendering class — so ANY future type drift, not just
+# HUGEINT, fails here before it can fail at the driver.
+
+_INT_SPARK = {"tinyint", "smallint", "int", "bigint"}
+_INT_DUCK = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _render_compatible(spark_t: str, duck_t: str) -> bool:
+    spark_t, duck_t = spark_t.strip(), duck_t.strip()
+    if spark_t.startswith("array<") and duck_t.endswith("[]"):
+        return _render_compatible(spark_t[6:-1], duck_t[:-2])
+    if spark_t in _INT_SPARK:
+        return duck_t in _INT_DUCK
+    return {
+        "double": duck_t == "DOUBLE",
+        "float": duck_t == "FLOAT",
+        "string": duck_t == "VARCHAR",
+        "boolean": duck_t == "BOOLEAN",
+        "date": duck_t == "DATE",
+        "timestamp": duck_t in {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+        "binary": duck_t == "BLOB",
+    }.get(spark_t, False)
+
+
+@pytest.mark.parametrize("name", sorted(all_oracles()))
+def test_oracle_types_match_spark_twin_rendering(con, name, spark):
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    mismatches = []
+    for col, typ, *_ in con.execute(f"DESCRIBE ({all_oracles()[name]})").fetchall():
+        if col not in stypes:
+            mismatches.append((col, "MISSING-IN-SPARK", typ))
+        elif not _render_compatible(stypes[col], typ):
+            mismatches.append((col, stypes[col], typ))
+    assert not mismatches, (
+        f"oracle {name!r} column types drift from the Spark twin's rendering "
+        f"class {mismatches}; cast one side so stringified values agree"
+    )
