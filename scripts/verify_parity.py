@@ -1,0 +1,59 @@
+"""Replay the driver's correctness gate locally at an arbitrary SF.
+
+For every registered query with an oracle twin, runs the Spark plan and the
+DuckDB SQL side-by-side through tests.oracle_compare.compare (row count +
+sorted-column schema + value hash — the driver's exact comparison) and
+prints one line per query. Usage:
+
+    python scripts/verify_parity.py [sf_dir] [first_n]
+
+Defaults: /root/testdata/sf0.01, all queries. Exit code 1 if any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    first_n = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+    from australian_company_etl_spark.session import get_spark
+    from australian_company_etl_spark.plans import all_queries, all_oracles
+    from tests.oracle_compare import compare, duckdb_connect
+
+    spark = get_spark(app_name="aus-etl-verify")
+    queries = all_queries()
+    oracles = all_oracles()
+    con = duckdb_connect(sf_dir)
+
+    names = [n for n in queries if n in oracles]
+    if first_n:
+        names = names[:first_n]
+
+    failures = []
+    for i, name in enumerate(names, 1):
+        t0 = time.perf_counter()
+        try:
+            res = compare(queries[name](spark, sf_dir), con, oracles[name])
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            print(f"[{i}/{len(names)}] {name}: ERROR {exc}", flush=True)
+            failures.append(name)
+            continue
+        dt = time.perf_counter() - t0
+        status = "ok" if res["ok"] else f"FAIL {res}"
+        print(f"[{i}/{len(names)}] {name}: {status} ({dt:.1f}s)", flush=True)
+        if not res["ok"]:
+            failures.append(name)
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} ok; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
