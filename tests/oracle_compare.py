@@ -15,10 +15,15 @@ from australian_company_etl_spark.sources.registry import TABLES, table_path
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):  # Spark-written table = directory of parts
+            path = os.path.join(path, "*.parquet")
         con.execute(
-            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
