@@ -4,11 +4,15 @@ The last image format behind the declared codec gate, implemented from
 the spec: 8×8 block DCT, quantization with the Annex-K luminance table
 (libjpeg quality scaling), zigzag + DC-differential + run/size AC
 entropy coding with the standard Annex-K Huffman tables, JFIF marker
-framing with 0xFF byte stuffing. Single-component (grayscale), baseline
-sequential, no restart markers — the subset every JPEG decoder reads.
+framing with 0xFF byte stuffing, optional DRI/RSTn restart intervals.
+Single-component (grayscale), baseline sequential — the subset every
+JPEG decoder reads.
 
-Encode is deterministic (fixed tables, fixed float→int rounding), decode
-reads any baseline grayscale JPEG that uses 8-bit quant tables. Lossy by
+Encode is deterministic (fixed tables, fixed float→int rounding); decode
+reads baseline single-component JPEGs with 8-bit quant tables, including
+restart-interval streams and MJPG-style frames that omit DHT (the
+Annex-K tables are assumed, per OpenDML). Progressive (SOF2), 16-bit
+quant tables, and multi-component color remain out of scope. Lossy by
 nature: round-trip tests assert bounded error (≤2 grey levels at
 quality=100, where the quant table collapses to all-ones and the only
 loss is DCT float rounding).
@@ -137,10 +141,19 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+    def append_marker(self, marker: int) -> None:
+        """Emit a standalone marker (RSTn) at a byte boundary — raw, not
+        subject to byte stuffing."""
+        self.byte_align()
+        self.buf += bytes([0xFF, marker & 0xFF])
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.buf)
 
 
@@ -172,6 +185,23 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self, expected_n: int) -> None:
+        """Consume an RSTn marker at a byte boundary (T.81 E.2.4): discard
+        the current partial byte's padding bits, then the next two bytes
+        must be FF D0+n (modulo-8 sequence checked by the caller)."""
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG stream ends where a restart marker is due")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise ValueError(f"expected restart marker, got {b0:02x}{b1:02x}")
+        if b1 - 0xD0 != expected_n:
+            raise ValueError(
+                f"restart marker out of sequence: got RST{b1 - 0xD0}, "
+                f"expected RST{expected_n}"
+            )
+        self.pos += 2
+
 
 def _extend(v: int, size: int) -> int:
     """T.81 EXTEND: map `size`-bit magnitude code to signed value."""
@@ -180,13 +210,26 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def jpeg_encode(gray: np.ndarray, width: int = 16, quality: int = 90) -> bytes:
-    """Grayscale byte array → baseline JFIF JPEG (single component)."""
+def to_grid(gray: np.ndarray, width: int) -> np.ndarray:
+    """Pad a flat byte array to a zero-filled (height, width) pixel grid —
+    the shared raster shape of every image encoder here (BMP/PNG/JPEG)."""
     n = len(gray)
     height = max(1, -(-n // width))
     px = np.zeros(width * height, dtype=np.uint8)
     px[:n] = gray
-    img = px.reshape(height, width)
+    return px.reshape(height, width)
+
+
+def jpeg_encode(
+    gray: np.ndarray, width: int = 16, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Grayscale byte array → baseline JFIF JPEG (single component).
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (camera MJPG streams use restart intervals so one bit
+    error can't corrupt a whole frame); 0 writes a single entropy run."""
+    img = to_grid(gray, width)
+    height, width = img.shape
     # pad to 8×8 block grid by edge replication (lossy formats must not
     # invent high-frequency content at the boundary)
     H = -(-height // 8) * 8
@@ -198,8 +241,15 @@ def jpeg_encode(gray: np.ndarray, width: int = 16, quality: int = 90) -> bytes:
     ac_tab = _huff_encode_table(AC_BITS, AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.append_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             block = padded[by : by + 8, bx : bx + 8] - 128.0
             coef = _T @ block @ _T.T
             q = np.round(coef / quant).astype(np.int64)
@@ -247,13 +297,16 @@ def jpeg_encode(gray: np.ndarray, width: int = 16, quality: int = 90) -> bytes:
         + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS),
     )
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return b"\xff\xd8" + app0 + dqt + dri + sof0 + dht + sos + entropy + b"\xff\xd9"
 
 
 def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """(width, height, top-down grayscale pixels) from a baseline
     single-component JPEG; reads DQT/DHT from the stream (any standard
-    tables, not just the ones this encoder writes)."""
+    tables, not just the ones this encoder writes), honors DRI/RSTn
+    restart intervals, and falls back to the Annex-K Huffman tables when
+    DHT is omitted (the MJPG tables-omitted convention)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -262,10 +315,14 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     ac_dec: dict[int, dict] = {}
     width = height = None
     comp_dc = comp_ac = comp_q = 0
+    restart_interval = 0
     entropy_start = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack(">H", payload[pos : pos + 2])[0]
         if marker == 0xFFD9:
             break
@@ -301,6 +358,8 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
                 else:
                     ac_dec[tc_th & 0xF] = table
                 off += 17 + nv
+        elif marker == 0xFFDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:
             comp_dc = body[2] >> 4
             comp_ac = body[2] & 0xF
@@ -311,8 +370,22 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("JPEG missing SOS/SOF0")
     end = payload.rfind(b"\xff\xd9")
     br = _BitReader(payload[entropy_start : end if end > 0 else len(payload)])
+    if comp_q not in quants:
+        raise ValueError(f"JPEG references quant table {comp_q} but no DQT defines it")
     quant = quants[comp_q]
-    dct, act = dc_dec[comp_dc], ac_dec[comp_ac]
+    # MJPG convention: frames may omit DHT entirely — decoders assume the
+    # T.81 Annex-K tables (OpenDML). Only default a table id the stream
+    # never defined; a defined-but-different id is still an error.
+    dct = dc_dec.get(comp_dc)
+    if dct is None:
+        if dc_dec:
+            raise ValueError(f"JPEG references undefined DC Huffman table {comp_dc}")
+        dct = _huff_decode_table(DC_BITS, DC_VALS)
+    act = ac_dec.get(comp_ac)
+    if act is None:
+        if ac_dec:
+            raise ValueError(f"JPEG references undefined AC Huffman table {comp_ac}")
+        act = _huff_decode_table(AC_BITS, AC_VALS)
 
     def read_symbol(table: dict) -> int:
         code = 0
@@ -326,8 +399,15 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     W = -(-width // 8) * 8
     out = np.zeros((H, W), dtype=np.float64)
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.sync_restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             zz = np.zeros(64, dtype=np.int64)
             size = read_symbol(dct)
             prev_dc += _extend(br.read_bits(size), size)

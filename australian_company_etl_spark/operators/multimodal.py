@@ -200,21 +200,28 @@ def text_to_frames(text: str) -> list["np.ndarray"]:
     return [padded[i * per : (i + 1) * per] for i in range(n_frames)]
 
 
-def attach_avi_payload(docs: DataFrame) -> DataFrame:
-    """Encode stage: text → real AVI bytes, Arrow-batched."""
+def _attach_payload(docs: DataFrame, encode_one: Callable[[str], bytes]) -> DataFrame:
+    """Shared encode-stage shape for every container codec: (doc_id, text)
+    → (doc_id, payload bytes) in one Arrow-batched mapInPandas pass. The
+    select before mapInPandas keeps parquet column pruning intact."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": [avi_encode(text_to_frames(t or "")) for t in pdf["text"]],
+                    "payload": [encode_one(t or "") for t in pdf["text"]],
                 }
             )
 
     return docs.select("doc_id", "text").mapInPandas(
         _encode, schema="doc_id bigint, payload binary"
     )
+
+
+def attach_avi_payload(docs: DataFrame) -> DataFrame:
+    """Encode stage: text → real AVI bytes, Arrow-batched."""
+    return _attach_payload(docs, lambda t: avi_encode(text_to_frames(t)))
 
 
 VIDEO_FEATURES_SCHEMA = (
@@ -332,21 +339,7 @@ def text_to_samples(text: str) -> "np.ndarray":
 
 def attach_wav_payload(docs: DataFrame) -> DataFrame:
     """Encode stage: text → real WAV bytes, Arrow-batched."""
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        wav_encode(text_to_samples(t or "")) for t in pdf["text"]
-                    ],
-                }
-            )
-
-    return docs.select("doc_id", "text").mapInPandas(
-        _encode, schema="doc_id bigint, payload binary"
-    )
+    return _attach_payload(docs, lambda t: wav_encode(text_to_samples(t)))
 
 
 # ── BMP: a REAL image codec (pure struct + numpy, no external libs) ─────────
@@ -365,11 +358,10 @@ def bmp_encode(gray: "np.ndarray", width: int = BMP_WIDTH) -> bytes:
 
     import numpy as np
 
-    n = len(gray)
-    height = max(1, -(-n // width))
-    px = np.zeros(width * height, dtype=np.uint8)
-    px[:n] = gray
-    grid = px.reshape(height, width)
+    from australian_company_etl_spark.operators.jpegcodec import to_grid
+
+    grid = to_grid(gray, width)
+    height = grid.shape[0]
     row_bytes = width * 3
     pad = (-row_bytes) % 4
     body = b"".join(
@@ -423,21 +415,7 @@ def text_to_pixels(text: str) -> "np.ndarray":
 
 def attach_bmp_payload(docs: DataFrame) -> DataFrame:
     """Encode stage: text → real BMP bytes, Arrow-batched."""
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        bmp_encode(text_to_pixels(t or "")) for t in pdf["text"]
-                    ],
-                }
-            )
-
-    return docs.select("doc_id", "text").mapInPandas(
-        _encode, schema="doc_id bigint, payload binary"
-    )
+    return _attach_payload(docs, lambda t: bmp_encode(text_to_pixels(t)))
 
 
 # ── PNG: a REAL compressed image codec (pure zlib + struct, no libs) ────────
@@ -465,26 +443,32 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
+def _png_predict(ft: int, a: int, b: int, c: int) -> int:
+    """The PNG scanline predictor, shared by filter (encode) and unfilter
+    (decode) so the two directions can never desynchronize. a = left,
+    b = above, c = upper-left, per the spec's filter definitions."""
+    if ft == 0:
+        return 0
+    if ft == 1:
+        return a
+    if ft == 2:
+        return b
+    if ft == 3:
+        return (a + b) >> 1
+    if ft == 4:  # Paeth
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+    raise ValueError(f"bad PNG filter type {ft}")
+
+
 def _png_filter_row(ft: int, raw: bytes, prev: bytes, bpp: int) -> bytes:
     """Forward scanline filter (encoder side), per the PNG spec."""
     out = bytearray(len(raw))
     for i in range(len(raw)):
         a = raw[i - bpp] if i >= bpp else 0
-        b = prev[i]
         c = prev[i - bpp] if i >= bpp else 0
-        if ft == 0:
-            pred = 0
-        elif ft == 1:
-            pred = a
-        elif ft == 2:
-            pred = b
-        elif ft == 3:
-            pred = (a + b) >> 1
-        else:  # Paeth
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-        out[i] = (raw[i] - pred) & 0xFF
+        out[i] = (raw[i] - _png_predict(ft, a, prev[i], c)) & 0xFF
     return bytes(out)
 
 
@@ -494,21 +478,8 @@ def _png_unfilter_row(ft: int, cur: bytearray, prev: bytes, bpp: int) -> None:
         return
     for i in range(len(cur)):
         a = cur[i - bpp] if i >= bpp else 0
-        b = prev[i]
         c = prev[i - bpp] if i >= bpp else 0
-        if ft == 1:
-            pred = a
-        elif ft == 2:
-            pred = b
-        elif ft == 3:
-            pred = (a + b) >> 1
-        elif ft == 4:
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        cur[i] = (cur[i] + pred) & 0xFF
+        cur[i] = (cur[i] + _png_predict(ft, a, prev[i], c)) & 0xFF
 
 
 def png_encode(
@@ -520,13 +491,10 @@ def png_encode(
     import struct
     import zlib
 
-    import numpy as np
+    from australian_company_etl_spark.operators.jpegcodec import to_grid
 
-    n = len(gray)
-    height = max(1, -(-n // width))
-    px = np.zeros(width * height, dtype=np.uint8)
-    px[:n] = gray
-    grid = px.reshape(height, width)
+    grid = to_grid(gray, width)
+    height = grid.shape[0]
     raw_lines = []
     prev = bytes(width)
     for r in range(height):
@@ -596,41 +564,15 @@ def png_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
 
 def attach_png_payload(docs: DataFrame) -> DataFrame:
     """Encode stage: text → real PNG bytes, Arrow-batched."""
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        png_encode(text_to_pixels(t or "")) for t in pdf["text"]
-                    ],
-                }
-            )
-
-    return docs.select("doc_id", "text").mapInPandas(
-        _encode, schema="doc_id bigint, payload binary"
-    )
+    return _attach_payload(docs, lambda t: png_encode(text_to_pixels(t)))
 
 
 def attach_jpeg_payload(docs: DataFrame, quality: int = 90) -> DataFrame:
     """Encode stage: text → real baseline JPEG bytes, Arrow-batched."""
     from australian_company_etl_spark.operators.jpegcodec import jpeg_encode
 
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        jpeg_encode(text_to_pixels(t or ""), quality=quality)
-                        for t in pdf["text"]
-                    ],
-                }
-            )
-
-    return docs.select("doc_id", "text").mapInPandas(
-        _encode, schema="doc_id bigint, payload binary"
+    return _attach_payload(
+        docs, lambda t: jpeg_encode(text_to_pixels(t), quality=quality)
     )
 
 

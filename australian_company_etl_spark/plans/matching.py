@@ -35,6 +35,7 @@ from australian_company_etl_spark.operators.matching import (
     best_fuzzy_match,
     blocked_fuzzy_pairs,
 )
+from australian_company_etl_spark.functions.exactmath import sum_cents
 from australian_company_etl_spark.sources.registry import load_tables
 
 FUZZY_THRESHOLD = 50
@@ -113,14 +114,14 @@ def match_exact_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            sum_cents("o_totalprice").alias("total_spend"),
         )
     )
 
 
 MATCH_EXACT_SQL = """
 SELECT c_custkey, c_name, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_spend
+       round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS total_spend
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 """

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -279,8 +280,21 @@ K_ANON = 5  # minimum group size for a quasi-identifier combo to be safe
 # Demo default only — a salt is only a salt if it is secret; production loads
 # it from a secret store and rotates per release (see C9 docstring). The env
 # override is read at import so the Spark plan and the oracle SQL (both built
-# from this constant) stay in agreement.
-PSEUDO_SALT = os.environ.get("SPARK_GRAFT_PSEUDO_SALT", "corpus-release-2026")
+# from this constant) stay in agreement. The constant is interpolated into
+# the oracle's SQL literal, so the charset is restricted: a quote or SQL
+# metacharacter in the salt would break the oracle (or silently diverge it
+# from the Spark twin, which passes the salt safely via F.lit).
+def _read_salt() -> str:
+    salt = os.environ.get("SPARK_GRAFT_PSEUDO_SALT", "corpus-release-2026")
+    if not re.fullmatch(r"[A-Za-z0-9_.:-]{1,128}", salt):
+        raise ValueError(
+            "SPARK_GRAFT_PSEUDO_SALT must match [A-Za-z0-9_.:-]{1,128}: salts are "
+            "embedded in the oracle SQL literal and must stay metacharacter-free"
+        )
+    return salt
+
+
+PSEUDO_SALT = _read_salt()
 
 
 def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.exactmath import sum_cents, sum_cents_sql
 from australian_company_etl_spark.sources.registry import load_tables
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -36,7 +37,7 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            sum_cents("value").alias("sum_value"),
         )
     )
 
@@ -45,7 +46,7 @@ TUMBLING_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -68,7 +69,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("session_start_us"),
         F.max("us").alias("session_end_us"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        sum_cents("value").alias("sum_value"),
     )
 
 
@@ -90,7 +91,7 @@ SELECT user_id, session_id,
        min(us) AS session_start_us,
        max(us) AS session_end_us,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 """
@@ -114,7 +115,7 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), sum_cents("value").alias("sum_value"))
         .select(
             "user_id",
             F.unix_micros(F.col("w.start")).alias("session_start_us"),
@@ -143,7 +144,7 @@ SELECT user_id,
        min(us) AS session_start_us,
        max(us) + {SESSION_GAP_US} AS session_end_us,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 """

@@ -36,6 +36,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.exactmath import (
+    D38,
+    cents,
+    money,
+    sum_cents,
+    sum_cents_sql,
+)
 from australian_company_etl_spark.sources.registry import load_tables
 
 BAND_US = 3600 * 1_000_000  # 1-hour range-join band
@@ -139,7 +146,7 @@ def rollup_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared.rollup("day", "hour").agg(
         F.grouping_id().alias("gid"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        sum_cents("value").alias("sum_value"),
     )
 
 
@@ -148,7 +155,7 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        hour(ts) AS hour,
        GROUPING(strftime(ts, '%Y-%m-%d'), hour(ts)) AS gid,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
 FROM events
 GROUP BY ROLLUP(1, 2)
 """
@@ -165,7 +172,7 @@ def cube_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared.cube("priority", "order_year").agg(
         F.grouping_id().alias("gid"),
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        sum_cents("o_totalprice").alias("revenue"),
     )
 
 
@@ -174,7 +181,7 @@ SELECT o_orderpriority AS priority,
        year(o_orderdate) AS order_year,
        GROUPING(o_orderpriority, year(o_orderdate)) AS gid,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS revenue
 FROM orders
 GROUP BY CUBE(1, 2)
 """
@@ -200,7 +207,7 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.grouping_id().alias("gid"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        sum_cents("value").alias("sum_value"),
     )
 
 
@@ -208,7 +215,7 @@ GROUPING_SETS_SQL = """
 SELECT event_type, ts::DATE AS day,
        GROUPING(event_type, ts::DATE) AS gid,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (event_type, ts::DATE), ())
 """
@@ -312,14 +319,14 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(salted_dim.hint("shuffle_hash"), ["user_id", "salt"])
     return joined.groupBy("user_id", "c_name", "c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        sum_cents("value").alias("sum_value"),
     )
 
 
 SKEW_SALTED_SQL = """
 SELECT e.user_id, c.c_name, c.c_mktsegment,
        count(*) AS n_events,
-       round(sum(e.value), 2) AS sum_value
+       round((sum(CAST(round((e.value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2, 3
 """
@@ -352,14 +359,14 @@ def rolling_window_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "us",
         F.count("*").over(w).alias("n_24h"),
-        F.round(F.sum("value").over(w), 2).alias("sum_24h"),
+        money(F.sum(cents("value").cast(D38)).over(w), 2).alias("sum_24h"),
     )
 
 
 ROLLING_SQL = f"""
 SELECT event_id, user_id, us,
        count(*) OVER w AS n_24h,
-       round(sum(value) OVER w, 2) AS sum_24h
+       round((sum(CAST(round((value) * 100) AS BIGINT)) OVER w)::DOUBLE / 100.0, 2) AS sum_24h
 FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY us
              RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)

@@ -13,10 +13,28 @@ on the key and AQE handles skew).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from australian_company_etl_spark.sources.registry import load_tables
+
+# Exact money arithmetic (see functions/exactmath.py for the rationale:
+# float revenue sums flipped q5's 2-dp rounding at the replicated sf1).
+from australian_company_etl_spark.functions.exactmath import (  # noqa: E402
+    D38 as _D38,
+    cents as _cents,
+    cents_sql as _cents_sql,
+    money as _money,
+    money_sql as _money_sql,
+)
+
+
+def _rev_e4() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact 1e-4 currency units."""
+    return _cents("l_extendedprice") * _cents(1 - F.col("l_discount"))
+
+
+REV_E4_SQL = f"({_cents_sql('l_extendedprice')} * {_cents_sql('1 - l_discount')})"
 
 Q1_CUTOFF = "1998-09-02"
 Q3_SEGMENT = "BUILDING"
@@ -31,37 +49,61 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: pricing summary report (reference parity: the engine's
     group-agg core; run_quality_checks.py-style aggregate reporting)."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    qty = F.round(F.col("l_quantity")).cast("bigint")  # integer-valued column
+    cents = _cents("l_extendedprice")
+    disc_cents = _cents("l_discount")
+    e4_disc_price = _rev_e4()
+    e6_charge = e4_disc_price * _cents(1 + F.col("l_tax"))
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(qty.cast(_D38)).alias("sq"),
+            F.sum(cents.cast(_D38)).alias("sc"),
+            F.sum(e4_disc_price.cast(_D38)).alias("s4"),
+            F.sum(e6_charge.cast(_D38)).alias("s6"),
+            F.sum(disc_cents.cast(_D38)).alias("sd"),
+            F.count("*").alias("n"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    n = F.col("n")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("sq").cast("double"), 2).alias("sum_qty"),
+        _money(F.col("sc"), 2).alias("sum_base_price"),
+        _money(F.col("s4"), 4).alias("sum_disc_price"),
+        _money(F.col("s6"), 6).alias("sum_charge"),
+        F.round(F.col("sq").cast("double") / n, 2).alias("avg_qty"),
+        F.round(F.col("sc").cast("double") / (n * 100), 2).alias("avg_price"),
+        F.round(F.col("sd").cast("double") / (n * 100), 4).alias("avg_disc"),
+        n.alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 Q1_SQL = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(round(l_quantity) AS BIGINT))      AS sq,
+         sum({_cents_sql("l_extendedprice")})        AS sc,
+         sum({REV_E4_SQL})                           AS s4,
+         sum({REV_E4_SQL} * {_cents_sql("1 + l_tax")}) AS s6,
+         sum({_cents_sql("l_discount")})             AS sd,
+         count(*)                                    AS n
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-       round(avg(l_quantity), 2)                                          AS avg_qty,
-       round(avg(l_extendedprice), 2)                                     AS avg_price,
-       round(avg(l_discount), 4)                                          AS avg_disc,
-       count(*)                                                           AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
-GROUP BY l_returnflag, l_linestatus
+       round(sq::DOUBLE, 2)                 AS sum_qty,
+       {_money_sql("sc", 2)}                AS sum_base_price,
+       {_money_sql("s4", 4)}                AS sum_disc_price,
+       {_money_sql("s6", 6)}                AS sum_charge,
+       round(sq::DOUBLE / n, 2)             AS avg_qty,
+       round(sc::DOUBLE / (n * 100), 2)     AS avg_price,
+       round(sd::DOUBLE / (n * 100), 4)     AS avg_disc,
+       n                                    AS count_order
+FROM agg
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -76,7 +118,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_money(F.sum(_rev_e4().cast(_D38)), 4).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -90,7 +132,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {_money_sql(f"sum({REV_E4_SQL})", 4)}             AS revenue,
        strftime(o_orderdate, '%Y-%m-%d')                 AS o_orderdate,
        o_orderpriority
 FROM customer, orders, lineitem
@@ -127,14 +169,14 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_money(F.sum(_rev_e4().cast(_D38)), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
 Q5_SQL = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_money_sql(f"sum({REV_E4_SQL})", 4)}             AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -161,12 +203,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            _money(
+                F.sum((_cents("l_extendedprice") * _cents("l_discount")).cast(_D38)), 4
+            ).alias("revenue")
+        )
     )
 
 
 Q6_SQL = f"""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT {_money_sql(f"sum({_cents_sql('l_extendedprice')} * {_cents_sql('l_discount')})", 4)} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_START} 00:00:00'
   AND l_shipdate <  TIMESTAMP '{Q6_END} 00:00:00'
@@ -188,7 +234,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_money(F.sum(_rev_e4().cast(_D38)), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -196,7 +242,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_money_sql(f"sum({REV_E4_SQL})", 4)}             AS revenue
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -309,22 +355,23 @@ ORDER BY l_linestatus
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: promo revenue share — conditional agg over a dim join."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev4 = _rev_e4().cast(_D38)
+    promo4 = F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0).cast(_D38))
     return (
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+            F.round(
+                100 * F.sum(promo4).cast("double") / F.sum(rev4).cast("double"), 4
+            ).alias("promo_revenue_pct")
         )
     )
 
 
-Q14_SQL = """
-SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
-                            THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+Q14_SQL = f"""
+SELECT round(100 * (sum(CASE WHEN p_type = 'PROMO' THEN {REV_E4_SQL}
+                             ELSE 0 END))::DOUBLE
+             / (sum({REV_E4_SQL}))::DOUBLE, 4) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
@@ -333,10 +380,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: customers with orders above a total-quantity threshold
     (agg-subquery filter → aggregate + semi join)."""
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    qty = F.round(F.col("l_quantity")).cast("bigint")  # integer-valued column
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .agg(F.sum(qty.cast(_D38)).alias("sum_qty"))
         .filter(F.col("sum_qty") > Q18_QTY)
     )
     return (
@@ -344,7 +392,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            t["lineitem"].groupBy("l_orderkey").agg(F.round(F.sum("l_quantity"), 2).alias("total_qty")),
+            t["lineitem"]
+            .groupBy("l_orderkey")
+            .agg(F.round(F.sum(qty.cast(_D38)).cast("double"), 2).alias("total_qty")),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .select(
@@ -364,10 +414,12 @@ Q18_SQL = f"""
 SELECT c_custkey, c_name, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        round(o_totalprice, 2) AS o_totalprice,
-       round((SELECT sum(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey), 2) AS total_qty
+       round((SELECT sum(CAST(round(l_quantity) AS BIGINT)) FROM lineitem
+              WHERE l_orderkey = o_orderkey)::DOUBLE, 2) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-                     GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_QTY})
+                     GROUP BY l_orderkey
+                     HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {Q18_QTY})
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 100
 """

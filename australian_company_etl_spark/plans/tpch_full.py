@@ -35,6 +35,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from australian_company_etl_spark.operators.cache import persist_tracked
+from australian_company_etl_spark.plans.tpch import (
+    _D38,
+    _cents,
+    _cents_sql,
+    _money,
+    _money_sql,
+    _rev_e4,
+    REV_E4_SQL,
+)
 from australian_company_etl_spark.sources.registry import load_tables
 
 PS_SQL = """ps AS (
@@ -44,16 +53,6 @@ PS_SQL = """ps AS (
          round(sum(l_quantity), 2)                     AS ps_availqty
   FROM lineitem GROUP BY 1, 2
 )"""
-
-# micro-units → currency, as a plain double division of the SAME integer in
-# both engines (bit-identical result; no decimal rounding involved).
-# Lazy: building a Column requires a live SparkContext.
-def _cost():
-    return F.col("ps_supplycost_micro") / F.lit(1_000_000.0)
-
-
-_COST_SQL = "(ps_supplycost_micro / 1000000.0)"
-
 
 def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived part-supplier relation (the schema's stand-in for partsupp).
@@ -159,9 +158,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
-        )
+        .agg(_money(F.sum(_rev_e4().cast(_D38)), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -169,7 +166,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_money_sql(f"sum({REV_E4_SQL})", 4)}             AS revenue
 FROM supplier, lineitem, orders, customer, nation n1, nation n2
 WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
   AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
@@ -206,7 +203,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     region = t["region"].filter(F.col("r_name") == Q8_REGION)
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _rev_e4().cast(_D38)
     joined = (
         t["lineitem"]
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -221,8 +218,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                F.sum(
+                    F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(
+                        F.lit(0).cast(_D38)
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -232,9 +233,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = f"""
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN n2.n_name = '{Q8_NATION}'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+       round((sum(CASE WHEN n2.n_name = '{Q8_NATION}'
+                       THEN {REV_E4_SQL} ELSE 0 END))::DOUBLE
+             / (sum({REV_E4_SQL}))::DOUBLE, 4) AS mkt_share
 FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
 WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
   AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
@@ -257,7 +258,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation per order year, for parts whose name matches a substring."""
     t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem", "orders", "nation"])
     part = t["part"].filter(F.col("p_name").contains(Q9_NAME_SUBSTR))
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - _cost() * F.col("l_quantity")
+    # exact 1e-6-unit amount: revenue e4→e6 minus micro-unit cost × integer
+    # quantity — integer arithmetic end to end, summed as DECIMAL(38,0)
+    amount_e6 = _rev_e4() * 100 - F.col("ps_supplycost_micro") * F.round(
+        F.col("l_quantity")
+    ).cast("bigint")
     return (
         t["lineitem"]
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -270,7 +275,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(_money(F.sum(amount_e6.cast(_D38)), 6).alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
@@ -278,7 +283,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q9_SQL = f"""
 WITH {PS_SQL}
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount) - {_COST_SQL} * l_quantity), 2) AS sum_profit
+       {_money_sql(
+           f"sum({REV_E4_SQL} * 100"
+           " - ps_supplycost_micro * CAST(round(l_quantity) AS BIGINT))",
+           6,
+       )} AS sum_profit
 FROM part, supplier, lineitem, ps, orders, nation
 WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
   AND p_partkey = l_partkey AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -396,11 +405,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            )
-        )
+        .agg(_money(F.sum(_rev_e4().cast(_D38)), 4).alias("total_revenue"))
     )
     rev = persist_tracked(rev)
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
@@ -416,7 +421,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         {_money_sql(f"sum({REV_E4_SQL})", 4)}             AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '{Q15_START} 00:00:00'
     AND l_shipdate <  TIMESTAMP '{Q15_END} 00:00:00'
@@ -492,12 +497,16 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(_cents("l_extendedprice").cast(_D38)).cast("double") / 700.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
 Q17_SQL = f"""
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round((sum({_cents_sql("l_extendedprice")}))::DOUBLE / 700.0, 2) AS avg_yearly
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND p_brand = '{Q17_BRAND}' AND p_size = {Q17_SIZE}
   AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
@@ -530,16 +539,12 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_money(F.sum(_rev_e4().cast(_D38)), 4).alias("revenue"))
     )
 
 
-Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+Q19_SQL = f"""
+SELECT {_money_sql(f"sum({REV_E4_SQL})", 4)} AS revenue
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND (
   (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
@@ -690,7 +695,12 @@ def q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = t["customer"].filter((F.col("c_nationkey") % 10).isin(*Q22_CODES)).select(
         "c_custkey", "c_acctbal", (F.col("c_nationkey") % 10).alias("cc")
     )
-    thr = cand.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    bal_cents = _cents("c_acctbal")
+    thr = cand.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(bal_cents.cast(_D38)).cast("double") / (F.count("*") * 100)).alias(
+            "avg_bal"
+        )
+    )
     return (
         cand.crossJoin(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
@@ -700,7 +710,10 @@ def q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .groupBy("cc")
-        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _money(F.sum(bal_cents.cast(_D38)), 2).alias("totacctbal"),
+        )
         .orderBy("cc")
     )
 
@@ -710,9 +723,11 @@ WITH cand AS (
   SELECT c_custkey, c_acctbal, c_nationkey % 10 AS cc
   FROM customer WHERE c_nationkey % 10 IN {Q22_CODES}
 )
-SELECT cc, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT cc, count(*) AS numcust,
+       {_money_sql(f"sum({_cents_sql('c_acctbal')})", 2)} AS totacctbal
 FROM cand
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cand WHERE c_acctbal > 0.0)
+WHERE c_acctbal > (SELECT (sum({_cents_sql('c_acctbal')}))::DOUBLE / (count(*) * 100)
+                   FROM cand WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY cc
 ORDER BY cc

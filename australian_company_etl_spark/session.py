@@ -49,8 +49,15 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # off by default (test/bench noise); scripts/shuffle_audit.py turns it
-        # on to read per-stage shuffle/spill bytes from the REST API
-        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # on to read per-stage shuffle/spill bytes from the REST API. Spark
+        # only accepts literal true/false, so normalize common truthy forms.
+        .config(
+            "spark.ui.enabled",
+            str(
+                os.environ.get("SPARK_GRAFT_UI", "false").strip().lower()
+                in ("true", "1", "yes")
+            ).lower(),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()

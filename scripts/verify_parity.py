@@ -5,7 +5,7 @@ DuckDB SQL side-by-side through tests.oracle_compare.compare (row count +
 sorted-column schema + value hash — the driver's exact comparison) and
 prints one line per query. Usage:
 
-    python scripts/verify_parity.py [sf_dir] [first_n]
+    python scripts/verify_parity.py [sf_dir] [first_n | name name ...]
 
 Defaults: /root/testdata/sf0.01, all queries. Exit code 1 if any mismatch.
 """
@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    first_n = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    rest = sys.argv[2:]
+    first_n = int(rest[0]) if len(rest) == 1 and rest[0].isdigit() else 0
+    wanted = rest if rest and not first_n else None
 
     from australian_company_etl_spark.session import get_spark
     from australian_company_etl_spark.plans import all_queries, all_oracles
@@ -35,6 +37,8 @@ def main() -> int:
     names = [n for n in queries if n in oracles]
     if first_n:
         names = names[:first_n]
+    elif wanted:
+        names = [n for n in names if n in wanted]
 
     failures = []
     for i, name in enumerate(names, 1):

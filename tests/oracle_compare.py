@@ -21,7 +21,15 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     for name in TABLES:
         path = table_path(sf_dir, name)
         if os.path.isdir(path):  # Spark-written table = directory of parts
-            path = os.path.join(path, "*.parquet")
+            # recursive glob + hive_partitioning so partitionBy layouts
+            # (key=value subdirectories) read back with their key columns;
+            # both are no-ops for a flat directory of part files
+            path = os.path.join(path, "**", "*.parquet")
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{path}', hive_partitioning = true)"
+            )
+            continue
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )

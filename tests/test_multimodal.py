@@ -315,6 +315,84 @@ def test_jpeg_decode_rejects_non_baseline():
         jpeg_decode(bytes(good))
 
 
+def test_jpeg_restart_interval_roundtrip():
+    """I2 — DRI/RSTn streams (the camera-MJPG framing): encode with a
+    restart interval, check the markers are really in the entropy data,
+    and decode back within the q100 bound. An out-of-sequence RSTn must
+    be a clean ValueError."""
+    import numpy as np
+    import pytest
+
+    from australian_company_etl_spark.operators.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    pattern = (np.arange(1024, dtype=np.uint16) * 37 % 256).astype(np.uint8)
+    plain = jpeg_encode(pattern, width=64, quality=100)
+    withrst = jpeg_encode(pattern, width=64, quality=100, restart_interval=3)
+    assert b"\xff\xdd" in withrst and b"\xff\xd0" in withrst
+    assert b"\xff\xdd" not in plain
+    w, h, px = jpeg_decode(withrst)
+    assert (w, h) == (64, 16)
+    err = np.abs(px[: len(pattern)].astype(int) - pattern.astype(int))
+    assert err.max() <= 2
+    # corrupt the first RST0 into RST5: decoder must flag the sequence break
+    broken = withrst.replace(b"\xff\xd0", b"\xff\xd5", 1)
+    with pytest.raises(ValueError, match="restart marker"):
+        jpeg_decode(broken)
+
+
+def test_jpeg_tables_omitted_mjpg_convention():
+    """I2 — MJPG frames may omit DHT (decoders assume the Annex-K tables,
+    per OpenDML); stripping the DHT segment from this encoder's output
+    must decode identically since it writes exactly those tables. A frame
+    with no DQT at all stays a clean error."""
+    import numpy as np
+    import pytest
+
+    from australian_company_etl_spark.operators.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+    import struct
+
+    pattern = np.arange(256, dtype=np.uint8)
+    payload = jpeg_encode(pattern, width=16, quality=100)
+
+    def strip_segment(buf: bytes, marker: bytes) -> bytes:
+        i = buf.find(marker)
+        (ln,) = struct.unpack(">H", buf[i + 2 : i + 4])
+        return buf[:i] + buf[i + 2 + ln :]
+
+    no_dht = strip_segment(payload, b"\xff\xc4")
+    assert b"\xff\xc4" not in no_dht
+    w, h, px = jpeg_decode(no_dht)
+    w2, h2, px2 = jpeg_decode(payload)
+    assert (w, h) == (w2, h2) and (px == px2).all()
+    with pytest.raises(ValueError, match="quant table"):
+        jpeg_decode(strip_segment(payload, b"\xff\xdb"))
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker; real
+    muxers emit them for alignment. Decoder must skip them."""
+    import numpy as np
+
+    from australian_company_etl_spark.operators.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    pattern = np.arange(128, dtype=np.uint8)
+    payload = jpeg_encode(pattern, width=16, quality=100)
+    sof = payload.find(b"\xff\xc0")
+    padded = payload[:sof] + b"\xff\xff\xff" + payload[sof:]
+    w, h, px = jpeg_decode(padded)
+    w2, h2, px2 = jpeg_decode(payload)
+    assert (w, h) == (w2, h2) and (px == px2).all()
+
+
 def test_jpeg_pipeline_dims_match_bmp_pipeline(spark, sf_dir):
     """Format-transparent decode stage, lossy edition: JPEG payloads give
     the same geometry (width/height/n_px) as BMP for the same text, and at

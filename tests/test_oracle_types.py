@@ -79,7 +79,10 @@ def _render_compatible(spark_t: str, duck_t: str) -> bool:
         "string": duck_t == "VARCHAR",
         "boolean": duck_t == "BOOLEAN",
         "date": duck_t == "DATE",
-        "timestamp": duck_t in {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+        # TIMESTAMPTZ is NOT render-compatible: DuckDB stringifies it with a
+        # "+00" offset suffix that Spark's timestamp rendering never emits,
+        # so it would pass locally and hash-mismatch at the driver
+        "timestamp": duck_t == "TIMESTAMP",
         "binary": duck_t == "BLOB",
     }.get(spark_t, False)
 
