@@ -22,6 +22,8 @@ from australian_company_etl_spark.sources.registry import load_tables
 # float revenue sums flipped q5's 2-dp rounding at the replicated sf1).
 from australian_company_etl_spark.functions.exactmath import (  # noqa: E402
     D38 as _D38,
+    sum_cents,
+    sum_cents_sql,
     cents as _cents,
     cents_sql as _cents_sql,
     money as _money,
@@ -515,7 +517,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        sum_cents("o_totalprice").alias("monetary"),
     )
     hwm = orders.agg(F.max(F.to_date("o_orderdate")).alias("hwm"))
     base = per_cust.crossJoin(F.broadcast(hwm)).select(
@@ -547,7 +549,7 @@ WITH per_cust AS (
   SELECT o_custkey,
          max(o_orderdate::DATE) AS last_order,
          count(*) AS frequency,
-         round(sum(o_totalprice), 2) AS monetary
+         round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS monetary
   FROM orders GROUP BY o_custkey
 ),
 hwm AS (SELECT max(o_orderdate::DATE) AS hwm FROM orders),

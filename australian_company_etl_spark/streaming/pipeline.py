@@ -25,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from australian_company_etl_spark.functions.exactmath import sum_cents
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 EVENTS_SCHEMA = (
@@ -69,7 +71,7 @@ def tumbling_agg_stream(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), sum_cents("value").alias("sum_value"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -94,19 +96,24 @@ def run_tumbling_to_memory(spark: SparkSession, sf_dir: str, name: str = "tumbli
 
 
 USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
-_STATE_SCHEMA = "n bigint, total double"
+_STATE_SCHEMA = "n bigint, total_cents bigint"  # exact integer-cent state
 
 
 def _update_user_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]})
+        # 2-dp values accumulate as exact integer cents: the running state
+        # cannot drift however many micro-batches it survives (the batch
+        # twins keep the same exactmath discipline)
+        cents += int((pdf["value"] * 100).round().sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(cents / 100, 2)]}
+    )
 
 
 def user_totals_stream(events: DataFrame) -> DataFrame:
@@ -130,7 +137,9 @@ SESSION_OUT_SCHEMA = (
     "user_id bigint, session_id bigint, session_start_us bigint, "
     "session_end_us bigint, n_events bigint, sum_value double"
 )
-_SESSION_STATE_SCHEMA = "last_ts bigint, start bigint, n bigint, total double, sid bigint"
+_SESSION_STATE_SCHEMA = (
+    "last_ts bigint, start bigint, n bigint, total_cents bigint, sid bigint"
+)
 
 
 def _sessionize_update(
@@ -140,23 +149,23 @@ def _sessionize_update(
     final; the trailing open session is re-emitted each batch (update mode)
     so a static one-batch run equals the batch twin exactly."""
     (user_id,) = key
-    last_ts, start, n, total, sid = (
-        state.get if state.exists else (None, None, 0, 0.0, 0)
+    last_ts, start, n, cents, sid = (
+        state.get if state.exists else (None, None, 0, 0, 0)
     )
     batch = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
     out = []
     for us, value in zip(batch["us"], batch["value"]):
         if last_ts is None or us - last_ts > SESSION_GAP_US:
             if n:
-                out.append((user_id, sid, start, last_ts, n, round(total, 2)))
+                out.append((user_id, sid, start, last_ts, n, round(cents / 100, 2)))
             sid += 1
-            start, n, total = us, 0, 0.0
+            start, n, cents = us, 0, 0
         n += 1
-        total += float(value)
+        cents += int(round(float(value) * 100))
         last_ts = us
     if n:
-        out.append((user_id, sid, start, last_ts, n, round(total, 2)))
-    state.update((last_ts, start, n, total, sid))
+        out.append((user_id, sid, start, last_ts, n, round(cents / 100, 2)))
+    state.update((last_ts, start, n, cents, sid))
     yield pd.DataFrame(
         out,
         columns=[
