@@ -2,8 +2,9 @@
 
 All plans are single declarative DataFrame expressions: Catalyst pushes the
 filters into the parquet scan, prunes columns, and (with AQE) picks
-broadcast joins for the dim tables. Aggregate columns are rounded to 2
-decimals on BOTH sides so double summation order can't flip the value hash.
+broadcast joins for the dim tables. Money/quantity aggregates run as exact
+integer units (functions/exactmath.py) so summation order can't flip the
+value hash at any scale; only the final integer→double cast is float.
 
 Scale notes (100 TB): lineitem⋈orders is the only fact-fact shuffle; orders,
 customer, nation, region, supplier are broadcast-eligible at real-world dim

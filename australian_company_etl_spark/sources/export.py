@@ -29,6 +29,15 @@ def export_parquet(df: DataFrame, path: str, partition_by: list[str] | None = No
     w.parquet(path)
 
 
+def export_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (built into Spark): the columnar alternative for Hive-side
+    consumers; same pushdown/pruning posture as parquet."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 # ── manifest-checked dataset publish ────────────────────────────────────────
 # A training-data release is only usable if consumers can TRUST the shards:
 # the manifest records per-partition row counts and an order-insensitive

@@ -114,3 +114,23 @@ def test_csv_quarantine_catches_bad_types(spark, tmp_path):
     good, bad = read_csv_quarantine(spark, path, "id bigint, qty bigint")
     assert sorted((r.id, r.qty) for r in good.collect()) == [(1, 10), (4, 40)]
     assert sorted(r.raw_line for r in bad.collect()) == ["3,thirty", "nope,20"]
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source parity: values survive the round trip and a filtered
+    read-back pushes the predicate into the ORC scan (PushedFilters)."""
+    from australian_company_etl_spark.sources.export import export_orc
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    path = str(tmp_path / "orders_orc")
+    export_orc(orders, path)
+    back = spark.read.orc(path).select(*orders.columns)
+    assert _canon(back, "o_orderkey") == _canon(orders, "o_orderkey")
+    plan = (
+        spark.read.orc(path)
+        .filter("o_orderkey = 42")
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:200]

@@ -173,3 +173,54 @@ def test_jpeg_q100_bounded_error_any_input(data, width):
     if len(gray):
         err = np.abs(px[: len(gray)].astype(int) - gray.astype(int))
         assert err.max() <= 2
+
+
+# ── exactmath: money sums cannot drift, float sums can ──────────────────────
+
+money_2dp = st.integers(min_value=-10**9, max_value=10**9).map(lambda c: c / 100)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(money_2dp, min_size=1, max_size=200), st.integers(1, 16))
+def test_sum_cents_is_partition_invariant(spark, batch, nparts):
+    """The property the q5 sf1 regression violated: an exact-cents sum must
+    be identical under ANY partition layout (accumulation order), and must
+    equal the Python-exact decimal answer. The float-sum twin is only
+    guaranteed to match when partial sums stay in the double-exact range —
+    which row counts at scale do not."""
+    from decimal import Decimal
+
+    from australian_company_etl_spark.functions.exactmath import sum_cents
+
+    exact = float(sum(Decimal(str(v)) for v in batch))
+    df = spark.createDataFrame([(v,) for v in batch], "value double")
+    outs = {
+        df.repartition(p).agg(sum_cents("value").alias("s")).first().s
+        for p in (1, nparts)
+    }
+    assert outs == {round(exact, 2)}, f"{outs} != {round(exact, 2)}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(money_2dp, min_size=1, max_size=100))
+def test_cents_matches_duckdb_twin(spark, batch):
+    """Dual-dialect check without parquet: the Spark cents/sum_cents result
+    equals DuckDB running the generated SQL over the same values."""
+    import duckdb
+
+    from australian_company_etl_spark.functions.exactmath import (
+        sum_cents,
+        sum_cents_sql,
+    )
+
+    spark_val = (
+        spark.createDataFrame([(v,) for v in batch], "value double")
+        .agg(sum_cents("value").alias("s"))
+        .first()
+        .s
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in batch])
+    duck_val = con.execute(f"SELECT {sum_cents_sql('value')} FROM t").fetchone()[0]
+    assert spark_val == duck_val
