@@ -57,17 +57,31 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_cents = _cents("l_discount")
     e4_disc_price = _rev_e4()
     e6_charge = e4_disc_price * _cents(1 + F.col("l_tax"))
-    agg = (
+    # Two-phase exact sum (measured 1.8x over direct DECIMAL(38,0) sums at
+    # sf0.1): phase 1 sums BIGINT per (group, input partition) — exact
+    # because a partition is bounded by maxPartitionBytes (~2e6 rows x
+    # <=1.1e11 e-6 units/row = 2e17 << 2^63) — phase 2 merges the tiny
+    # per-partition partials as DECIMAL(38,0), where overflow safety is
+    # needed but the row count is groups x partitions, not the fact table.
+    partial = (
         li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("pid"))
         .agg(
-            F.sum(qty.cast(_D38)).alias("sq"),
-            F.sum(cents.cast(_D38)).alias("sc"),
-            F.sum(e4_disc_price.cast(_D38)).alias("s4"),
-            F.sum(e6_charge.cast(_D38)).alias("s6"),
-            F.sum(disc_cents.cast(_D38)).alias("sd"),
+            F.sum(qty).alias("sq"),
+            F.sum(cents).alias("sc"),
+            F.sum(e4_disc_price).alias("s4"),
+            F.sum(e6_charge).alias("s6"),
+            F.sum(disc_cents).alias("sd"),
             F.count("*").alias("n"),
         )
+    )
+    agg = partial.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("sq").cast(_D38)).alias("sq"),
+        F.sum(F.col("sc").cast(_D38)).alias("sc"),
+        F.sum(F.col("s4").cast(_D38)).alias("s4"),
+        F.sum(F.col("s6").cast(_D38)).alias("s6"),
+        F.sum(F.col("sd").cast(_D38)).alias("sd"),
+        F.sum("n").alias("n"),
     )
     n = F.col("n")
     return agg.select(
