@@ -69,14 +69,16 @@ _VERIFY_FIRST = [
     "unify_entities",
     "q11_important_stock",
     "dedup_ngram_jaccard",
-    # ---- spares: bench headliners (re-anchor alongside perf work) ---------
+    # ---- new this round (no driver row yet) -------------------------------
+    "quality_drift_psi",
+    "events_cdc_snapshot",
+    "events_watermark_lag_audit",
+    "sketch_theta_setops",
+    # ---- spares: bench headliners (re-anchor alongside perf work; the
+    # remaining headliners have unchanged plans + r02-green rows) -----------
     "q1_pricing_summary",
     "q3_shipping_priority",
     "dedup_minhash_lsh",
-    "text_langid",
-    "ann_brute_topk",
-    "events_tumbling_agg",
-    "curate_corpus",
     # ---- 50-entry driver cap lands exactly here ---------------------------
 ]
 

@@ -428,6 +428,82 @@ GROUP BY c_nationkey, c_mktsegment
 """
 
 
+PSI_BIN_WIDTH = 64  # n_chars bin width; corpus docs span ~50-560 chars
+
+
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — distribution-drift gate: Population Stability Index between a
+    reference cohort and a candidate cohort of the corpus, over binned
+    document length. PSI = Σ (p_i − q_i)·ln(p_i/q_i); the standard release
+    gate before a new crawl batch joins a training mix (PSI > 0.2 ⇒ the
+    batch's length profile shifted enough to re-audit upstream filters).
+
+    Cohorts are the deterministic hash halves of doc_id (same mechanism as
+    N2's split), so the check is reproducible across engines and runs. Bin
+    counts get add-one smoothing so empty bins never divide by zero and the
+    index stays finite — deterministic, unlike epsilon-clamping conventions.
+
+    Scale: one map-side-combined groupBy on (bin, cohort) — the profile is
+    O(bins) rows no matter the corpus size; at 100 TB the same one-pass
+    conditional-count shape holds. Reference parity: run_quality_checks.py
+    profiles fixed-bucket distributions (:64-78); this is the two-cohort
+    comparison version.
+    """
+    from australian_company_etl_spark.functions.textfns import phash_spark
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cohort = phash_spark(F.col("doc_id").cast("string")) % 2
+    binned = docs.select(
+        F.expr(f"n_chars div {PSI_BIN_WIDTH}").alias("bin_id"),
+        cohort.alias("cohort"),
+    )
+    counts = binned.groupBy("bin_id").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n_ref_raw"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n_cur_raw"),
+    )
+    # add-one smoothing; totals include one count per observed bin
+    tot = counts.agg(
+        (F.sum("n_ref_raw") + F.count("*")).alias("tot_ref"),
+        (F.sum("n_cur_raw") + F.count("*")).alias("tot_cur"),
+    )
+    p = (F.col("n_ref_raw") + 1).cast("double") / F.col("tot_ref")
+    q = (F.col("n_cur_raw") + 1).cast("double") / F.col("tot_cur")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin_id",
+            F.col("n_ref_raw").cast("bigint").alias("n_ref"),
+            F.col("n_cur_raw").cast("bigint").alias("n_cur"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
+
+
+def _drift_psi_sql() -> str:
+    from australian_company_etl_spark.functions.textfns import phash_sql
+
+    return f"""
+WITH counts AS (
+  SELECT n_chars // {PSI_BIN_WIDTH} AS bin_id,
+         count(*) FILTER (WHERE {phash_sql("doc_id::VARCHAR")} % 2 = 0) AS n_ref_raw,
+         count(*) FILTER (WHERE {phash_sql("doc_id::VARCHAR")} % 2 = 1) AS n_cur_raw
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_ref_raw) + count(*) AS tot_ref,
+         sum(n_cur_raw) + count(*) AS tot_cur
+  FROM counts
+)
+SELECT bin_id,
+       n_ref_raw::BIGINT AS n_ref,
+       n_cur_raw::BIGINT AS n_cur,
+       round(((n_ref_raw + 1)::DOUBLE / tot_ref - (n_cur_raw + 1)::DOUBLE / tot_cur)
+             * ln(((n_ref_raw + 1)::DOUBLE / tot_ref) / ((n_cur_raw + 1)::DOUBLE / tot_cur)),
+             6) AS psi_term
+FROM counts CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "quality_row_counts": quality_row_counts,
     "quality_table_health": quality_table_health,
@@ -438,6 +514,7 @@ QUERIES = {
     "quality_constraint_checks": quality_constraint_checks,
     "privacy_pseudonymize": privacy_pseudonymize,
     "privacy_k_anonymity": privacy_k_anonymity,
+    "quality_drift_psi": quality_drift_psi,
 }
 
 ORACLES = {
@@ -449,4 +526,5 @@ ORACLES = {
     "quality_constraint_checks": CONSTRAINT_SQL,
     "privacy_pseudonymize": _pseudonymize_sql(),
     "privacy_k_anonymity": K_ANONYMITY_SQL,
+    "quality_drift_psi": _drift_psi_sql(),
 }

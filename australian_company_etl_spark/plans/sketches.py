@@ -481,6 +481,182 @@ FROM agg a JOIN exact e USING (event_type)
 """
 
 
+THETA_MAX = 1 << 60  # hash domain bound; theta for a not-yet-full sketch
+
+
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — theta-sketch set algebra: estimated |A ∪ B| and |A ∩ B| for
+    every pair of event-type audiences (distinct users), from the same
+    bottom-k KMV sketches M1 builds. Union keeps the surviving hashes of
+    both sketches below θ = min(θ_A, θ_B); intersection keeps hashes
+    present in both; estimate = |kept| · 2^60 / θ. A sketch that never
+    filled (k_actual < k) has θ = 2^60 and degrades to exact counting.
+    Exact pair counts ride alongside for error inspection — the M1
+    pattern.
+
+    This is the 100 TB audience-overlap answer: per-type sketches are
+    O(k) rows, mergeable (set algebra needs only the sketches, never the
+    raw data), and the pairwise stage touches 5 sketches of ≤64 hashes —
+    the exact-count twin would re-shuffle every (user, type) pair per
+    audience comparison. Deterministic (pure function of the input), so
+    Spark and DuckDB agree bit-for-bit, unlike library theta sketches
+    with seeded hash families.
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    pairs = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", phash_spark(F.col("user_id").cast("string")))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    meta = ranked.groupBy("event_type").agg(
+        F.count("*").alias("k_actual"), F.max("h").alias("max_h")
+    )
+    meta = meta.select(
+        "event_type",
+        F.when(F.col("k_actual") >= KMV_K, F.col("max_h"))
+        .otherwise(F.lit(THETA_MAX))
+        .alias("theta"),
+    )
+    kept = (
+        ranked.join(F.broadcast(meta), "event_type")
+        .filter(F.col("h") < F.col("theta"))
+        .select("event_type", "h")
+    )
+    pm = (
+        meta.alias("a")
+        .join(
+            F.broadcast(meta.alias("b")),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.least("a.theta", "b.theta").alias("theta_ab"),
+        )
+    )
+    ka = kept.select(F.col("event_type").alias("type_a"), "h")
+    kb = kept.select(F.col("event_type").alias("type_b"), "h")
+    ua = pm.join(F.broadcast(ka), "type_a").filter(F.col("h") < F.col("theta_ab"))
+    ub = pm.join(F.broadcast(kb), "type_b").filter(F.col("h") < F.col("theta_ab"))
+    un = (
+        ua.select("type_a", "type_b", "theta_ab", "h")
+        .unionByName(ub.select("type_a", "type_b", "theta_ab", "h"))
+        .distinct()
+        .groupBy("type_a", "type_b", "theta_ab")
+        .agg(F.count("*").alias("n_union_kept"))
+    )
+    inter = (
+        ua.select("type_a", "type_b", "h")
+        .join(F.broadcast(ub.select("type_a", "type_b", "h")), ["type_a", "type_b", "h"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter_kept"))
+    )
+    # exact pair counts from the distinct (type, user) pairs, one self-join
+    # on user_id (each user carries ≤ |types| rows — bounded at any scale)
+    pa = pairs.select(F.col("event_type").alias("type_a"), "user_id")
+    pb = pairs.select(F.col("event_type").alias("type_b"), "user_id")
+    exact_inter = (
+        pa.join(pb, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_exact_inter"))
+    )
+    per_type = pairs.groupBy("event_type").agg(F.count("*").alias("n"))
+    est = lambda n: F.round(  # noqa: E731 — local estimate formula
+        n.cast("double") * F.pow(F.lit(2.0), F.lit(60)) / F.col("theta_ab").cast("double"),
+        4,
+    )
+    return (
+        un.join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .join(F.broadcast(exact_inter), ["type_a", "type_b"], "left")
+        .join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("n_a") + F.col("n_b") - F.coalesce("n_exact_inter", F.lit(0))).alias(
+                "n_exact_union"
+            ),
+            F.coalesce("n_exact_inter", F.lit(0)).alias("n_exact_inter"),
+            est(F.col("n_union_kept")).alias("theta_union_est"),
+            est(F.coalesce(F.col("n_inter_kept"), F.lit(0))).alias("theta_inter_est"),
+        )
+    )
+
+
+THETA_SETOPS_SQL = f"""
+WITH pairs AS (
+  SELECT event_type, user_id, {phash_sql("user_id::VARCHAR")} AS h
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+ranked AS (
+  SELECT event_type, h FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {KMV_K}
+),
+meta AS (
+  SELECT event_type,
+         CASE WHEN count(*) >= {KMV_K} THEN max(h) ELSE {THETA_MAX} END AS theta
+  FROM ranked GROUP BY 1
+),
+kept AS (
+  SELECT r.event_type, r.h FROM ranked r JOIN meta m ON r.event_type = m.event_type
+  WHERE r.h < m.theta
+),
+pm AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         least(a.theta, b.theta) AS theta_ab
+  FROM meta a JOIN meta b ON a.event_type < b.event_type
+),
+ua AS (
+  SELECT pm.type_a, pm.type_b, pm.theta_ab, k.h
+  FROM pm JOIN kept k ON k.event_type = pm.type_a AND k.h < pm.theta_ab
+),
+ub AS (
+  SELECT pm.type_a, pm.type_b, pm.theta_ab, k.h
+  FROM pm JOIN kept k ON k.event_type = pm.type_b AND k.h < pm.theta_ab
+),
+un AS (
+  SELECT type_a, type_b, theta_ab, count(*) AS n_union_kept
+  FROM (SELECT DISTINCT type_a, type_b, theta_ab, h
+        FROM (SELECT * FROM ua UNION ALL SELECT * FROM ub))
+  GROUP BY 1, 2, 3
+),
+inter AS (
+  SELECT ua.type_a, ua.type_b, count(*) AS n_inter_kept
+  FROM ua JOIN ub ON ua.type_a = ub.type_a AND ua.type_b = ub.type_b AND ua.h = ub.h
+  GROUP BY 1, 2
+),
+exact_inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_exact_inter
+  FROM pairs a JOIN pairs b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, count(*) AS n FROM pairs GROUP BY 1
+)
+SELECT un.type_a, un.type_b,
+       (na.n + nb.n - coalesce(e.n_exact_inter, 0)) AS n_exact_union,
+       coalesce(e.n_exact_inter, 0) AS n_exact_inter,
+       round(un.n_union_kept::DOUBLE * pow(2.0, 60) / un.theta_ab::DOUBLE, 4) AS theta_union_est,
+       round(coalesce(i.n_inter_kept, 0)::DOUBLE * pow(2.0, 60) / un.theta_ab::DOUBLE, 4) AS theta_inter_est
+FROM un
+LEFT JOIN inter i ON i.type_a = un.type_a AND i.type_b = un.type_b
+LEFT JOIN exact_inter e ON e.type_a = un.type_a AND e.type_b = un.type_b
+JOIN per_type na ON na.event_type = un.type_a
+JOIN per_type nb ON nb.event_type = un.type_b
+"""
+
+
 QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "quantiles_event_value": quantiles_event_value,
@@ -488,6 +664,7 @@ QUERIES = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_hll_daily_merge": sketch_hll_daily_merge,
+    "sketch_theta_setops": sketch_theta_setops,
 }
 
 ORACLES = {
@@ -497,4 +674,5 @@ ORACLES = {
     "sketch_cms_heavy_hitters": _cms_sql(),
     "sketch_hll_distinct": _hll_sql(),
     "sketch_hll_daily_merge": _hll_merge_sql(),
+    "sketch_theta_setops": THETA_SETOPS_SQL,
 }

@@ -635,6 +635,113 @@ GROUP BY user_id
 """
 
 
+CDC_DELETE_TYPE = "error"  # changelog tombstone: an error event retires the key
+
+
+def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J19 — changelog → snapshot compaction (the CDC/MERGE INTO read
+    path): interpreting the event log as a per-user changelog, the current
+    snapshot is each user's latest row by (event time, event_id), with a
+    tombstone type (`error`) retiring the key entirely. This is the
+    batch-compaction twin of J8's foreachBatch upsert sink: replaying the
+    full log through this operator must equal the incrementally-merged
+    table.
+
+    Scale: latest-row selection runs as `max(struct(ts, id, ...))` — a
+    partially-aggregatable map-side-combining agg, NOT a row_number window
+    (which would sort every user's history inside the shuffle partition).
+    At 100 TB of changelog the combiner collapses each map task to one row
+    per key before the exchange, so shuffle volume is O(keys), the same
+    shape a lakehouse MERGE compaction job has.
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    us = F.unix_micros(F.col("ts"))
+    s = F.struct(
+        us.alias("us"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("value").alias("value"),
+    )
+    return (
+        ev.select("user_id", s.alias("s"))
+        .groupBy("user_id")
+        .agg(F.max("s").alias("s"))
+        .filter(F.col("s.event_type") != CDC_DELETE_TYPE)
+        .select(
+            "user_id",
+            F.col("s.us").alias("last_us"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.event_type").alias("last_event_type"),
+            F.col("s.value").alias("last_value"),
+        )
+    )
+
+
+CDC_SNAPSHOT_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+         event_type AS last_event_type, value AS last_value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, last_us, last_event_id, last_event_type, last_value
+FROM ranked
+WHERE rn = 1 AND last_event_type <> '{CDC_DELETE_TYPE}'
+"""
+
+
+def events_watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J20 — out-of-orderness audit: treating event_id as arrival order,
+    an event is late by (running max of event time over earlier arrivals −
+    its own event time). The per-type lateness profile (late fraction, p99
+    and max lateness) is exactly the evidence that sizes a streaming job's
+    watermark: `withWatermark(ts, p99_late)` bounds state while dropping
+    at most 1% of rows. The batch audit every streaming deployment should
+    run before choosing its delay threshold.
+
+    Scale: one shuffle on event_type for the running-max window, then the
+    aggregate rides the same partitioning. The window is ROWS UNBOUNDED
+    PRECEDING — a single forward scan per partition, no re-sort beyond the
+    shuffle's own ordering.
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.greatest(
+        F.lit(0).cast("bigint"), F.coalesce(F.max(us).over(w), us) - us
+    )
+    lat = ev.select("event_type", late_us.alias("late_us"))
+    pct = F.expr("percentile(late_us div 1000000, 0.99D)")
+    return lat.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).alias("n_late"),
+        F.round(pct, 3).alias("p99_late_s"),
+        F.expr("max(late_us) div 1000000").alias("max_late_s"),
+    )
+
+
+WATERMARK_LAG_SQL = """
+WITH lat AS (
+  SELECT event_type,
+         greatest(0, coalesce(max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              epoch_us(ts)) - epoch_us(ts)) AS late_us
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       coalesce(count(*) FILTER (WHERE late_us > 0), 0)::BIGINT AS n_late,
+       round(quantile_cont(late_us // 1000000, 0.99), 3) AS p99_late_s,
+       (max(late_us) // 1000000)::BIGINT AS max_late_s
+FROM lat
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": events_tumbling_agg,
     "events_sessionize": events_sessionize,
@@ -649,6 +756,8 @@ QUERIES = {
     "events_corr_value_hour": events_corr_value_hour,
     "events_freshness": events_freshness,
     "events_gap_stats": events_gap_stats,
+    "events_cdc_snapshot": events_cdc_snapshot,
+    "events_watermark_lag_audit": events_watermark_lag_audit,
 }
 
 ORACLES = {
@@ -665,4 +774,6 @@ ORACLES = {
     "events_corr_value_hour": CORR_SQL,
     "events_freshness": FRESHNESS_SQL,
     "events_gap_stats": GAP_STATS_SQL,
+    "events_cdc_snapshot": CDC_SNAPSHOT_SQL,
+    "events_watermark_lag_audit": WATERMARK_LAG_SQL,
 }
