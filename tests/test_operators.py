@@ -768,3 +768,80 @@ def test_resample_ffill_grid_is_dense_and_carries_values(spark, sf_dir):
         for prev, cur in zip(user_rows, user_rows[1:]):
             if cur.n_events == 0:
                 assert cur.v_ffill_centi == prev.v_ffill_centi
+
+
+def test_drift_psi_terms_nonnegative_and_counts_complete(spark, sf_dir):
+    from australian_company_etl_spark.plans.quality import quality_drift_psi
+
+    rows = quality_drift_psi(spark, sf_dir).collect()
+    assert rows
+    # (p−q)·ln(p/q) has matching signs in both factors — every term ≥ 0,
+    # so PSI can never be deflated by a compensating negative bin
+    assert all(r.psi_term >= 0.0 for r in rows)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_ref + r.n_cur for r in rows) == n_docs
+
+
+def test_cdc_snapshot_latest_row_and_tombstones(spark, sf_dir):
+    from australian_company_etl_spark.plans.streaming_batch import (
+        CDC_DELETE_TYPE,
+        events_cdc_snapshot,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    last = {}
+    for e in ev:
+        key = (e.ts, e.event_id)
+        if e.user_id not in last or key > (last[e.user_id].ts, last[e.user_id].event_id):
+            last[e.user_id] = e
+    expect = {
+        u: e for u, e in last.items() if e.event_type != CDC_DELETE_TYPE
+    }
+    got = {r.user_id: r for r in events_cdc_snapshot(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for u, r in got.items():
+        assert r.last_event_id == expect[u].event_id
+        assert r.last_event_type == expect[u].event_type
+        assert r.last_value == expect[u].value
+
+
+def test_watermark_lag_audit_bounds(spark, sf_dir):
+    from australian_company_etl_spark.plans.streaming_batch import (
+        events_watermark_lag_audit,
+    )
+
+    rows = events_watermark_lag_audit(spark, sf_dir).collect()
+    assert rows
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == total
+    for r in rows:
+        # lateness is clamped at zero and p99 can't exceed the max
+        assert 0 <= r.n_late <= r.n_events
+        assert r.max_late_s >= 0
+        assert r.p99_late_s <= r.max_late_s + 1  # p99 interpolates sub-second floor
+
+
+def test_theta_setops_estimates_and_set_identities(spark, sf_dir):
+    from australian_company_etl_spark.plans.sketches import sketch_theta_setops
+
+    rows = sketch_theta_setops(spark, sf_dir).collect()
+    assert rows  # every unordered type pair present
+    n_types = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_types * (n_types - 1) // 2
+    for r in rows:
+        # set identities on the exact side
+        assert r.n_exact_inter <= r.n_exact_union
+        # sketch estimates land within a generous KMV error envelope (k=64
+        # ⇒ rse ≈ 1/√62 ≈ 13%; allow 5σ for the intersection's smaller
+        # effective k, and exactness when the sketch never filled)
+        assert abs(r.theta_union_est - r.n_exact_union) <= max(
+            5, 0.65 * r.n_exact_union
+        )
+        assert abs(r.theta_inter_est - r.n_exact_inter) <= max(
+            5, 0.65 * max(r.n_exact_union, 1)
+        )
