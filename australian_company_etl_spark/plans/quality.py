@@ -461,15 +461,20 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n_ref_raw"),
         F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n_cur_raw"),
     )
-    # add-one smoothing; totals include one count per observed bin
-    tot = counts.agg(
-        (F.sum("n_ref_raw") + F.count("*")).alias("tot_ref"),
-        (F.sum("n_cur_raw") + F.count("*")).alias("tot_cur"),
-    )
+    # add-one smoothing; totals include one count per observed bin. Totals
+    # come from an unpartitioned window over the ALREADY-aggregated frame —
+    # O(bins) rows funneled to one task, so the corpus is scanned once (a
+    # totals re-aggregate would re-read the scan subtree; asserted in
+    # test_scale_plan).
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    tot_ref = (F.sum("n_ref_raw").over(wall) + F.count("*").over(wall)).alias("tot_ref")
+    tot_cur = (F.sum("n_cur_raw").over(wall) + F.count("*").over(wall)).alias("tot_cur")
     p = (F.col("n_ref_raw") + 1).cast("double") / F.col("tot_ref")
     q = (F.col("n_cur_raw") + 1).cast("double") / F.col("tot_cur")
     return (
-        counts.crossJoin(F.broadcast(tot))
+        counts.select("bin_id", "n_ref_raw", "n_cur_raw", tot_ref, tot_cur)
         .select(
             "bin_id",
             F.col("n_ref_raw").cast("bigint").alias("n_ref"),
@@ -490,8 +495,9 @@ WITH counts AS (
   FROM documents GROUP BY 1
 ),
 tot AS (
-  SELECT sum(n_ref_raw) + count(*) AS tot_ref,
-         sum(n_cur_raw) + count(*) AS tot_cur
+  SELECT bin_id, n_ref_raw, n_cur_raw,
+         sum(n_ref_raw) OVER () + count(*) OVER () AS tot_ref,
+         sum(n_cur_raw) OVER () + count(*) OVER () AS tot_cur
   FROM counts
 )
 SELECT bin_id,
@@ -500,7 +506,7 @@ SELECT bin_id,
        round(((n_ref_raw + 1)::DOUBLE / tot_ref - (n_cur_raw + 1)::DOUBLE / tot_cur)
              * ln(((n_ref_raw + 1)::DOUBLE / tot_ref) / ((n_cur_raw + 1)::DOUBLE / tot_cur)),
              6) AS psi_term
-FROM counts CROSS JOIN tot
+FROM tot
 """
 
 

@@ -648,11 +648,14 @@ def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.
 
     Scale: latest-row selection runs as `max(struct(ts, id, ...))` — a
-    partially-aggregatable map-side-combining agg, NOT a row_number window
-    (which would sort every user's history inside the shuffle partition).
-    At 100 TB of changelog the combiner collapses each map task to one row
-    per key before the exchange, so shuffle volume is O(keys), the same
-    shape a lakehouse MERGE compaction job has.
+    partially-aggregatable agg, NOT a row_number window (which would move
+    EVERY changelog row through the exchange and sort each user's full
+    history). The partial_max combiner collapses each map task to one row
+    per key before the exchange, so shuffle volume is O(keys), the shape a
+    lakehouse MERGE compaction job has. Struct max carries no mutable hash
+    buffer, so the plan is a SortAggregate (asserted in test_scale_plan) —
+    the map-side sort is by grouping key only, over already-combined rows,
+    not by event time over raw history.
     """
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     us = F.unix_micros(F.col("ts"))

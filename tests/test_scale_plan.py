@@ -40,6 +40,7 @@ NESTED_LOOP_OK = {
     "orders_rfm_segments",  # 1-row max-date aggregate broadcast as a scalar
     "cluster_kmeans_embed",  # K-row centroid dim broadcast over the corpus per iteration
     "dedup_semantic_kmeans",  # inherits the k-means broadcast centroid cross join
+    "sketch_theta_setops",  # |types|-row sketch metas paired via broadcast `<` join
 }
 
 
@@ -278,3 +279,47 @@ def test_no_python_in_the_hot_path(name, spark, sf_dir):
                 f"{name} plans {node}; only the declared multimodal/contamination "
                 f"paths may leave the JVM"
             )
+
+
+def test_cdc_snapshot_is_partial_agg_not_window(spark, sf_dir):
+    """Changelog compaction must plan as a partially-aggregated max — the
+    map-side combiner bounds the shuffle to O(keys) — never as a
+    row_number window that moves and sorts every changelog row."""
+    plan = _spark_plan(QUERIES["events_cdc_snapshot"](spark, sf_dir))
+    assert "partial_max" in plan
+    assert "Window" not in plan
+    assert "row_number" not in plan
+
+
+def test_theta_setops_prunes_sketches_and_joins_hash(spark, sf_dir):
+    """The sketch build must prune to k rows per type before any join
+    (WindowGroupLimit), and every join against the kept-hash table must be
+    a broadcast hash join — only the |types|-row meta pairing may use the
+    broadcast nested-loop `<` join."""
+    plan = _spark_plan(QUERIES["sketch_theta_setops"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_psi_is_one_scan_two_aggs(spark, sf_dir):
+    """The drift profile reads the corpus once and reduces to O(bins)
+    rows: exactly one parquet scan of documents, and only the pruned
+    (doc_id, n_chars) columns reach it."""
+    df = QUERIES["quality_drift_psi"](spark, sf_dir)
+    plan = _spark_plan(df)
+    assert plan.count("FileScan parquet") == 1
+    scan = plan[plan.index("FileScan parquet"):]
+    assert "text" not in scan.split("ReadSchema")[1][:200]
+
+
+def test_watermark_lag_window_rides_type_partition(spark, sf_dir):
+    """One running-max window on event_type; the final aggregate must ride
+    the same partitioning (no second exchange after the window)."""
+    plan = _executed_plan(QUERIES["events_watermark_lag_audit"](spark, sf_dir))
+    # the tree prints top-down: everything ABOVE the Window operator (the
+    # final aggregate) must reuse the window's event_type partitioning —
+    # the only Exchange allowed is the window's own input shuffle below it
+    above_window = plan[: plan.index("Window")]
+    assert "Exchange" not in above_window
+    assert plan.count("Exchange hashpartitioning") == 1
