@@ -122,6 +122,7 @@ def all_oracles() -> dict[str, str]:
 def _plan_modules():
     from australian_company_etl_spark.plans import (
         api,
+        bpe,
         dedup,
         etl,
         matching,
@@ -148,6 +149,7 @@ def _plan_modules():
         dedup,
         similarity,
         text,
+        bpe,
         multimodal,
         streaming_batch,
         temporal,

@@ -1,0 +1,134 @@
+"""H15 — distributed BPE vocabulary induction (tokenizer training).
+
+The canonical LLM-pipeline iterative operator: learn byte-pair-encoding
+merge rules from the corpus. Training runs on the WORD-FREQUENCY table,
+not the raw corpus — the standard formulation (Sennrich et al. 2016;
+every production tokenizer trainer does this) — so after one corpus-wide
+`groupBy(word)` the iteration cost depends only on vocabulary size, which
+is sublinear in corpus bytes. That first aggregation is the only pass
+over the 100 TB; everything after runs on a frame of distinct words.
+
+Per merge round, entirely JVM-side:
+- adjacent symbol pairs of every word representation, weighted by word
+  frequency (`transform` + `explode`, whole-stage codegen);
+- the argmax pair with a deterministic tie-break (count desc, then
+  lexicographic) — a 1-row collect per round, which is inherent: each BPE
+  merge decision is a global sequential dependency;
+- the merge applied to every word via a lookbehind/lookahead
+  `regexp_replace` over the space-joined symbol string — left-to-right
+  non-overlapping, exactly the scan-and-skip-2 semantics of reference BPE
+  trainers (proven against an independent Python reimplementation in
+  tests/test_operators.py).
+
+The word table is localCheckpoint-ed periodically so lineage stays flat
+across rounds (reliable checkpoint() on a cluster). No DuckDB oracle:
+the algorithm is iterative with a per-round global argmax — not
+SQL-expressible — so the driver records the rows-only check and the
+Python-reference test carries the semantics.
+
+Reference parity: the reference tokenizes names with a fixed rule table
+(entity_matching.py:42-97); this is the corpus-derived tokenizer a
+training pipeline needs instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, IntegerType, StringType, StructField, StructType
+
+from australian_company_etl_spark.functions.textfns import tokens_all_spark
+from australian_company_etl_spark.sources.registry import load_tables
+
+BPE_MERGES = 16  # merge rounds to learn
+END_OF_WORD = "</w>"  # word-boundary marker symbol
+
+_MERGE_SCHEMA = StructType(
+    [
+        StructField("rank", IntegerType(), False),
+        StructField("left", StringType(), False),
+        StructField("right", StringType(), False),
+        StructField("merged", StringType(), False),
+        StructField("pair_count", LongType(), False),
+    ]
+)
+
+
+def _initial_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(space-joined symbol string, frequency) per distinct corpus word."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    wf = (
+        docs.select(F.explode(tokens_all_spark(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # "word" -> "w o r d </w>"; split(w, '') yields the character array
+    s = F.concat_ws(
+        " ", F.concat(F.split(F.col("w"), ""), F.array(F.lit(END_OF_WORD)))
+    )
+    return wf.select(s.alias("s"), "cnt")
+
+
+def _pair_counts(sym: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the symbol strings."""
+    t = F.split(F.col("s"), " ")
+    pairs = F.expr(
+        "transform(slice(split(s, ' '), 1, size(split(s, ' ')) - 1),"
+        " (x, i) -> struct(x AS a, element_at(split(s, ' '), i + 2) AS b))"
+    )
+    _ = t  # symbols derived inline so codegen sees one expression tree
+    return (
+        sym.select(F.explode(pairs).alias("p"), "cnt")
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _apply_merge(sym: DataFrame, a: str, b: str) -> DataFrame:
+    """Merge every non-overlapping left-to-right occurrence of (a, b).
+
+    Symbols are runs of [a-z0-9] plus the </w> marker, so embedding them
+    in a \\Q...\\E-quoted pattern is safe. The spaces around the pair are
+    matched by zero-width lookarounds, so adjacent occurrences that share
+    a boundary space both merge ("a b a b" -> "ab ab")."""
+    pat = f"(?<= )\\Q{a} {b}\\E(?= )"
+    padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+    return sym.select(
+        F.trim(F.regexp_replace(padded, pat, a + b)).alias("s"), "cnt"
+    )
+
+
+def learn_bpe(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """The merge-rule list [(rank, left, right, merged, pair_count)]."""
+    sym = _initial_word_table(spark, sf_dir).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            _pair_counts(sym)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # degenerate corpus: every word fully merged
+            break
+        a, b, n = best[0].a, best[0].b, best[0].n
+        merges.append((rank, a, b, a + b, n))
+        sym = _apply_merge(sym, a, b)
+        if rank % 4 == 3:  # keep lineage flat across rounds
+            sym = sym.localCheckpoint(eager=True)
+    return merges
+
+
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H15 — learned BPE merge table (rank-ordered)."""
+    return spark.createDataFrame(learn_bpe(spark, sf_dir), _MERGE_SCHEMA)
+
+
+QUERIES = {
+    "text_bpe_vocab": text_bpe_vocab,
+}
+
+ORACLES: dict[str, str] = {}

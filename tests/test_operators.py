@@ -845,3 +845,53 @@ def test_theta_setops_estimates_and_set_identities(spark, sf_dir):
         assert abs(r.theta_inter_est - r.n_exact_inter) <= max(
             5, 0.65 * max(r.n_exact_union, 1)
         )
+
+
+def test_bpe_vocab_matches_python_reference(spark, sf_dir):
+    """The distributed BPE trainer must produce the exact merge sequence of
+    an independent single-machine reimplementation (Sennrich-style:
+    word-frequency table, global argmax pair with (count desc, pair asc)
+    tie-break, left-to-right non-overlapping merge)."""
+    import re
+    from collections import Counter
+
+    from australian_company_etl_spark.plans.bpe import (
+        BPE_MERGES,
+        END_OF_WORD,
+        text_bpe_vocab,
+    )
+
+    wf: Counter = Counter()
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect():
+        for w in re.split(r"[^a-z0-9]+", r.text.strip().lower()):
+            if w:
+                wf[w] += 1
+    reps = {w: tuple(w) + (END_OF_WORD,) for w in wf}
+    expect = []
+    for rank in range(BPE_MERGES):
+        pc: Counter = Counter()
+        for w, syms in reps.items():
+            c = wf[w]
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expect.append((rank, a, b, a + b, n))
+        merged_reps = {}
+        for w, syms in reps.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged_reps[w] = tuple(out)
+        reps = merged_reps
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in text_bpe_vocab(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == expect
