@@ -74,10 +74,10 @@ _VERIFY_FIRST = [
     "events_cdc_snapshot",
     "events_watermark_lag_audit",
     "sketch_theta_setops",
-    # ---- spares: bench headliners (re-anchor alongside perf work; the
-    # remaining headliners have unchanged plans + r02-green rows) -----------
+    "knn_graph_lsh",
+    # ---- spares: bench headliners touched by this round's perf/exactness
+    # work (the other headliners have unchanged plans + r02-green rows) -----
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "dedup_minhash_lsh",
     # ---- 50-entry driver cap lands exactly here ---------------------------
 ]

@@ -631,6 +631,61 @@ GROUP BY 1, 2
 """
 
 
+KNN_GRAPH_K = 3  # neighbors kept per vertex
+
+
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — k-NN GRAPH construction over the whole embedding table: every
+    vector's top-k cosine neighbors among vectors sharing its sign-LSH
+    bucket. The graph is the substrate of graph-based clustering and
+    SemDeDup-style near-dup mining (F6/F9/G6 consume edge lists exactly
+    like this one); G2 answers one query's neighbors, this materializes
+    all of them.
+
+    Scale: the candidate stage is a bucket EQUI-join with itself — cost
+    Σ|bucket|², never N² — and the per-vertex top-k runs through the
+    WindowGroupLimit rank-filter pushdown, so only k rows per vertex
+    survive each shuffle side. At 100 TB recall is tuned with more planes
+    (smaller buckets) plus multiple independent plane tables OR'd
+    together (union of edge lists, dedup by pair) — same plan shape,
+    parameterized; vertices whose bucket is a singleton simply have no
+    edges, the standard LSH-graph tradeoff the multi-table variant
+    repairs."""
+    base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e")))
+    lhs = base.select(
+        F.col("vec_id").alias("src_id"), F.col("e").alias("se"), "bucket"
+    )
+    rhs = base.select(F.col("vec_id").alias("nbr_id"), F.col("e").alias("ne"), "bucket")
+    pairs = lhs.join(rhs, "bucket").filter(F.col("src_id") != F.col("nbr_id")).select(
+        "src_id",
+        "nbr_id",
+        F.round(_cos_spark(F.col("se"), F.col("ne")), 6).alias("score"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("src_id", "nbr_id", "score", "rank")
+    )
+
+
+def _knn_graph_sql() -> str:
+    return f"""
+WITH {_BASE_SQL},
+bbase AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM base),
+scored AS (
+  SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         round({_cos_sql('l.e', 'r.e')}, 6) AS score
+  FROM bbase l JOIN bbase r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+)
+SELECT src_id, nbr_id, score, rank FROM (
+  SELECT src_id, nbr_id, score,
+         row_number() OVER (PARTITION BY src_id ORDER BY score DESC, nbr_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
 QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -639,6 +694,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "dedup_semantic_kmeans": dedup_semantic_kmeans,
     "embed_random_projection": embed_random_projection,
+    "knn_graph_lsh": knn_graph_lsh,
 }
 
 ORACLES = {
@@ -649,4 +705,5 @@ ORACLES = {
     "ann_pq_topk": _pq_sql(),
     "dedup_semantic_kmeans": _semantic_sql(),
     "embed_random_projection": _rp_sql(),
+    "knn_graph_lsh": _knn_graph_sql(),
 }
