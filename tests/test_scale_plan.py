@@ -323,3 +323,54 @@ def test_watermark_lag_window_rides_type_partition(spark, sf_dir):
     above_window = plan[: plan.index("Window")]
     assert "Exchange" not in above_window
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_before_shuffle(spark, sf_dir):
+    """Semi-join reduction, the other runtime-filtering lever next to DPP:
+    with a selective dimension side, Catalyst injects a bloom filter that
+    prunes fact rows BEFORE the join shuffle (might_contain on the fact
+    scan side). At 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the ~matching fraction. Thresholds are
+    forced here because bench-scale tables sit under the defaults; on a
+    real cluster the defaults fire on their own."""
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+        sel = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = t["lineitem"].join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter was not injected"
+        # the filter must sit on the fact (lineitem) side, keyed on l_orderkey
+        assert "l_orderkey" in plan.split("might_contain")[1][:200]
+        # and the join result must equal the unfiltered-join result
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = t["lineitem"].join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
