@@ -224,3 +224,44 @@ def test_cents_matches_duckdb_twin(spark, batch):
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in batch])
     duck_val = con.execute(f"SELECT {sum_cents_sql('value')} FROM t").fetchone()[0]
     assert spark_val == duck_val
+
+
+# ── BPE merge application: regex path == reference scan-and-skip-2 ──────────
+
+bpe_symbols = st.lists(
+    st.sampled_from(["a", "b", "ab", "c", "x1", "</w>"]), min_size=1, max_size=12
+)
+
+
+def _ref_merge(syms: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(bpe_symbols, min_size=1, max_size=20),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "a"), ("c", "</w>")]),
+)
+def test_bpe_merge_regex_equals_reference_scan(spark, batch, pair):
+    """The lookaround regexp_replace merge must equal the reference BPE
+    left-to-right scan-and-skip-2 on ANY symbol sequence — including
+    overlapping occurrences (a,a on 'a a a') and adjacent occurrences
+    sharing a boundary space ('a b a b'), and symbols that are prefixes
+    of other symbols ('a' vs 'ab')."""
+    from australian_company_etl_spark.plans.bpe import _apply_merge
+
+    a, b = pair
+    df = spark.createDataFrame(
+        [(" ".join(s), 1) for s in batch], "s string, cnt long"
+    )
+    got = [r.s for r in _apply_merge(df, a, b).collect()]
+    expect = [" ".join(_ref_merge(s, a, b)) for s in batch]
+    assert got == expect
