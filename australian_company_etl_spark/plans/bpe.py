@@ -127,8 +127,61 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(learn_bpe(spark, sf_dir), _MERGE_SCHEMA)
 
 
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16 — encode the corpus with the learned merges: per document, the
+    BPE token count after applying the rank-ordered merge rules, plus the
+    compression ratio vs raw character-symbol count. Train→encode
+    end-to-end: the same session learns the vocabulary (H15) and applies
+    it.
+
+    Scale: encoding runs on the DISTINCT-WORD table (each word's symbol
+    count after merges is computed once), then joins back to the per-doc
+    word list — per-word work is O(vocabulary · merges), per-doc work is
+    one explode + one re-aggregation. The merge rules are literals inside
+    the column expressions (a 16-row broadcast in spirit), so the encode
+    pass is pure whole-stage-codegen string work — exactly how a
+    production tokenizer applies a frozen vocab at corpus scale.
+    """
+    merges = learn_bpe(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("w")
+    )
+    words = doc_words.groupBy("w").agg(F.count("*").alias("_n")).drop("_n")
+    s = F.concat_ws(
+        " ", F.concat(F.split(F.col("w"), ""), F.array(F.lit(END_OF_WORD)))
+    )
+    enc = words.select("w", s.alias("s"))
+    raw_syms = F.size(F.split(F.col("s"), " "))
+    enc = enc.withColumn("n_raw_syms", raw_syms)
+    for _, a, b, _m, _n in merges:
+        pat = f"(?<= )\\Q{a} {b}\\E(?= )"
+        padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        enc = enc.withColumn("s", F.trim(F.regexp_replace(padded, pat, a + b)))
+    enc = enc.select(
+        "w", "n_raw_syms", F.size(F.split(F.col("s"), " ")).alias("n_bpe_syms")
+    )
+    per_doc = (
+        doc_words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_raw_syms").alias("n_char_symbols"),
+            F.sum("n_bpe_syms").alias("n_bpe_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_char_symbols",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_bpe_tokens").cast("double") / F.col("n_char_symbols"), 6
+        ).alias("compression"),
+    )
+
+
 QUERIES = {
     "text_bpe_vocab": text_bpe_vocab,
+    "text_bpe_tokenize": text_bpe_tokenize,
 }
 
 ORACLES: dict[str, str] = {}

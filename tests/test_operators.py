@@ -895,3 +895,54 @@ def test_bpe_vocab_matches_python_reference(spark, sf_dir):
         for r in text_bpe_vocab(spark, sf_dir).orderBy("rank").collect()
     ]
     assert got == expect
+
+
+def test_bpe_tokenize_matches_python_reference(spark, sf_dir):
+    """Encoding with the learned merges must equal an independent Python
+    encode: per doc, apply the merge rules rank-order to every word and
+    count the resulting symbols."""
+    import re
+
+    from australian_company_etl_spark.plans.bpe import (
+        END_OF_WORD,
+        learn_bpe,
+        text_bpe_tokenize,
+    )
+
+    merges = learn_bpe(spark, sf_dir)
+
+    def encode(word: str) -> int:
+        syms = list(word) + [END_OF_WORD]
+        for _, a, b, _m, _n in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    enc_cache: dict[str, int] = {}
+    expect = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        raw = bpe = 0
+        for w in re.split(r"[^a-z0-9]+", r.text.strip().lower()):
+            if not w:
+                continue
+            raw += len(w) + 1
+            if w not in enc_cache:
+                enc_cache[w] = encode(w)
+            bpe += enc_cache[w]
+        expect[r.doc_id] = (raw, bpe)
+    got = {
+        r.doc_id: (r.n_char_symbols, r.n_bpe_tokens)
+        for r in text_bpe_tokenize(spark, sf_dir).collect()
+    }
+    assert got == expect

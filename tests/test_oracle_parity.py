@@ -22,7 +22,12 @@ def test_every_query_has_oracle_or_is_declared():
     #   views cannot see (checked against os.stat in test_operators.py)
     # - text_bpe_vocab is iterative with a per-round global argmax (proven
     #   merge-for-merge identical to a Python reference in test_operators.py)
-    allowed_rows_only: set[str] = {"quality_table_health", "text_bpe_vocab"}
+    # - text_bpe_tokenize applies those learned merges (same coverage)
+    allowed_rows_only: set[str] = {
+        "quality_table_health",
+        "text_bpe_vocab",
+        "text_bpe_tokenize",
+    }
     assert set(missing) <= allowed_rows_only, f"queries missing oracle twin: {missing}"
 
 
