@@ -75,10 +75,10 @@ _VERIFY_FIRST = [
     "events_watermark_lag_audit",
     "sketch_theta_setops",
     "knn_graph_lsh",
-    # ---- spares: bench headliners touched by this round's perf/exactness
-    # work (the other headliners have unchanged plans + r02-green rows) -----
+    "api_search_trigram",
+    # ---- spare: the one bench headliner whose plan changed this round
+    # (two-phase exact q1 agg); the others are unchanged + r02-green -------
     "q1_pricing_summary",
-    "dedup_minhash_lsh",
     # ---- 50-entry driver cap lands exactly here ---------------------------
 ]
 
