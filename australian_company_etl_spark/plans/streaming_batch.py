@@ -745,6 +745,64 @@ GROUP BY event_type
 """
 
 
+ATTR_CONVERSION = "purchase"  # the event whose value gets attributed
+
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J21 — last-touch revenue attribution: each purchase's value is
+    credited to the user's most recent PRECEDING non-purchase event type
+    (the touchpoint); purchases with no prior touchpoint credit 'direct'.
+    Output: per-touchpoint conversion count and exact-cents revenue — the
+    marketing-attribution report, and the within-stream companion of L1's
+    as-of join (which aligns two tables; this carries state forward inside
+    one ordered stream).
+
+    Scale: one shuffle on user_id; the carry-forward is
+    last(..., ignorenulls) over ROWS UNBOUNDED PRECEDING .. -1 — a single
+    forward scan per user partition — and the final aggregate is
+    map-side-combined over |event types| groups."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != ATTR_CONVERSION, F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn("touch", touch)
+        .filter(F.col("event_type") == ATTR_CONVERSION)
+    )
+    return (
+        attributed.groupBy(F.coalesce("touch", F.lit("direct")).alias("touchpoint"))
+        .agg(
+            F.count("*").alias("n_conversions"),
+            sum_cents("value").alias("sum_value"),
+        )
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> '{ATTR_CONVERSION}' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT coalesce(touch, 'direct') AS touchpoint,
+       count(*) AS n_conversions,
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
+FROM touched
+WHERE event_type = '{ATTR_CONVERSION}'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": events_tumbling_agg,
     "events_sessionize": events_sessionize,
@@ -761,6 +819,7 @@ QUERIES = {
     "events_gap_stats": events_gap_stats,
     "events_cdc_snapshot": events_cdc_snapshot,
     "events_watermark_lag_audit": events_watermark_lag_audit,
+    "events_attribution_last_touch": events_attribution_last_touch,
 }
 
 ORACLES = {
@@ -779,4 +838,5 @@ ORACLES = {
     "events_gap_stats": GAP_STATS_SQL,
     "events_cdc_snapshot": CDC_SNAPSHOT_SQL,
     "events_watermark_lag_audit": WATERMARK_LAG_SQL,
+    "events_attribution_last_touch": ATTRIBUTION_SQL,
 }

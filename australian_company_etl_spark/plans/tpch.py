@@ -14,7 +14,7 @@ on the key and AQE handles skew).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from australian_company_etl_spark.sources.registry import load_tables
@@ -587,6 +587,138 @@ FROM scored
 """
 
 
+BASKET_TOPK = 20
+
+
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27 — market-basket pair mining: the top part pairs co-purchased in
+    the same order, with support and exact-integer lift (association-rule
+    analytics: lift > 1e6 ppm means the pair co-occurs more than
+    independence predicts).
+
+    Scale: candidate pairs come from a lineitem SELF-JOIN ON o_orderkey
+    with partkey_a < partkey_b — cost Σ basket² per order, bounded by
+    basket size (≤7 in TPC-H), NEVER parts² — then one map-side-combined
+    pair count. Lift is computed in exact integer ppm ((support · n_orders
+    · 10⁶) div (cnt_a · cnt_b)) so no float ratio can reorder the top-k
+    between engines."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(part_cnt.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(part_cnt.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_b"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "support",
+            F.expr("(support * n_orders * 1000000) div (cnt_a * cnt_b)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("support"), F.asc("pa"), F.asc("pb"))
+        .limit(BASKET_TOPK)
+    )
+
+
+BASKET_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+part_cnt AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT pa, pb, support,
+       CAST((support * n.n_orders * 1000000) // (ca.cnt * cb.cnt) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN part_cnt ca ON ca.l_partkey = pa
+JOIN part_cnt cb ON cb.l_partkey = pb
+CROSS JOIN n
+ORDER BY support DESC, pa ASC, pb ASC
+LIMIT {BASKET_TOPK}
+"""
+
+
+def suppliers_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28 — Pareto/ABC supplier classification: rank suppliers by exact
+    revenue, cumulative share in exact integer arithmetic, class A = the
+    suppliers covering the first 80% of revenue, B to 95%, C the tail —
+    the inventory-policy report every supply-chain stack runs.
+
+    Exactness: revenue accumulates as e-4 currency units in DECIMAL(38,0)
+    (HUGEINT twin), the cumulative window rides the same units, and the
+    80/95 thresholds compare as integer cross-products (cum·5 ≤ total·4)
+    — no float share can flip a class boundary at any scale. One shuffle
+    for the supplier aggregate; the window runs over O(suppliers) rows."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_e4().cast(_D38)).alias("rev_e4")
+    )
+    w = Window.orderBy(F.desc("rev_e4"), F.asc("l_suppkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    bound = rev.select(
+        "l_suppkey",
+        "rev_e4",
+        F.sum("rev_e4").over(w).alias("cum"),
+        F.sum("rev_e4").over(wall).alias("total"),
+    )
+    abc = (
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+    )
+    return bound.select(
+        "l_suppkey",
+        _money(F.col("rev_e4"), 4).alias("revenue"),
+        F.expr("CAST((cum * 1000000) div total AS BIGINT)").alias("cum_share_ppm"),
+        abc.alias("abc_class"),
+    )
+
+
+PARETO_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({REV_E4_SQL}) AS rev_e4
+  FROM lineitem GROUP BY 1
+),
+bound AS (
+  SELECT l_suppkey, rev_e4,
+         sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_suppkey ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev_e4) OVER () AS total
+  FROM rev
+)
+SELECT l_suppkey,
+       {_money_sql('rev_e4', 4)} AS revenue,
+       CAST((cum * 1000000) // total AS BIGINT) AS cum_share_ppm,
+       CASE WHEN cum * 5 <= total * 4 THEN 'A'
+            WHEN cum * 20 <= total * 19 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM bound
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -601,6 +733,8 @@ QUERIES = {
     "window_value_deciles": window_value_deciles,
     "set_ops_customer_segments": set_ops_customer_segments,
     "orders_rfm_segments": orders_rfm_segments,
+    "orders_market_basket": orders_market_basket,
+    "suppliers_pareto_abc": suppliers_pareto_abc,
 }
 
 ORACLES = {
@@ -617,4 +751,6 @@ ORACLES = {
     "window_value_deciles": DECILES_SQL,
     "set_ops_customer_segments": SET_OPS_SQL,
     "orders_rfm_segments": RFM_SQL,
+    "orders_market_basket": BASKET_SQL,
+    "suppliers_pareto_abc": PARETO_SQL,
 }

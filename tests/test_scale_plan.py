@@ -41,6 +41,7 @@ NESTED_LOOP_OK = {
     "cluster_kmeans_embed",  # K-row centroid dim broadcast over the corpus per iteration
     "dedup_semantic_kmeans",  # inherits the k-means broadcast centroid cross join
     "sketch_theta_setops",  # |types|-row sketch metas paired via broadcast `<` join
+    "orders_market_basket",  # 1-row order-count aggregate broadcast as a scalar
 }
 
 
