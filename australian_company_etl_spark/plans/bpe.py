@@ -71,12 +71,10 @@ def _initial_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pair_counts(sym: DataFrame) -> DataFrame:
     """Adjacent-pair frequencies over the symbol strings."""
-    t = F.split(F.col("s"), " ")
     pairs = F.expr(
         "transform(slice(split(s, ' '), 1, size(split(s, ' ')) - 1),"
         " (x, i) -> struct(x AS a, element_at(split(s, ' '), i + 2) AS b))"
     )
-    _ = t  # symbols derived inline so codegen sees one expression tree
     return (
         sym.select(F.explode(pairs).alias("p"), "cnt")
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
