@@ -26,6 +26,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.exactmath import D38 as _PI_D38
 from australian_company_etl_spark.functions.textfns import phash_sql
 from australian_company_etl_spark.sources.registry import load_tables
 
@@ -631,6 +632,74 @@ GROUP BY 1, 2
 """
 
 
+POWER_ITERS = 8  # power-iteration rounds for the top eigenvector
+_PI_SCALE = 1_000_000  # micro-unit quantization for exact integer matvecs
+
+
+def embed_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 — top eigenvector of the (uncentered) embedding second-moment
+    matrix EᵀE via distributed power iteration — the building block of
+    PCA whitening / spectral embedding passes over a vector corpus.
+
+    Exactly deterministic across engines, runs, AND partitionings: the
+    matvec w = Eᵀ(Ev) runs entirely in integer arithmetic — embeddings
+    micro-quantized to BIGINT, per-row dot s_i = eᵢ·v in BIGINT, the
+    per-dimension reduction Σᵢ e_ij·(sᵢ div 10⁶) summed as DECIMAL(38,0)
+    (the q1 two-phase discipline; integer addition commutes, so shuffle
+    order cannot change a single bit). The 64-dim result is collected to
+    the driver each round (inherent: the next iterate is a global
+    dependency) and re-normalized to micro units with integer math +
+    isqrt — no float ever enters the loop. ~log-factor convergence per
+    round for a spectral gap; 8 rounds pin the direction to ~1e-4.
+
+    Scale: each round is one posexplode → map-side-combined 64-group
+    aggregate (the G7 projection shape); vector state on the driver is
+    64 BIGINTs. At 100 TB this is exactly how you'd run it, with rounds
+    fused over a cached quantized table."""
+    import math
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * _PI_SCALE).cast("bigint"),
+        ).alias("em"),
+    ).localCheckpoint(eager=True)
+
+    v = [_PI_SCALE] + [0] * (EMB_DIM - 1)  # deterministic start: e_1
+    for _ in range(POWER_ITERS):
+        vlit = F.array(*[F.lit(x) for x in v])
+        s = F.aggregate(
+            F.zip_with(F.col("em"), vlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        rows = (
+            q.select(s.alias("s"), "em")
+            .select(F.expr(f"s div {_PI_SCALE}").alias("sd"), "em")
+            .select(F.posexplode("em").alias("j", "e"), "sd")
+            .groupBy("j")
+            .agg(F.sum((F.col("e") * F.col("sd")).cast(_PI_D38)).alias("w"))
+            .collect()
+        )
+        # hold the exact integers driver-side; renormalize with isqrt
+        w = [0] * EMB_DIM
+        for r in rows:
+            w[r.j] = int(r.w)
+        norm = math.isqrt(sum(x * x for x in w))
+        if norm == 0:
+            break
+        # round-half-up rational rounding, sign-symmetric and exact
+        v = [
+            (2 * x * _PI_SCALE + (norm if x >= 0 else -norm)) // (2 * norm)
+            for x in w
+        ]
+    return spark.createDataFrame(
+        [(j, v[j]) for j in range(EMB_DIM)], "dim int, v_micro long"
+    )
+
+
 KNN_GRAPH_K = 3  # neighbors kept per vertex
 
 
@@ -695,6 +764,7 @@ QUERIES = {
     "dedup_semantic_kmeans": dedup_semantic_kmeans,
     "embed_random_projection": embed_random_projection,
     "knn_graph_lsh": knn_graph_lsh,
+    "embed_top_eigenvector": embed_top_eigenvector,
 }
 
 ORACLES = {

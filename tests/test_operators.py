@@ -946,3 +946,44 @@ def test_bpe_tokenize_matches_python_reference(spark, sf_dir):
         for r in text_bpe_tokenize(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_top_eigenvector_matches_python_reference(spark, sf_dir):
+    """The distributed power iteration must be integer-exact: replicate
+    the quantize → matvec → isqrt-renormalize loop in plain Python and
+    demand bit-identical micro components."""
+    import math
+
+    from australian_company_etl_spark.plans.similarity import (
+        EMB_DIM,
+        POWER_ITERS,
+        _PI_SCALE,
+        embed_top_eigenvector,
+    )
+
+    embs = [
+        [round(x * _PI_SCALE) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    ]
+    v = [_PI_SCALE] + [0] * (EMB_DIM - 1)
+    for _ in range(POWER_ITERS):
+        w = [0] * EMB_DIM
+        for e in embs:
+            s = sum(a * b for a, b in zip(e, v))
+            # Spark's `div` truncates toward zero; Python's // floors
+            sd = s // _PI_SCALE if s >= 0 else -((-s) // _PI_SCALE)
+            for j in range(EMB_DIM):
+                w[j] += e[j] * sd
+        norm = math.isqrt(sum(x * x for x in w))
+        if norm == 0:
+            break
+        v = [
+            (2 * x * _PI_SCALE + (norm if x >= 0 else -norm)) // (2 * norm)
+            for x in w
+        ]
+    got = {r.dim: r.v_micro for r in embed_top_eigenvector(spark, sf_dir).collect()}
+    assert got == {j: v[j] for j in range(EMB_DIM)}
+    # and it is a (near-)unit vector in micro units
+    assert abs(sum(x * x for x in v) ** 0.5 - _PI_SCALE) < 100

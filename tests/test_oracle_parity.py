@@ -23,10 +23,13 @@ def test_every_query_has_oracle_or_is_declared():
     # - text_bpe_vocab is iterative with a per-round global argmax (proven
     #   merge-for-merge identical to a Python reference in test_operators.py)
     # - text_bpe_tokenize applies those learned merges (same coverage)
+    # - embed_top_eigenvector is iterative with a driver-side renormalize
+    #   (integer-exact vs a Python reference in test_operators.py)
     allowed_rows_only: set[str] = {
         "quality_table_health",
         "text_bpe_vocab",
         "text_bpe_tokenize",
+        "embed_top_eigenvector",
     }
     assert set(missing) <= allowed_rows_only, f"queries missing oracle twin: {missing}"
 
