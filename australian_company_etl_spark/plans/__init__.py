@@ -80,6 +80,11 @@ _VERIFY_FIRST = [
     # (two-phase exact q1 agg); the others are unchanged + r02-green -------
     "q1_pricing_summary",
     # ---- 50-entry driver cap lands exactly here ---------------------------
+    # Round-4 rotation: lead with the queries added after this round's
+    # window filled — orders_market_basket, suppliers_pareto_abc,
+    # events_attribution_last_touch, text_bpe_vocab, text_bpe_tokenize,
+    # embed_top_eigenvector (last three rows-only) — then any round-4
+    # semantic changes, then never-rechecked long-tail.
 ]
 
 
