@@ -510,6 +510,79 @@ FROM tot
 """
 
 
+DIFF_CUTOFF = "1996-07-01"  # v1 snapshot = events strictly before this date
+
+
+def quality_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 — snapshot diff across a data refresh (data-CI's core check):
+    build the same per-user derived table from the OLD snapshot (events
+    before a cutoff) and the NEW one (all events), then classify every key
+    as added / changed / unchanged with exact-integer content comparison
+    (event count + cent-exact value sum). The report a pipeline posts on
+    every refresh so silent upstream rewrites are caught before training.
+
+    Scale: two map-side-combined aggregates over one scan lineage + one
+    full outer equi-join on the key; the diff classification is a pure
+    projection. 'removed' is structurally impossible for an append-only
+    log (v1 ⊆ v2) but the branch is expressed so mutable sources report
+    it."""
+    from australian_company_etl_spark.functions.exactmath import cents
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+
+    def snap(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("sum_cents"),
+        )
+
+    v1 = snap(ev.filter(F.col("ts") < F.lit(DIFF_CUTOFF).cast("timestamp")))
+    v2 = snap(ev)
+    j = v1.alias("a").join(
+        v2.alias("b"),
+        F.col("a.user_id") == F.col("b.user_id"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("a.user_id").isNull(), "added")
+        .when(F.col("b.user_id").isNull(), "removed")
+        .when(
+            (F.col("a.n_events") == F.col("b.n_events"))
+            & (F.col("a.sum_cents") == F.col("b.sum_cents")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return (
+        j.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH v1 AS (
+  SELECT user_id, count(*) AS n_events,
+         sum(CAST(round((value) * 100) AS BIGINT)) AS sum_cents
+  FROM events WHERE ts < TIMESTAMP '{DIFF_CUTOFF}'
+  GROUP BY 1
+),
+v2 AS (
+  SELECT user_id, count(*) AS n_events,
+         sum(CAST(round((value) * 100) AS BIGINT)) AS sum_cents
+  FROM events GROUP BY 1
+)
+SELECT CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            WHEN a.n_events = b.n_events AND a.sum_cents = b.sum_cents
+              THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       count(*) AS n_keys
+FROM v1 a FULL OUTER JOIN v2 b ON a.user_id = b.user_id
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "quality_row_counts": quality_row_counts,
     "quality_table_health": quality_table_health,
@@ -521,6 +594,7 @@ QUERIES = {
     "privacy_pseudonymize": privacy_pseudonymize,
     "privacy_k_anonymity": privacy_k_anonymity,
     "quality_drift_psi": quality_drift_psi,
+    "quality_snapshot_diff": quality_snapshot_diff,
 }
 
 ORACLES = {
@@ -533,4 +607,5 @@ ORACLES = {
     "privacy_pseudonymize": _pseudonymize_sql(),
     "privacy_k_anonymity": K_ANONYMITY_SQL,
     "quality_drift_psi": _drift_psi_sql(),
+    "quality_snapshot_diff": SNAPSHOT_DIFF_SQL,
 }

@@ -803,6 +803,87 @@ GROUP BY 1
 """
 
 
+FUNNEL3_STEPS = ("signup", "click", "purchase")
+
+
+def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J22 — ordered 3-step funnel (signup → click → purchase): per user,
+    each step's timestamp is the earliest qualifying event AT OR AFTER the
+    previous step's; the report is per-step user counts plus the median
+    whole-second end-to-end latency of completers. Generalizes J6's
+    two-step conversion to the arbitrary-depth chain product analytics
+    needs.
+
+    Scale: one map-side-combined conditional-min aggregate per step, each
+    joined back on user_id (dim-sized frames after the first agg — they
+    broadcast); no window over raw history. Step chaining is inherently
+    sequential, but each link costs O(users), not O(events)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    us = F.unix_micros(F.col("ts"))
+    e = ev.select("user_id", "event_type", us.alias("us"))
+    s1 = (
+        e.filter(F.col("event_type") == FUNNEL3_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == FUNNEL3_STEPS[1])
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == FUNNEL3_STEPS[2])
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.min("t1").alias("t1"))
+    )
+    lat = s3.select(F.expr("(t3 - t1) div 1000000").alias("lat_s"))
+    counts = (
+        s1.agg(F.count("*").alias("n_step1"))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").alias("n_step2"))))
+        .crossJoin(F.broadcast(s3.agg(F.count("*").alias("n_step3"))))
+        .crossJoin(
+            F.broadcast(
+                lat.agg(
+                    F.round(F.expr("percentile(lat_s, 0.5D)"), 3).alias(
+                        "median_total_s"
+                    )
+                )
+            )
+        )
+    )
+    return counts
+
+
+FUNNEL3_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (
+  SELECT user_id, min(us) AS t1 FROM e
+  WHERE event_type = '{FUNNEL3_STEPS[0]}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.us) AS t2, min(s1.t1) AS t1
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{FUNNEL3_STEPS[1]}' AND e.us >= s1.t1
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.us) AS t3, min(s2.t1) AS t1
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{FUNNEL3_STEPS[2]}' AND e.us >= s2.t2
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM s1) AS n_step1,
+       (SELECT count(*) FROM s2) AS n_step2,
+       (SELECT count(*) FROM s3) AS n_step3,
+       (SELECT round(quantile_cont((t3 - t1) // 1000000, 0.5), 3) FROM s3)
+         AS median_total_s
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": events_tumbling_agg,
     "events_sessionize": events_sessionize,
@@ -820,6 +901,7 @@ QUERIES = {
     "events_cdc_snapshot": events_cdc_snapshot,
     "events_watermark_lag_audit": events_watermark_lag_audit,
     "events_attribution_last_touch": events_attribution_last_touch,
+    "events_funnel_3step": events_funnel_3step,
 }
 
 ORACLES = {
@@ -839,4 +921,5 @@ ORACLES = {
     "events_cdc_snapshot": CDC_SNAPSHOT_SQL,
     "events_watermark_lag_audit": WATERMARK_LAG_SQL,
     "events_attribution_last_touch": ATTRIBUTION_SQL,
+    "events_funnel_3step": FUNNEL3_SQL,
 }

@@ -42,6 +42,7 @@ NESTED_LOOP_OK = {
     "dedup_semantic_kmeans",  # inherits the k-means broadcast centroid cross join
     "sketch_theta_setops",  # |types|-row sketch metas paired via broadcast `<` join
     "orders_market_basket",  # 1-row order-count aggregate broadcast as a scalar
+    "events_funnel_3step",  # four 1-row step-count aggregates combined via broadcast
 }
 
 
