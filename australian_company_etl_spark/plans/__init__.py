@@ -82,9 +82,11 @@ _VERIFY_FIRST = [
     # ---- 50-entry driver cap lands exactly here ---------------------------
     # Round-4 rotation: lead with the queries added after this round's
     # window filled — orders_market_basket, suppliers_pareto_abc,
-    # events_attribution_last_touch, text_bpe_vocab, text_bpe_tokenize,
-    # embed_top_eigenvector (last three rows-only) — then any round-4
-    # semantic changes, then never-rechecked long-tail.
+    # events_attribution_last_touch, quality_snapshot_diff,
+    # events_funnel_3step, events_peak_concurrency, mix_curriculum_stages,
+    # text_bpe_vocab, text_bpe_tokenize, embed_top_eigenvector (last three
+    # rows-only) — then any round-4 semantic changes, then the
+    # never-rechecked long-tail.
 ]
 
 

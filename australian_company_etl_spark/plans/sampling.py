@@ -372,6 +372,45 @@ WHERE rnk <= {PRIORITY_K}
 """
 
 
+CURRICULUM_STAGES = 4
+CURRICULUM_SHARDS = 8
+
+
+def mix_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N9 — curriculum staging: order the corpus by a difficulty proxy
+    (document length here; any deterministic score column plugs in),
+    split into equal-depth training stages with ntile, and assign each
+    doc a deterministic hash shard within its stage — the stage/shard
+    layout a curriculum-learning run consumes (easy stages first, stable
+    shard addressing within each stage; re-running on the same corpus
+    reproduces the identical order).
+
+    Scale: one global sort for ntile over (proxy, doc_id) — at 100 TB
+    the drop-in is range-partitioned bucketing on precomputed proxy
+    quantiles (M2's sketch), same assignments; shard choice is the N6
+    shuffle-free hash."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    stage = F.ntile(CURRICULUM_STAGES).over(w)
+    shard = phash_spark(F.col("doc_id").cast("string")) % CURRICULUM_SHARDS
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").alias("difficulty"),
+        stage.cast("int").alias("stage"),
+        shard.cast("int").alias("shard"),
+    )
+
+
+def _curriculum_sql() -> str:
+    return f"""
+SELECT doc_id,
+       n_chars AS difficulty,
+       ntile({CURRICULUM_STAGES}) OVER (ORDER BY n_chars ASC, doc_id ASC)::INT AS stage,
+       ({phash_sql("doc_id::VARCHAR")} % {CURRICULUM_SHARDS})::INT AS shard
+FROM documents
+"""
+
+
 QUERIES = {
     "sample_stratified_hash": sample_stratified_hash,
     "split_train_holdout": split_train_holdout,
@@ -381,6 +420,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "shard_shuffle_deterministic": shard_shuffle_deterministic,
     "sample_weighted_priority": sample_weighted_priority,
+    "mix_curriculum_stages": mix_curriculum_stages,
 }
 
 ORACLES = {
@@ -392,4 +432,5 @@ ORACLES = {
     "chunk_documents": _chunk_sql(),
     "shard_shuffle_deterministic": SHARD_SHUFFLE_SQL,
     "sample_weighted_priority": _priority_sql(),
+    "mix_curriculum_stages": _curriculum_sql(),
 }

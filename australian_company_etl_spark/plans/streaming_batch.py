@@ -884,6 +884,61 @@ SELECT (SELECT count(*) FROM s1) AS n_step1,
 """
 
 
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J23 — peak concurrency via a sweep line: treat each event as a
+    half-open activity interval [ts, ts + 30 min) and report, per
+    event_type, the maximum number of simultaneously-active intervals —
+    the capacity-planning number (peak live sessions) behind autoscaling
+    thresholds.
+
+    The sweep is exact and order-independent by construction: +1/−1
+    boundary points are NETTED per distinct timestamp before the running
+    sum (so an interval ending exactly when another starts never
+    double-counts under half-open semantics, and ties cannot reorder the
+    peak). One shuffle on event_type; the running max rides the window
+    partition. At 100 TB the same sweep runs per (type, day) with
+    carried-in open counts — the netted points are O(distinct
+    timestamps), already a reduction of the raw log."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    us = F.unix_micros(F.col("ts"))
+    starts = ev.select("event_type", us.alias("t"), F.lit(1).alias("d"))
+    ends = ev.select(
+        "event_type", (us + F.lit(SESSION_GAP_US)).alias("t"), F.lit(-1).alias("d")
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(F.sum("d").alias("net"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = net.select("event_type", F.sum("net").over(w).alias("running"))
+    return running.groupBy("event_type").agg(
+        F.max("running").cast("bigint").alias("peak_concurrent")
+    )
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {SESSION_GAP_US}, -1 FROM events
+),
+net AS (SELECT event_type, t, sum(d) AS net FROM pts GROUP BY 1, 2),
+running AS (
+  SELECT event_type,
+         sum(net) OVER (PARTITION BY event_type ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS running
+  FROM net
+)
+SELECT event_type, CAST(max(running) AS BIGINT) AS peak_concurrent
+FROM running GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": events_tumbling_agg,
     "events_sessionize": events_sessionize,
@@ -902,6 +957,7 @@ QUERIES = {
     "events_watermark_lag_audit": events_watermark_lag_audit,
     "events_attribution_last_touch": events_attribution_last_touch,
     "events_funnel_3step": events_funnel_3step,
+    "events_peak_concurrency": events_peak_concurrency,
 }
 
 ORACLES = {
@@ -922,4 +978,5 @@ ORACLES = {
     "events_watermark_lag_audit": WATERMARK_LAG_SQL,
     "events_attribution_last_touch": ATTRIBUTION_SQL,
     "events_funnel_3step": FUNNEL3_SQL,
+    "events_peak_concurrency": PEAK_CONCURRENCY_SQL,
 }
