@@ -84,6 +84,7 @@ _VERIFY_FIRST = [
     # window filled — orders_market_basket, suppliers_pareto_abc,
     # events_attribution_last_touch, quality_snapshot_diff,
     # events_funnel_3step, events_peak_concurrency, mix_curriculum_stages,
+    # sketch_bottomk_daily_merge, ann_recall_report, ann_lsh_multiprobe,
     # text_bpe_vocab, text_bpe_tokenize, embed_top_eigenvector (last three
     # rows-only) — then any round-4 semantic changes, then the
     # never-rechecked long-tail.

@@ -657,6 +657,93 @@ JOIN per_type nb ON nb.event_type = un.type_b
 """
 
 
+def sketch_bottomk_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — mergeable uniform sampling: a bottom-k hash sample (the
+    deterministic 'reservoir') built per (event_type, day) — the daily
+    partial a pipeline persists — then merged by re-ranking the union,
+    compared against the bottom-k computed directly from all data. The
+    M6-style mergeability proof for SAMPLING: merge(daily partials) ==
+    sample(whole), the property that lets a pipeline keep a uniform
+    user sample forever without re-reading archived days.
+
+    Scale: daily partials are O(k) rows per (type, day); the merge
+    re-rank touches only partials. Output: per type, the k-th hash and
+    sample size from both paths plus an `identical` flag (proven true on
+    this corpus — asserted, not assumed)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    pairs = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            phash_spark(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy("h")
+    daily = (
+        pairs.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    wm = Window.partitionBy("event_type").orderBy("h")
+    merged = (
+        daily.distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth_merged"), F.count("*").alias("k_merged"))
+    )
+    direct = (
+        pairs.select("event_type", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth_direct"), F.count("*").alias("k_direct"))
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        "k_merged",
+        "k_direct",
+        "kth_merged",
+        "kth_direct",
+        (
+            (F.col("k_merged") == F.col("k_direct"))
+            & (F.col("kth_merged") == F.col("kth_direct"))
+        ).alias("identical"),
+    )
+
+
+BOTTOMK_MERGE_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type, ts::DATE AS day,
+         {phash_sql("user_id::VARCHAR")} AS h
+  FROM events
+),
+daily AS (
+  SELECT event_type, h FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY event_type, day ORDER BY h) <= {KMV_K}
+),
+merged AS (
+  SELECT event_type, max(h) AS kth_merged, count(*) AS k_merged
+  FROM (
+    SELECT event_type, h FROM (SELECT DISTINCT event_type, h FROM daily)
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {KMV_K}
+  ) GROUP BY 1
+),
+direct AS (
+  SELECT event_type, max(h) AS kth_direct, count(*) AS k_direct
+  FROM (
+    SELECT event_type, h FROM (SELECT DISTINCT event_type, h FROM pairs)
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {KMV_K}
+  ) GROUP BY 1
+)
+SELECT m.event_type, m.k_merged, d.k_direct, m.kth_merged, d.kth_direct,
+       (m.k_merged = d.k_direct AND m.kth_merged = d.kth_direct) AS identical
+FROM merged m JOIN direct d ON m.event_type = d.event_type
+"""
+
+
 QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "quantiles_event_value": quantiles_event_value,
@@ -665,6 +752,7 @@ QUERIES = {
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_hll_daily_merge": sketch_hll_daily_merge,
     "sketch_theta_setops": sketch_theta_setops,
+    "sketch_bottomk_daily_merge": sketch_bottomk_daily_merge,
 }
 
 ORACLES = {
@@ -675,4 +763,5 @@ ORACLES = {
     "sketch_hll_distinct": _hll_sql(),
     "sketch_hll_daily_merge": _hll_merge_sql(),
     "sketch_theta_setops": THETA_SETOPS_SQL,
+    "sketch_bottomk_daily_merge": BOTTOMK_MERGE_SQL,
 }

@@ -21,6 +21,7 @@ QUERIES = entrymod.queries()
 NESTED_LOOP_OK = {
     "ann_brute_topk",
     "ann_ivf_topk",
+    "ann_recall_report",  # composes G1/G2/G3 — inherits their broadcast query dims
     "match_fuzzy_levenshtein",
     "unify_entities",
     "text_idf_vocab",  # 1-row corpus-size aggregate broadcast as a scalar
