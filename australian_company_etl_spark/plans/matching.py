@@ -358,6 +358,80 @@ FROM ranked WHERE rn = 1
 """
 
 
+_SOUNDEX_FROM = "abcdefghijklmnopqrstuvwxyz"
+_SOUNDEX_TO = "01230120022455012623010202"  # vowels+h/w/y → 0
+
+
+def match_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 — phonetic blocking stats: group part names by a Soundex-class
+    consonant-skeleton key (first letter + first 3 consonant-class digits
+    of the rest, runs collapsed, vowels dropped) and report each block's
+    size and candidate-pair count. Phonetic blocking is the classic
+    entity-matching candidate generator for MISSPELLED names — 'Smith' /
+    'Smyth' share a block that no exact or prefix key catches — and the
+    per-block pair counts are exactly the Σ|block|² cost the matcher will
+    pay (the number you inspect before running B5's blocked fuzzy match).
+
+    The key is a deliberately simplified Soundex variant defined by the
+    same primitive ops in both dialects (translate → collapse runs →
+    strip zeros), so parity holds by construction; it is NOT
+    byte-compatible with American Soundex's H/W-adjacency edge rules
+    (entity_matching.py:74-97 normalizes spelling; this blocks on sound).
+
+    Scale: a pure per-row key projection + one map-side-combined count —
+    no pairs are materialized here; the matcher joins within blocks."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    w = F.regexp_extract(F.lower(F.trim(F.col("p_name"))), "^[a-z]+", 0)
+    code = F.translate(F.expr("substring(w, 2)"), _SOUNDEX_FROM, _SOUNDEX_TO)
+    d = part.select("p_partkey", w.alias("w")).filter(F.col("w") != "")
+    d = d.select("p_partkey", "w", code.alias("code"))
+    for digit in "123456":
+        d = d.withColumn(
+            "code", F.regexp_replace(F.col("code"), digit + "{2,}", digit)
+        )
+    d = d.withColumn("code", F.regexp_replace(F.col("code"), "0", ""))
+    key = F.concat(
+        F.upper(F.substring(F.col("w"), 1, 1)),
+        F.rpad(F.substring(F.col("code"), 1, 3), 3, "0"),
+    )
+    return (
+        d.select(key.alias("phonetic_key"))
+        .groupBy("phonetic_key")
+        .agg(F.count("*").alias("n_parts"))
+        .select(
+            "phonetic_key",
+            "n_parts",
+            F.expr("(n_parts * (n_parts - 1)) div 2").alias("n_candidate_pairs"),
+        )
+    )
+
+
+def _phonetic_sql() -> str:
+    collapse = "code"
+    for digit in "123456":
+        collapse = f"regexp_replace({collapse}, '{digit}{{2,}}', '{digit}', 'g')"
+    collapse = f"regexp_replace({collapse}, '0', '', 'g')"
+    return f"""
+WITH words AS (
+  SELECT p_partkey, regexp_extract(lower(trim(p_name)), '^[a-z]+') AS w
+  FROM part
+),
+coded AS (
+  SELECT p_partkey, w,
+         translate(substring(w, 2), '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}') AS code
+  FROM words WHERE w <> ''
+),
+keyed AS (
+  SELECT upper(substring(w, 1, 1)) || rpad(substring({collapse}, 1, 3), 3, '0')
+           AS phonetic_key
+  FROM coded
+)
+SELECT phonetic_key, count(*) AS n_parts,
+       (count(*) * (count(*) - 1)) // 2 AS n_candidate_pairs
+FROM keyed GROUP BY 1
+"""
+
+
 QUERIES = {
     "norm_names": norm_names,
     "match_exact_key": match_exact_key,
@@ -366,6 +440,7 @@ QUERIES = {
     "match_keyword_jaccard": match_keyword_jaccard,
     "match_blocked_fuzzy": match_blocked_fuzzy,
     "unify_entities": unify_entities,
+    "match_phonetic_block": match_phonetic_block,
 }
 
 ORACLES = {
@@ -376,4 +451,5 @@ ORACLES = {
     "match_keyword_jaccard": MATCH_KEYWORD_SQL,
     "match_blocked_fuzzy": MATCH_BLOCKED_SQL,
     "unify_entities": UNIFY_SQL,
+    "match_phonetic_block": _phonetic_sql(),
 }
