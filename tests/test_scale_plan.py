@@ -377,3 +377,41 @@ def test_runtime_bloom_filter_prunes_fact_before_shuffle(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_peak_concurrency_nets_points_before_the_sweep(spark, sf_dir):
+    """J23's sweep must (a) net the +1/−1 boundary points with a map-side
+    partial_sum BEFORE any shuffle (the netted points are O(distinct
+    timestamps), the reduction the 100 TB posture rests on), (b) run ONE
+    window on the event_type partition, and (c) let the final max ride
+    that same partitioning — no exchange above the window."""
+    plan = _executed_plan(QUERIES["events_peak_concurrency"](spark, sf_dir))
+    assert "partial_sum" in plan  # netting combines map-side
+    assert plan.count("Window") == 1
+    assert "Exchange" not in plan[: plan.index("Window")]
+    # exactly two shuffles: (type, t) for netting, (type) for the sweep
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_snapshot_diff_pushes_cutoff_and_avoids_windows(spark, sf_dir):
+    """C12 must push the v1 cutoff predicate into the parquet scan (the
+    old snapshot reads only its own slice), reduce both snapshots with
+    map-side partial aggregates, and classify via a full-outer equi-join —
+    never a window over raw history."""
+    plan = _spark_plan(QUERIES["quality_snapshot_diff"](spark, sf_dir))
+    assert "LessThan(ts" in plan.split("PushedFilters")[1][:300]
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "FullOuter" in plan
+    assert "Window" not in plan
+
+
+def test_bottomk_merge_prunes_to_k_rows_map_side(spark, sf_dir):
+    """M8's per-(type, day) bottom-k must rewrite to WindowGroupLimit with
+    a PARTIAL phase — each map task forwards at most k rows per group, so
+    the shuffle carries O(groups x k), not the raw log — and the final
+    |types|-row merged/direct summaries must pair via a broadcast hash
+    join."""
+    plan = _executed_plan(QUERIES["sketch_bottomk_daily_merge"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert ", Partial" in plan  # map-side phase present, not just the Final
+    assert "BroadcastHashJoin" in plan
