@@ -744,6 +744,165 @@ FROM merged m JOIN direct d ON m.event_type = d.event_type
 """
 
 
+HLL_WIN_DAYS = 7  # trailing window width for the sliding distinct
+
+
+def sketch_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — SLIDING-window distinct (trailing-7-day active users per
+    event_type, one row per window end day) answered from the M6 daily
+    register partials. COUNT(DISTINCT) cannot be windowed-summed — a user
+    active on 5 of the 7 days must count once — so the scalable form is:
+    persist one 64-register HLL per (type, day), and for each window end
+    merge the trailing days' partials by elementwise register max. Raw
+    events are touched once, ever; every window is answered from O(64)
+    rows per (type, day), and yesterday's windows never recompute.
+
+    The exact trailing distinct is computed alongside as the validation
+    twin (the same role as M5's exact column); a production pipeline
+    drops it — it is the O(|D| x W) recompute the sketch path exists to
+    avoid. Registers, harmonic sum, and the estimate reuse M5's
+    integer-exact construction (hash div/mod, bitlength via bin-length,
+    Z summed as BIGINT), so both dialects agree to the printed 4dp.
+
+    Scale: regs_day combines map-side to <=64 rows per (type, day); the
+    window expansion joins those partials against the broadcast day dim
+    (a range condition over a calendar — O(64 x W) rows per window, bytes
+    not data); the merge is a max-agg on (type, win_end, bucket).
+    Reference parity: generalizes quality_checks.py:21-38's distinct
+    counting to the moving-window form a daily ingest needs."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hashed = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        phash_spark(F.col("user_id").cast("string")).alias("h"),
+    )
+    buckets = hashed.select(
+        "event_type",
+        "day",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("r"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("r") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.bin(F.col("r")))
+        ),
+    )
+    regs_day = buckets.groupBy("event_type", "day", "bucket").agg(
+        F.max("rho").alias("m_reg")
+    )
+    days = regs_day.select("event_type", F.col("day").alias("win_end")).distinct()
+
+    def in_window(left, right_days):
+        # explicit aliases: `days` shares lineage with regs_day, so the
+        # equi-key must be disambiguated or Spark may resolve both sides
+        # to the same attribute
+        l, d = left.alias("l"), right_days.alias("d")
+        return l.join(
+            F.broadcast(d),
+            (F.col("l.event_type") == F.col("d.event_type"))
+            & (F.col("l.day") <= F.col("d.win_end"))
+            & (F.col("l.day") > F.date_sub(F.col("d.win_end"), HLL_WIN_DAYS)),
+        ).select("l.*", "d.win_end")
+
+    win_regs = (
+        in_window(regs_day, days)
+        .groupBy("event_type", "win_end", "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    n_days = (
+        in_window(regs_day.select("event_type", "day").distinct(), days)
+        .groupBy("event_type", "win_end")
+        .agg(F.count("*").cast("int").alias("n_days_in_win"))
+    )
+    exact = (
+        in_window(ev.select("event_type", F.to_date("ts").alias("day"), "user_id"), days)
+        .groupBy("event_type", "win_end")
+        .agg(F.countDistinct("user_id").alias("n_distinct_exact"))
+    )
+    agg = win_regs.groupBy("event_type", "win_end").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m_reg)")).alias("z_present"),
+        F.count("*").alias("n_present"),
+    )
+    z = F.col("z_present") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << 55)
+    raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M)
+        * F.pow(F.lit(2.0), F.lit(55))
+        / z.cast("double")
+    )
+    v = F.lit(HLL_M) - F.col("n_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return (
+        agg.join(F.broadcast(n_days), ["event_type", "win_end"])
+        .join(F.broadcast(exact), ["event_type", "win_end"])
+        .select(
+            "event_type",
+            "win_end",
+            "n_days_in_win",
+            "n_distinct_exact",
+            F.round(est, 4).alias("hll_estimate"),
+        )
+    )
+
+
+def _hll_sliding_sql() -> str:
+    h = phash_sql("user_id::VARCHAR")
+    return f"""
+WITH buckets AS (
+  SELECT event_type, ts::DATE AS day,
+         {h} % {HLL_M} AS bucket,
+         {h} // {HLL_M} AS r
+  FROM events
+), rho_ AS (
+  SELECT event_type, day, bucket,
+         CASE WHEN r = 0 THEN 55 ELSE 55 - length(bin(r)) END AS rho
+  FROM buckets
+), regs_day AS (
+  SELECT event_type, day, bucket, max(rho) AS m_reg FROM rho_ GROUP BY 1, 2, 3
+), days AS (
+  SELECT DISTINCT event_type, day AS win_end FROM regs_day
+), win_regs AS (
+  SELECT d.event_type, d.win_end, r.bucket, max(r.m_reg) AS m_reg
+  FROM regs_day r JOIN days d
+    ON r.event_type = d.event_type
+   AND r.day <= d.win_end AND r.day > d.win_end - {HLL_WIN_DAYS}
+  GROUP BY 1, 2, 3
+), n_days AS (
+  SELECT d.event_type, d.win_end, count(DISTINCT r.day)::INT AS n_days_in_win
+  FROM (SELECT DISTINCT event_type, day FROM regs_day) r JOIN days d
+    ON r.event_type = d.event_type
+   AND r.day <= d.win_end AND r.day > d.win_end - {HLL_WIN_DAYS}
+  GROUP BY 1, 2
+), exact AS (
+  SELECT d.event_type, d.win_end, count(DISTINCT e.user_id) AS n_distinct_exact
+  FROM (SELECT event_type, ts::DATE AS day, user_id FROM events) e JOIN days d
+    ON e.event_type = d.event_type
+   AND e.day <= d.win_end AND e.day > d.win_end - {HLL_WIN_DAYS}
+  GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, win_end,
+         sum(1::BIGINT << (55 - m_reg))::BIGINT AS z_present,
+         count(*) AS n_present
+  FROM win_regs GROUP BY 1, 2
+)
+SELECT a.event_type, a.win_end, n.n_days_in_win, x.n_distinct_exact,
+       round(
+         CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M}) * pow(2.0, 55)
+                   / (a.z_present + ({HLL_M} - a.n_present) * (1::BIGINT << 55))::DOUBLE
+                   <= {2.5 * HLL_M}
+               AND ({HLL_M} - a.n_present) > 0
+              THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - a.n_present)::DOUBLE)
+              ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M}) * pow(2.0, 55)
+                   / (a.z_present + ({HLL_M} - a.n_present) * (1::BIGINT << 55))::DOUBLE
+         END, 4) AS hll_estimate
+FROM agg a
+JOIN n_days n ON a.event_type = n.event_type AND a.win_end = n.win_end
+JOIN exact x ON a.event_type = x.event_type AND a.win_end = x.win_end
+"""
+
+
 QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "quantiles_event_value": quantiles_event_value,
@@ -753,6 +912,7 @@ QUERIES = {
     "sketch_hll_daily_merge": sketch_hll_daily_merge,
     "sketch_theta_setops": sketch_theta_setops,
     "sketch_bottomk_daily_merge": sketch_bottomk_daily_merge,
+    "sketch_hll_sliding_window": sketch_hll_sliding_window,
 }
 
 ORACLES = {
@@ -764,4 +924,5 @@ ORACLES = {
     "sketch_hll_daily_merge": _hll_merge_sql(),
     "sketch_theta_setops": THETA_SETOPS_SQL,
     "sketch_bottomk_daily_merge": BOTTOMK_MERGE_SQL,
+    "sketch_hll_sliding_window": _hll_sliding_sql(),
 }
