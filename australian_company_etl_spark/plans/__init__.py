@@ -85,7 +85,7 @@ _VERIFY_FIRST = [
     # events_attribution_last_touch, quality_snapshot_diff,
     # events_funnel_3step, events_peak_concurrency, mix_curriculum_stages,
     # sketch_bottomk_daily_merge, ann_recall_report, ann_lsh_multiprobe,
-    # match_phonetic_block,
+    # match_phonetic_block, sketch_hll_sliding_window,
     # text_bpe_vocab, text_bpe_tokenize, embed_top_eigenvector (last three
     # rows-only) — then any round-4 semantic changes, then the
     # never-rechecked long-tail.

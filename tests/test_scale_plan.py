@@ -415,3 +415,16 @@ def test_bottomk_merge_prunes_to_k_rows_map_side(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert ", Partial" in plan  # map-side phase present, not just the Final
     assert "BroadcastHashJoin" in plan
+
+
+def test_hll_sliding_window_merges_partials_not_raw_events(spark, sf_dir):
+    """M9's sliding distinct must reduce raw events to per-(type, day)
+    register partials with a map-side combine BEFORE any window
+    expansion (partial_max on the bucket agg), and expand windows only
+    by joining those partials against the broadcast day dim — broadcast
+    hash joins throughout, never a cartesian or nested loop."""
+    plan = _executed_plan(QUERIES["sketch_hll_sliding_window"](spark, sf_dir))
+    assert "partial_max" in plan  # daily registers combine map-side
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
