@@ -510,7 +510,12 @@ FROM tot
 """
 
 
-DIFF_CUTOFF = "1996-07-01"  # v1 snapshot = events strictly before this date
+# v1 snapshot = events strictly before this instant. Mid-day before the
+# corpus's last half-day so the report exercises a real class mix on the
+# bench data (users quiet after the cutoff -> unchanged, active ->
+# changed); the 'added' / exact-instant branches are pinned by constructed
+# rows in tests/test_boundary_new_ops.py.
+DIFF_CUTOFF = "2024-01-30 12:00:00"
 
 
 def quality_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
