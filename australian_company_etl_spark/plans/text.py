@@ -748,9 +748,12 @@ WHERE rnk <= 5
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H12 — token → sorted posting list (distinct doc_ids) + document
     frequency: the search-index build pass (and the exact structure a
-    contamination/attribution lookup service serves). Postings are sorted
-    arrays so the output is canonical — no collect_list order dependence
-    survives into the result.
+    contamination/attribution lookup service serves). Postings are emitted
+    as the CANONICAL comma-joined string of the sorted distinct doc_ids —
+    same information and order as a sorted array, but hashable by any
+    row-comparison harness (list cells break pandas-side canonicalizers;
+    see CORRECTNESS_r03 text_inverted_index) — no collect_list order
+    dependence survives into the result.
 
     Scale: one shuffle on tok after the per-doc distinct (map-side
     combine collapses each doc's repeats before anything moves). A real
@@ -764,7 +767,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return toks.groupBy("tok").agg(
         F.count("*").alias("df_docs"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
     )
 
 
@@ -772,7 +775,8 @@ INVERTED_INDEX_SQL = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest({tokens_all_sql('text')}) AS tok FROM documents
 )
-SELECT tok, count(*) AS df_docs, list(doc_id ORDER BY doc_id) AS postings
+SELECT tok, count(*) AS df_docs,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
 FROM toks GROUP BY tok
 """
 

@@ -103,3 +103,37 @@ def test_oracle_types_match_spark_twin_rendering(con, name, spark):
         f"oracle {name!r} column types drift from the Spark twin's rendering "
         f"class {mismatches}; cast one side so stringified values agree"
     )
+
+
+# ── driver-canonicalizer contract: no nested output columns ────────────────
+# The driver canonicalizes results with pandas (sort_values over every
+# column, then value-hash); a list/dict cell raises "unhashable type" and
+# the whole row goes red regardless of semantic correctness — this killed
+# text_inverted_index's r03 row (ARRAY<BIGINT> postings). Close the class
+# structurally, as the HUGEINT lint above did for oracle types: every
+# registry query's Spark output schema must be flat scalars. Emit a
+# canonical joined string (array_join(sort_array(...), ",") ↔
+# string_agg(... ORDER BY ...)) when a query's natural result is a list.
+# Schema-only check: builds each plan, executes nothing.
+
+
+def _nested_cols(schema):
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if f.dataType.simpleString().split("<")[0] in ("array", "map", "struct")
+    ]
+
+
+def test_no_registry_query_emits_nested_columns(spark):
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        nested = _nested_cols(fn(spark, SF_DIR).schema)
+        if nested:
+            offenders[name] = nested
+    assert not offenders, (
+        f"registry queries emit driver-unhashable nested columns {offenders}; "
+        f"join arrays into a canonical string in BOTH dialects instead"
+    )
