@@ -19,12 +19,15 @@ SEARCH_PATTERN = "widget"
 STATE_NAME = "NATION_3"
 
 
-def api_lookup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1 — GET /companies/{abn}: point lookup by key (main.py:15-38)."""
+def api_lookup_by_key(spark: SparkSession, sf_dir: str, key: int = LOOKUP_KEY) -> DataFrame:
+    """D1 — GET /companies/{abn}: point lookup by key (main.py:15-38).
+
+    ``key`` parameterizes the served route (serving/http_api.py); the
+    registry/oracle pair pins the default."""
     t = load_tables(spark, sf_dir, ["customer", "nation"])
     return (
         t["customer"]
-        .filter(F.col("c_custkey") == LOOKUP_KEY)
+        .filter(F.col("c_custkey") == key)
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
     )
@@ -37,10 +40,12 @@ WHERE c_custkey = {LOOKUP_KEY}
 """
 
 
-def api_search_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+def api_search_ilike(
+    spark: SparkSession, sf_dir: str, pattern: str = SEARCH_PATTERN
+) -> DataFrame:
     """D2 — GET /companies/search: case-insensitive substring (main.py:40-49)."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
-    return part.filter(F.lower(F.col("p_name")).contains(SEARCH_PATTERN.lower())).select(
+    return part.filter(F.lower(F.col("p_name")).contains(pattern.lower())).select(
         "p_partkey", "p_name", "p_brand"
     )
 
@@ -51,11 +56,13 @@ FROM part WHERE lower(p_name) LIKE '%{SEARCH_PATTERN}%'
 """
 
 
-def api_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def api_by_state(
+    spark: SparkSession, sf_dir: str, state: str = STATE_NAME
+) -> DataFrame:
     """D3 — GET /companies/by_state: categorical filter via dim join
     (main.py:51-59)."""
     t = load_tables(spark, sf_dir, ["customer", "nation"])
-    nat = t["nation"].filter(F.col("n_name") == STATE_NAME)
+    nat = t["nation"].filter(F.col("n_name") == state)
     return (
         t["customer"]
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -74,7 +81,9 @@ PAGE_AFTER = 900  # cursor from the previous page
 PAGE_SIZE = 25
 
 
-def api_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+def api_page_keyset(
+    spark: SparkSession, sf_dir: str, after: int = PAGE_AFTER, limit: int = PAGE_SIZE
+) -> DataFrame:
     """D4 — GET /companies?after={cursor}&limit=n: KEYSET pagination
     (`WHERE key > cursor ORDER BY key LIMIT n`). Unlike OFFSET — which
     scans and discards `offset` rows, O(page²) to walk a table and a
@@ -84,9 +93,9 @@ def api_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge. The only pagination that survives a 100 TB table."""
     c = load_tables(spark, sf_dir, ["customer"])["customer"]
     return (
-        c.filter(F.col("c_custkey") > PAGE_AFTER)
+        c.filter(F.col("c_custkey") > after)
         .orderBy("c_custkey")
-        .limit(PAGE_SIZE)
+        .limit(limit)
         .select("c_custkey", "c_name", "c_mktsegment")
     )
 
@@ -102,7 +111,12 @@ FT_QUERY_TERMS = ["quick", "spark", "table"]
 FT_TOPK = 20
 
 
-def api_fulltext_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def api_fulltext_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str] | None = None,
+    topk: int = FT_TOPK,
+) -> DataFrame:
     """D5 — GET /search?q=...: ranked full-text search over the corpus,
     the query-side twin of the H12 inverted index. Per query term:
     tf in the doc × the exact integer idf surrogate ((10⁶·N) div df); doc
@@ -118,11 +132,12 @@ def api_fulltext_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query terms (filter pushed before the explode output shuffles);
     df is a 3-row aggregate. Serving form: precompute H12's index and this
     becomes an index lookup instead of a corpus scan — same ranking."""
+    terms = terms if terms is not None else FT_QUERY_TERMS
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = docs.select(
         "doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok")
-    ).filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    ).filter(F.col("tok").isin(*terms))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_docs"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
@@ -137,7 +152,7 @@ def api_fulltext_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
-        .limit(FT_TOPK)
+        .limit(topk)
         .select("doc_id", F.col("n_terms_hit").cast("int").alias("n_terms_hit"), "score_micro")
     )
 
@@ -191,7 +206,9 @@ _TRGM_SQL = (
 )
 
 
-def api_search_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def api_search_trigram(
+    spark: SparkSession, sf_dir: str, query: str = TRGM_QUERY, topk: int = TRGM_TOPK
+) -> DataFrame:
     """D6 — pg_trgm-parity fuzzy search: rank part names by trigram-set
     Jaccard similarity to a (misspelled) query, top-10. The reference's
     terminal store is Postgres, where `pg_trgm` similarity + a GIN index
@@ -204,7 +221,7 @@ def api_search_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-k (sort-limit pushes partial top-k map-side); the
     GIN-index analog at 100 TB is an inverted trigram→id table (H12's
     posting-list build) probed with the query's trigrams."""
-    q = _pg_trigrams([w for w in TRGM_QUERY.lower().split() if w])
+    q = _pg_trigrams([w for w in query.lower().split() if w])
     part = load_tables(spark, sf_dir, ["part"])["part"]
     trg = F.expr(_TRGM_EXPR.format(c="p_name"))
     qlit = F.array(*[F.lit(t) for t in q])
@@ -217,7 +234,7 @@ def api_search_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select("p_partkey", "p_name", sim.alias("sim"))
         .filter(F.col("sim") > 0)
         .orderBy(F.desc("sim"), F.asc("p_partkey"))
-        .limit(TRGM_TOPK)
+        .limit(topk)
     )
 
 

@@ -1,0 +1,178 @@
+"""HTTP lookup service over a Spark-published parquet snapshot.
+
+Reference parity: the reference serves point lookups from its terminal
+Postgres store via FastAPI (fastapi_service/main.py:15-59 — GET
+/companies/{abn}, /companies/search, /companies/by_state). Spark-first,
+the same component splits into the two halves a lakehouse deployment
+actually has:
+
+1. **Publish** (`snapshot_tables`): Spark writes the serving snapshot —
+   the batch engine's output IS the serving store, refreshed per ETL run
+   exactly like the reference's Postgres load. The write is verified by
+   re-read (row count + order-insensitive content hash per table, the A9
+   manifest discipline) before the server ever points at it.
+2. **Serve** (`make_server`): a thin stdlib HTTP front end whose routes
+   are the D1-D6 plan functions (plans/api.py) run against the snapshot —
+   the SAME parameterized plans the correctness gate proves against the
+   DuckDB oracles, so route semantics are gate-checked by construction.
+
+Scale posture: every route is a pushed-down point/top-k plan (keyset
+pagination D4, broadcast dim joins D1/D3, sort-limit top-k D5/D6), never
+an OFFSET walk or full collect. On a real cluster the snapshot lives in
+object storage; latency-critical keys would additionally be fronted by a
+key-value projection of the same snapshot — the routes and their
+semantics (and this module's tests) stay identical. The stdlib server is
+deliberately dependency-free (no FastAPI in the sandbox); it is the
+protocol shim, not the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from australian_company_etl_spark.plans import api as api_plans
+from australian_company_etl_spark.sources.registry import load_tables, table_path
+
+#: tables the D-family routes read; the snapshot contains exactly these.
+SERVING_TABLES = ["customer", "nation", "part", "documents"]
+
+MAX_PAGE_SIZE = 1000  # serving-side cap: a page is a page, not an export
+
+
+def _table_digest(df: DataFrame) -> tuple[int, int]:
+    """(rows, order-insensitive content hash) in one aggregate pass — the
+    publish-integrity check (same discipline as sources/export.py:54-75)."""
+    row_hash = F.crc32(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in sorted(df.columns)])
+    )
+    r = df.agg(F.count("*").alias("rows"), F.sum(row_hash).alias("h")).collect()[0]
+    return int(r["rows"]), int(r["h"] or 0)
+
+
+def snapshot_tables(
+    spark: SparkSession, sf_dir: str, out_dir: str, tables: list[str] | None = None
+) -> dict:
+    """Spark-publish the serving snapshot and verify it by re-read.
+
+    Writes each backing table to ``{out_dir}/{table}.parquet`` (a parquet
+    directory — `table_path` addressing, so the D plans point at the
+    snapshot with ``sf_dir=out_dir`` unchanged) and fails loudly if any
+    re-read digest disagrees with the source — a torn publish never
+    serves. Returns ``{table: {"rows": n, "content_hash": h}}``."""
+    os.makedirs(out_dir, exist_ok=True)
+    src = load_tables(spark, sf_dir, tables or SERVING_TABLES)
+    manifest = {}
+    for name, df in src.items():
+        expected = _table_digest(df)
+        df.write.mode("overwrite").parquet(table_path(out_dir, name))
+        actual = _table_digest(spark.read.parquet(table_path(out_dir, name)))
+        if actual != expected:
+            raise RuntimeError(
+                f"snapshot verify failed for {name}: wrote {expected}, read back {actual}"
+            )
+        manifest[name] = {"rows": expected[0], "content_hash": expected[1]}
+    with open(os.path.join(out_dir, "_SNAPSHOT.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def _rows_payload(df: DataFrame) -> dict:
+    rows = [r.asDict() for r in df.collect()]
+    return {"n": len(rows), "rows": rows}
+
+
+_COMPANY_PATH = re.compile(r"^/companies/(\d+)$")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    """Routes = the D-family plans against the snapshot directory.
+
+    | route | plan | reference |
+    | /companies/{key} | D1 api_lookup_by_key | main.py:15-38 |
+    | /companies/search?q= | D2 api_search_ilike | main.py:40-49 |
+    | /companies/by_state?state= | D3 api_by_state | main.py:51-59 |
+    | /companies?after=&limit= | D4 api_page_keyset | (keyset pagination) |
+    | /search?q=w+w&k= | D5 api_fulltext_rank | (ranked full-text) |
+    | /fuzzy?q=&k= | D6 api_search_trigram | (pg_trgm similarity) |
+    """
+
+    # set by make_server
+    spark: SparkSession = None
+    data_dir: str = None
+
+    def log_message(self, fmt, *args):  # quiet by default; tests assert bodies
+        pass
+
+    def _send(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 — http.server contract
+        try:
+            url = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            self._route(url.path, q)
+        except (ValueError, KeyError) as exc:
+            self._send(400, {"error": f"bad request: {exc}"})
+        except Exception as exc:  # noqa: BLE001 — a route bug must not kill the server
+            self._send(500, {"error": f"internal: {exc}"})
+
+    def _route(self, path: str, q: dict[str, str]) -> None:
+        spark, d = self.spark, self.data_dir
+        m = _COMPANY_PATH.match(path)
+        if m:
+            out = _rows_payload(api_plans.api_lookup_by_key(spark, d, key=int(m.group(1))))
+            if out["n"] == 0:  # reference behavior: main.py:37
+                self._send(404, {"error": "Company not found"})
+            else:
+                self._send(200, out)
+        elif path == "/companies/search":
+            self._send(200, _rows_payload(api_plans.api_search_ilike(spark, d, pattern=q["q"])))
+        elif path == "/companies/by_state":
+            self._send(200, _rows_payload(api_plans.api_by_state(spark, d, state=q["state"])))
+        elif path == "/companies":
+            limit = min(int(q.get("limit", api_plans.PAGE_SIZE)), MAX_PAGE_SIZE)
+            after = int(q.get("after", 0))
+            out = _rows_payload(api_plans.api_page_keyset(spark, d, after=after, limit=limit))
+            # next-page cursor = last key served (keyset pagination contract)
+            out["next_after"] = out["rows"][-1]["c_custkey"] if out["rows"] else None
+            self._send(200, out)
+        elif path == "/search":
+            terms = [w for w in q["q"].lower().split() if w]
+            if not terms:
+                raise ValueError("q must contain at least one term")
+            k = min(int(q.get("k", api_plans.FT_TOPK)), MAX_PAGE_SIZE)
+            self._send(200, _rows_payload(api_plans.api_fulltext_rank(spark, d, terms=terms, topk=k)))
+        elif path == "/fuzzy":
+            k = min(int(q.get("k", api_plans.TRGM_TOPK)), MAX_PAGE_SIZE)
+            self._send(200, _rows_payload(api_plans.api_search_trigram(spark, d, query=q["q"], topk=k)))
+        elif path == "/health":
+            with open(os.path.join(d, "_SNAPSHOT.json")) as f:
+                self._send(200, {"ok": True, "snapshot": json.load(f)})
+        else:
+            self._send(404, {"error": f"no route {path}"})
+
+
+def make_server(spark: SparkSession, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
+    """Build the HTTP server over a published snapshot directory. ``port=0``
+    binds an ephemeral port (tests); `server.server_address[1]` has it."""
+    handler = type("Handler", (_Handler,), {"spark": spark, "data_dir": data_dir})
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+def serve_in_thread(server: ThreadingHTTPServer) -> threading.Thread:
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t

@@ -1,0 +1,136 @@
+"""Serving-layer integration: publish snapshot → HTTP routes == oracles.
+
+Starts the stdlib HTTP server (serving/http_api.py) over a Spark-published
+snapshot of the test corpus and proves every route's response matches the
+D-family DuckDB oracle run on the ORIGINAL source tables — one pass
+checks both the route semantics and the snapshot publish integrity.
+Reference parity: fastapi_service/main.py:15-59.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from australian_company_etl_spark.plans import api as api_plans
+from australian_company_etl_spark.serving.http_api import (
+    make_server,
+    serve_in_thread,
+    snapshot_tables,
+)
+from tests.conftest import SF_DIR
+from tests.oracle_compare import canonical_rows, duckdb_connect
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    snap = str(tmp_path_factory.mktemp("serving_snapshot"))
+    manifest = snapshot_tables(spark, SF_DIR, snap)
+    assert set(manifest) == {"customer", "nation", "part", "documents"}
+    srv = make_server(spark, snap, port=0)
+    serve_in_thread(srv)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connect(SF_DIR)
+    yield c
+    c.close()
+
+
+def _get(base: str, path: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(base + path, timeout=120) as r:
+            return r.status, json.load(r)
+    except urllib.error.HTTPError as e:
+        return e.code, json.load(e)
+
+
+def _assert_matches_oracle(payload: dict, con, sql: str) -> None:
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    want = canonical_rows(cols, res.fetchall())
+    got = canonical_rows(cols, [tuple(row[c] for c in cols) for row in payload["rows"]])
+    assert payload["n"] == len(want)
+    assert got == want
+
+
+def test_lookup_by_key(server, con):
+    status, body = _get(server, f"/companies/{api_plans.LOOKUP_KEY}")
+    assert status == 200
+    _assert_matches_oracle(body, con, api_plans.LOOKUP_SQL)
+
+
+def test_lookup_missing_key_404(server):
+    status, body = _get(server, "/companies/999999999")
+    assert status == 404
+    assert body == {"error": "Company not found"}  # main.py:37 behavior
+
+
+def test_search_ilike(server, con):
+    status, body = _get(server, f"/companies/search?q={api_plans.SEARCH_PATTERN}")
+    assert status == 200
+    _assert_matches_oracle(body, con, api_plans.SEARCH_SQL)
+
+
+def test_by_state(server, con):
+    status, body = _get(server, f"/companies/by_state?state={api_plans.STATE_NAME}")
+    assert status == 200
+    _assert_matches_oracle(body, con, api_plans.BY_STATE_SQL)
+
+
+def test_page_keyset_default(server, con):
+    status, body = _get(
+        server, f"/companies?after={api_plans.PAGE_AFTER}&limit={api_plans.PAGE_SIZE}"
+    )
+    assert status == 200
+    _assert_matches_oracle(body, con, api_plans.PAGE_KEYSET_SQL)
+    if body["rows"]:
+        assert body["next_after"] == max(r["c_custkey"] for r in body["rows"])
+    else:  # past the last key (sf0.001): cursor exhausts, not errors
+        assert body["next_after"] is None
+
+
+def test_page_keyset_walk_is_gapless(server, con):
+    """Walk two pages via the served cursor; union == one 20-row oracle page."""
+    s1, p1 = _get(server, "/companies?after=-1&limit=10")  # keys start at 0; > is strict
+    s2, p2 = _get(server, f"/companies?after={p1['next_after']}&limit=10")
+    assert s1 == s2 == 200
+    sql = "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 20"
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    want = canonical_rows(cols, res.fetchall())
+    got = canonical_rows(
+        cols, [tuple(r[c] for c in cols) for r in p1["rows"] + p2["rows"]]
+    )
+    assert got == want
+
+
+def test_fulltext_rank(server, con):
+    status, body = _get(server, "/search?q=" + "+".join(api_plans.FT_QUERY_TERMS))
+    assert status == 200
+    _assert_matches_oracle(body, con, api_plans._fulltext_sql())
+
+
+def test_trigram_fuzzy(server, con):
+    q = api_plans.TRGM_QUERY.replace(" ", "+")
+    status, body = _get(server, f"/fuzzy?q={q}")
+    assert status == 200
+    _assert_matches_oracle(body, con, api_plans._trigram_sql())
+
+
+def test_health_reports_snapshot(server):
+    status, body = _get(server, "/health")
+    assert status == 200
+    assert body["ok"] is True
+    assert body["snapshot"]["customer"]["rows"] > 0
+
+
+def test_unknown_route_404_and_bad_param_400(server):
+    assert _get(server, "/nope")[0] == 404
+    assert _get(server, "/companies/search")[0] == 400  # missing q
+    assert _get(server, "/companies?after=abc")[0] == 400
