@@ -344,3 +344,85 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     )
     assert len(_rows(stream_res)) > 0
     assert _rows(stream_res) == _rows(batch)
+
+
+def test_stream_stream_join_state_bounded_by_watermark(spark, tmp_path):
+    """The watermark + event-time-bound pair must EVICT join state: rows
+    the watermark has passed (clicks older than watermark − 1h join
+    window, purchases older than the watermark) can never match again and
+    must leave the state store. This is the property that keeps a
+    100 TB/day stream-stream join from buffering both streams forever —
+    asserted on numRowsTotal, as test_watermark_drops_late_data does for
+    the windowed agg and test_streaming_dedup_within_watermark... does
+    for dedup."""
+    import os
+
+    import pandas as pd
+
+    from australian_company_etl_spark.streaming.pipeline import click_purchase_join_stream
+
+    src = tmp_path / "cp_src"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts_s", "user_id", "event_type", "value"])
+        pdf["ts_us"] = [int(pd.Timestamp(t).value // 1000) for t in pdf["ts_s"]]
+        p = str(src / name)
+        pdf[["event_id", "ts_us", "user_id", "event_type", "value"]].to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    # 4 micro-batches, event time marching forward so the 2h watermark
+    # (min over both sides) advances each batch and passes earlier rows
+    write("a.parquet", [
+        (1, "2024-05-01 10:00:00", 1, "click", 0.0),
+        (2, "2024-05-01 10:30:00", 1, "purchase", 9.99),
+        (3, "2024-05-01 10:15:00", 2, "click", 0.0),
+    ], 1_000)
+    write("b.parquet", [
+        (4, "2024-05-01 16:00:00", 3, "click", 0.0),
+        (5, "2024-05-01 16:05:00", 3, "purchase", 5.00),
+    ], 2_000)
+    write("c.parquet", [
+        (6, "2024-05-01 22:00:00", 4, "click", 0.0),
+        (7, "2024-05-01 22:05:00", 4, "purchase", 1.25),
+    ], 3_000)
+    write("d.parquet", [
+        (8, "2024-05-02 12:00:00", 5, "click", 0.0),
+    ], 4_000)
+
+    ev = (
+        spark.readStream.schema(
+            "event_id bigint, ts_us bigint, user_id bigint, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    q = (
+        click_purchase_join_stream(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+        .writeStream.format("memory")
+        .queryName("t_cpjoin_bounded")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # correctness: the three same-user within-1h pairs matched
+    got = {(r.user_id, r.click_id, r.purchase_id) for r in spark.table("t_cpjoin_bounded").collect()}
+    assert got == {(1, 1, 2), (3, 4, 5), (4, 6, 7)}
+
+    # bounded state: 8 rows entered the join across the run; the final
+    # batch's state must hold only rows the (previous batch's) watermark
+    # hasn't passed — eviction, not accumulation
+    state_totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    assert state_totals, "no state-operator progress captured"
+    assert state_totals[-1] < 8, f"join state accumulated the whole stream: {state_totals}"
+    assert state_totals[-1] <= 4, f"watermark-passed rows must be evicted: {state_totals}"
