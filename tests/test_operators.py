@@ -987,3 +987,29 @@ def test_top_eigenvector_matches_python_reference(spark, sf_dir):
     assert got == {j: v[j] for j in range(EMB_DIM)}
     # and it is a (near-)unit vector in micro units
     assert abs(sum(x * x for x in v) ** 0.5 - _PI_SCALE) < 100
+
+
+def test_multitable_lsh_recall_dominates_single_table(spark, sf_dir):
+    """Multi-table OR'd LSH: table 0 reuses G2's planes, so every query's
+    mt3 candidate set CONTAINS its single-table candidate set — per-query
+    recall can never decrease (the structural guarantee), and on this
+    corpus the two extra tables must find at least one extra true
+    neighbor somewhere (the measured uplift the report exists to show —
+    needs sf0.01: at sf0.001 the 10-query probe set is too small for a
+    guaranteed strict gain)."""
+    import os
+
+    from australian_company_etl_spark.plans.similarity import ann_recall_report
+
+    uplift_dir = "/root/testdata/sf0.01"
+    data_dir = uplift_dir if os.path.exists(uplift_dir) else sf_dir
+    rep = ann_recall_report(spark, data_dir).collect()
+    by_method = {}
+    for r in rep:
+        by_method.setdefault(r.method, {})[r.q_id] = r.n_hit
+    lsh, mt3 = by_method["lsh"], by_method["lsh_mt3"]
+    assert set(lsh) == set(mt3)
+    for q_id in lsh:
+        assert mt3[q_id] >= lsh[q_id], f"q{q_id}: mt3 lost a neighbor table 0 found"
+    if data_dir == uplift_dir:
+        assert sum(mt3.values()) > sum(lsh.values()), "extra tables found nothing"
