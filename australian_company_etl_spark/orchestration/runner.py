@@ -1,0 +1,142 @@
+"""Deterministic DAG runner: task-level retry, failure propagation, and
+idempotent rerun over materialized parquet stage outputs.
+
+Reference parity: the reference schedules its four ETL stages with Airflow
+(`airflow/dags/etl_pipeline.py:26-58` — `[t1, t2] >> t3 >> t4`, default
+`retries: 1`). The DATAFLOW twin is K2 (`plans/pipeline.py`), one composed
+plan; this module is the twin of the SCHEDULING semantics that plan can't
+model: per-task retry, downstream skip on upstream failure, and
+restart-resumes-where-it-left-off.
+
+Spark-first posture:
+- Each task's output is a parquet directory; Spark's own job-commit
+  ``_SUCCESS`` marker (written last by the commit protocol) doubles as the
+  task-completion ledger — a task killed mid-write leaves no marker and
+  reruns cleanly, so completion is exactly "the write committed", never a
+  side file that can drift from the data.
+- Rerun with the same ``out_dir`` skips every committed task (Airflow's
+  catchup/clear semantics: only missing work runs) — at 100 TB a restarted
+  pipeline must not recompute yesterday's good stages.
+- The run ledger (`_RUN_LEDGER.json`) records status + attempts + rows per
+  task per run, the runner's analog of Airflow's task-instance table.
+
+Deliberately NOT here: wall-clock scheduling (cron/`@daily`) and multi-run
+catchup — the driver environment has no daemon; a crontab entry invoking
+`run_dag` with a dated ``out_dir`` is that feature at any scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+LEDGER_NAME = "_RUN_LEDGER.json"
+
+#: Airflow default_args parity (etl_pipeline.py: "retries": 1)
+DEFAULT_RETRIES = 1
+
+
+@dataclass(frozen=True)
+class Task:
+    """One DAG node. ``build(spark, inputs)`` returns the stage's output
+    DataFrame; ``inputs`` maps each dependency name to a DataFrame read
+    back from its PUBLISHED parquet — stages communicate only through
+    materialized outputs, never closures, so a resumed run is identical
+    to an uninterrupted one."""
+
+    name: str
+    build: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    deps: tuple[str, ...] = ()
+    retries: int = DEFAULT_RETRIES
+
+
+@dataclass
+class TaskResult:
+    status: str  # success | skipped | failed | upstream_failed
+    attempts: int = 0
+    rows: int | None = None
+    error: str | None = None
+
+    def as_dict(self) -> dict:
+        return {k: v for k, v in self.__dict__.items() if v is not None}
+
+
+def task_output_path(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, f"{name}.parquet")
+
+
+def _committed(out_dir: str, name: str) -> bool:
+    return os.path.exists(os.path.join(task_output_path(out_dir, name), "_SUCCESS"))
+
+
+def topo_order(tasks: list[Task]) -> list[Task]:
+    """Kahn's algorithm with name-sorted tie-break — deterministic order,
+    loud failure on unknown deps or cycles."""
+    by_name = {t.name: t for t in tasks}
+    if len(by_name) != len(tasks):
+        raise ValueError("duplicate task names")
+    for t in tasks:
+        for d in t.deps:
+            if d not in by_name:
+                raise ValueError(f"task {t.name!r} depends on unknown task {d!r}")
+    pending = {t.name: set(t.deps) for t in tasks}
+    order: list[Task] = []
+    while pending:
+        ready = sorted(n for n, deps in pending.items() if not deps)
+        if not ready:
+            raise ValueError(f"dependency cycle among {sorted(pending)}")
+        for n in ready:
+            order.append(by_name[n])
+            del pending[n]
+        for deps in pending.values():
+            deps.difference_update(ready)
+    return order
+
+
+def run_dag(
+    spark: SparkSession, tasks: list[Task], out_dir: str
+) -> dict[str, TaskResult]:
+    """Run (or resume) the DAG. Committed tasks are skipped; a task failing
+    all ``1 + retries`` attempts is marked failed and every transitive
+    downstream task is marked upstream_failed (independent branches still
+    run — Airflow's trigger-rule default). Returns and persists the run
+    ledger."""
+    os.makedirs(out_dir, exist_ok=True)
+    results: dict[str, TaskResult] = {}
+    for task in topo_order(tasks):
+        bad = [d for d in task.deps if results[d].status in ("failed", "upstream_failed")]
+        if bad:
+            results[task.name] = TaskResult(status="upstream_failed", error=f"upstream: {bad}")
+            continue
+        path = task_output_path(out_dir, task.name)
+        if _committed(out_dir, task.name):
+            results[task.name] = TaskResult(status="skipped")
+            continue
+        res = TaskResult(status="failed")
+        for attempt in range(1 + task.retries):
+            res.attempts = attempt + 1
+            try:
+                inputs = {d: spark.read.parquet(task_output_path(out_dir, d)) for d in task.deps}
+                df = task.build(spark, inputs)
+                df.write.mode("overwrite").parquet(path)
+                res.status = "success"
+                res.rows = spark.read.parquet(path).count()
+                res.error = None
+                break
+            except Exception as exc:  # noqa: BLE001 — retry semantics need the catch
+                res.error = f"{type(exc).__name__}: {exc}"
+        results[task.name] = res
+
+    ledger_path = os.path.join(out_dir, LEDGER_NAME)
+    history = []
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            history = json.load(f)
+    history.append({name: r.as_dict() for name, r in results.items()})
+    with open(ledger_path, "w") as f:
+        json.dump(history, f, indent=1, sort_keys=True)
+    return results

@@ -296,14 +296,23 @@ def unify_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_valid_company_name web-noise filter (entity_matching.py:121-141)
     before matching, as in the reference's candidate-load loop."""
     t = load_tables(spark, sf_dir, ["supplier", "customer"])
+    return unify_frames(t["supplier"], t["customer"])
+
+
+def unify_frames(supplier: DataFrame, customer: DataFrame) -> DataFrame:
+    """The B6 matching core over explicit input frames — so the
+    orchestrated DAG (orchestration/dags.py) can run the same logic over
+    MATERIALIZED upstream stage outputs while `unify_entities` runs it
+    composed over the source tables; the oracle gate covers both because
+    the plan is identical."""
     left = _match_side(
-        t["supplier"].withColumnRenamed("s_nationkey", "nationkey"),
+        supplier.withColumnRenamed("s_nationkey", "nationkey"),
         ["s_suppkey", "s_name", "nationkey"],
         "s_name",
         "s",
     )
     right = _match_side(
-        t["customer"]
+        customer
         .filter(valid_name_spark(F.col("c_name")))
         .withColumnRenamed("c_nationkey", "nationkey"),
         ["c_custkey", "c_name", "nationkey"],

@@ -114,7 +114,13 @@ def etl_dag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross join, and `stack` unpivots without any shuffle."""
     from australian_company_etl_spark.plans.matching import unify_entities
 
-    u = unify_entities(spark, sf_dir)
+    return quality_report(unify_entities(spark, sf_dir))
+
+
+def quality_report(u: DataFrame) -> DataFrame:
+    """The t4 metric pass over an explicit unified frame (the K2 core) —
+    consumed both composed (`etl_dag_end_to_end`) and over a materialized
+    stage output by the orchestrated DAG (orchestration/dags.py)."""
     base = u.agg(
         F.count("*").alias("rows_unified"),
         F.sum(F.when(F.col("matched_name").isNull(), 1).otherwise(0)).alias(

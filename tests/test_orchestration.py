@@ -1,0 +1,128 @@
+"""Orchestration runtime: retry, failure propagation, idempotent resume,
+and materialized-DAG == composed-plan equality.
+
+Reference parity: airflow/dags/etl_pipeline.py:26-58 ([t1,t2] >> t3 >> t4
+with default retries=1) — these tests make the scheduling semantics the
+reference gets from Airflow executable against the runner.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from australian_company_etl_spark.orchestration.dags import flaky, reference_dag
+from australian_company_etl_spark.orchestration.runner import (
+    Task,
+    run_dag,
+    task_output_path,
+    topo_order,
+)
+
+
+def _marker_mtime(out_dir: str, name: str) -> float:
+    import os
+
+    return os.path.getmtime(os.path.join(task_output_path(out_dir, name), "_SUCCESS"))
+
+
+def test_topo_order_deterministic_and_validated():
+    t = lambda s, i: None  # noqa: E731 — builds never run here
+    order = topo_order(
+        [Task("c", t, deps=("a", "b")), Task("b", t), Task("a", t), Task("d", t, deps=("c",))]
+    )
+    assert [x.name for x in order] == ["a", "b", "c", "d"]
+    with pytest.raises(ValueError, match="unknown task"):
+        topo_order([Task("a", t, deps=("ghost",))])
+    with pytest.raises(ValueError, match="cycle"):
+        topo_order([Task("a", t, deps=("b",)), Task("b", t, deps=("a",))])
+    with pytest.raises(ValueError, match="duplicate"):
+        topo_order([Task("a", t), Task("a", t)])
+
+
+def test_reference_dag_end_to_end_equals_composed_plan(spark, sf_dir, tmp_path):
+    """The orchestrated t4 report (each stage materialized to parquet)
+    must equal the oracle-gated composed K2 plan — materialization
+    boundaries change scheduling, not results."""
+    from australian_company_etl_spark.plans.pipeline import etl_dag_end_to_end
+
+    out = str(tmp_path / "run")
+    results = run_dag(spark, reference_dag(sf_dir), out)
+    assert {n: r.status for n, r in results.items()} == {
+        "extract_commoncrawl": "success",
+        "extract_abr": "success",
+        "entity_matching": "success",
+        "run_quality_checks": "success",
+    }
+    staged = {
+        (r.metric, r.value)
+        for r in spark.read.parquet(task_output_path(out, "run_quality_checks")).collect()
+    }
+    composed = {(r.metric, r.value) for r in etl_dag_end_to_end(spark, sf_dir).collect()}
+    assert staged == composed
+
+
+def test_rerun_skips_committed_tasks(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "run")
+    run_dag(spark, reference_dag(sf_dir), out)
+    before = {n: _marker_mtime(out, n) for n in ("extract_abr", "entity_matching")}
+    results = run_dag(spark, reference_dag(sf_dir), out)
+    assert all(r.status == "skipped" for r in results.values())
+    after = {n: _marker_mtime(out, n) for n in before}
+    assert after == before, "a skipped task rewrote its output"
+
+
+def test_transient_failure_retried_to_success(spark, sf_dir, tmp_path):
+    """Airflow default_args retries=1 parity: one transient failure is
+    absorbed by the retry; the run still succeeds end-to-end."""
+    counter: dict = {}
+    tasks = [
+        flaky(t, fail_times=1, counter=counter) if t.name == "entity_matching" else t
+        for t in reference_dag(sf_dir)
+    ]
+    results = run_dag(spark, tasks, str(tmp_path / "run"))
+    assert results["entity_matching"].status == "success"
+    assert results["entity_matching"].attempts == 2
+    assert results["run_quality_checks"].status == "success"
+
+
+def test_exhausted_retries_fail_and_propagate(spark, sf_dir, tmp_path):
+    """A task failing every attempt is failed; its downstream is
+    upstream_failed (never attempted); the independent branch still
+    runs (Airflow's default trigger rule)."""
+    counter: dict = {}
+    tasks = [
+        flaky(t, fail_times=99, counter=counter) if t.name == "extract_abr" else t
+        for t in reference_dag(sf_dir)
+    ]
+    out = str(tmp_path / "run")
+    results = run_dag(spark, tasks, out)
+    assert results["extract_abr"].status == "failed"
+    assert results["extract_abr"].attempts == 2  # 1 + retries
+    assert "injected transient failure" in results["extract_abr"].error
+    assert results["entity_matching"].status == "upstream_failed"
+    assert results["run_quality_checks"].status == "upstream_failed"
+    assert results["extract_commoncrawl"].status == "success"
+    # resume with the failure cleared: the good branch is skipped, only
+    # the failed task and its downstream run
+    results2 = run_dag(spark, reference_dag(sf_dir), out)
+    assert results2["extract_commoncrawl"].status == "skipped"
+    assert results2["extract_abr"].status == "success"
+    assert results2["entity_matching"].status == "success"
+    assert results2["run_quality_checks"].status == "success"
+
+
+def test_ledger_records_run_history(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from australian_company_etl_spark.orchestration.runner import LEDGER_NAME
+
+    out = str(tmp_path / "run")
+    run_dag(spark, reference_dag(sf_dir), out)
+    run_dag(spark, reference_dag(sf_dir), out)
+    with open(os.path.join(out, LEDGER_NAME)) as f:
+        history = json.load(f)
+    assert len(history) == 2
+    assert history[0]["entity_matching"]["status"] == "success"
+    assert history[0]["entity_matching"]["rows"] > 0
+    assert history[1]["entity_matching"] == {"status": "skipped", "attempts": 0}
