@@ -42,6 +42,13 @@ _VERIFY_FIRST = [
     # ---- r03 driver-red, fixed this round (postings → canonical string) ---
     "text_inverted_index",
     # ---- remaining slots: module order = oldest r1-green rows first -------
+    # Round 4's window closes after q6_forecast_revenue (A/B/C/D families +
+    # q1/q3/q5/q6 re-verified). Round-5 rotation: any round-5 semantic
+    # changes first, then continue the oldest-rows sweep where this window
+    # stopped — the E-family tail (q10, window_top_orders_per_cust, q4,
+    # q12, q14, q18, tpch_full q2-q22, deciles/set-ops/RFM/basket/pareto),
+    # then the F/G r1-green rows (dedup_exact, minhash, embedding_cosine,
+    # cluster_cc, ann_*), then the H/I/J/L/M/N r2-green rows.
 ]
 
 

@@ -428,3 +428,20 @@ def test_hll_sliding_window_merges_partials_not_raw_events(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multitable_lsh_is_l_bucket_equijoins(spark, sf_dir):
+    """The 3-table OR'd LSH candidate stage must plan as L separate
+    bucket EQUI-joins against broadcast query dims (unioned, then
+    deduped) — never one join with an OR'd bucket predicate, which
+    degenerates to a nested loop over the corpus."""
+    from australian_company_etl_spark.plans.similarity import (
+        N_TABLES,
+        ann_lsh_multitable_topk,
+    )
+
+    plan = _spark_plan(ann_lsh_multitable_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == N_TABLES
+    assert "Union" in plan
