@@ -46,6 +46,59 @@ SERVING_TABLES = ["customer", "nation", "part", "documents"]
 
 MAX_PAGE_SIZE = 1000  # serving-side cap: a page is a page, not an export
 
+FULLTEXT_INDEX = "fulltext_index"
+
+
+def build_fulltext_index(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """Publish the full-text SERVING INDEX next to the snapshot: one row
+    per (tok, doc_id) with tf, df_docs, and the corpus size — everything
+    D5's ranking needs, so a query probes O(matched postings) instead of
+    re-tokenizing the corpus per request (the H12 'serving form swaps the
+    scan for the index' promise, made runnable).
+
+    Layout = the index's own Z-dimension: range-partitioned and sorted by
+    tok, so parquet row-group min/max stats prune every file/row-group a
+    query's terms don't touch — the GIN-index analog at 100 TB (term
+    pushdown does the page fetches a Postgres GIN posting scan would).
+    Returns the posting-row count."""
+    from australian_company_etl_spark.functions.textfns import tokens_all_spark
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select("doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_docs"))
+    n_docs = docs.count()  # publish-time scalar; baked into the index rows
+    index = (
+        tf.join(dfreq, "tok")
+        .withColumn("n_docs", F.lit(n_docs))
+        .repartitionByRange(8, "tok")
+        .sortWithinPartitions("tok")
+    )
+    path = table_path(out_dir, FULLTEXT_INDEX)
+    index.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def fulltext_rank_from_index(
+    spark: SparkSession, data_dir: str, terms: list[str], topk: int
+) -> DataFrame:
+    """D5's exact ranking served from the published index: term filter
+    pushed into the index scan (row-group pruning on the tok sort), one
+    map-side-combined per-doc aggregate over the matched postings, sort-
+    limit top-k. Proven row-identical to the scan-based plan in tests."""
+    idx = spark.read.parquet(table_path(data_dir, FULLTEXT_INDEX)).filter(
+        F.col("tok").isin(*terms)
+    )
+    scored = idx.groupBy("doc_id").agg(
+        F.sum(F.expr("tf * ((1000000 * n_docs) div df_docs)")).alias("score_micro"),
+        F.count("*").cast("int").alias("n_terms_hit"),
+    )
+    return (
+        scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(topk)
+        .select("doc_id", "n_terms_hit", "score_micro")
+    )
+
 
 def _table_digest(df: DataFrame) -> tuple[int, int]:
     """(rows, order-insensitive content hash) in one aggregate pass — the
@@ -79,6 +132,8 @@ def snapshot_tables(
                 f"snapshot verify failed for {name}: wrote {expected}, read back {actual}"
             )
         manifest[name] = {"rows": expected[0], "content_hash": expected[1]}
+    if "documents" in manifest:
+        manifest[FULLTEXT_INDEX] = {"rows": build_fulltext_index(spark, sf_dir, out_dir)}
     with open(os.path.join(out_dir, "_SNAPSHOT.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
@@ -154,7 +209,14 @@ class _Handler(BaseHTTPRequestHandler):
             if not terms:
                 raise ValueError("q must contain at least one term")
             k = min(int(q.get("k", api_plans.FT_TOPK)), MAX_PAGE_SIZE)
-            self._send(200, _rows_payload(api_plans.api_fulltext_rank(spark, d, terms=terms, topk=k)))
+            # serve from the published index (term-pruned probe) when the
+            # snapshot has one; ?scan=1 forces the corpus-scan plan (the
+            # two are proven row-identical in tests)
+            if "scan" not in q and os.path.isdir(table_path(d, FULLTEXT_INDEX)):
+                out = _rows_payload(fulltext_rank_from_index(spark, d, terms, k))
+            else:
+                out = _rows_payload(api_plans.api_fulltext_rank(spark, d, terms=terms, topk=k))
+            self._send(200, out)
         elif path == "/fuzzy":
             k = min(int(q.get("k", api_plans.TRGM_TOPK)), MAX_PAGE_SIZE)
             self._send(200, _rows_payload(api_plans.api_search_trigram(spark, d, query=q["q"], topk=k)))

@@ -28,7 +28,7 @@ from tests.oracle_compare import canonical_rows, duckdb_connect
 def server(spark, tmp_path_factory):
     snap = str(tmp_path_factory.mktemp("serving_snapshot"))
     manifest = snapshot_tables(spark, SF_DIR, snap)
-    assert set(manifest) == {"customer", "nation", "part", "documents"}
+    assert set(manifest) == {"customer", "nation", "part", "documents", "fulltext_index"}
     srv = make_server(spark, snap, port=0)
     serve_in_thread(srv)
     yield f"http://127.0.0.1:{srv.server_address[1]}"
@@ -116,6 +116,39 @@ def test_fulltext_rank(server, con):
     _assert_matches_oracle(body, con, api_plans._fulltext_sql())
 
 
+def test_fulltext_index_path_equals_scan_path(server):
+    """/search serves from the published index; ?scan=1 forces the
+    corpus-scan D5 plan. Same terms → row-identical responses (the
+    'serving form swaps the scan for the index with identical ranking'
+    contract), checked on a NON-default term set so nothing is cached."""
+    status_i, idx = _get(server, "/search?q=data+document+order&k=15")
+    status_s, scan = _get(server, "/search?q=data+document+order&k=15&scan=1")
+    assert status_i == status_s == 200
+    assert idx["n"] > 0
+    assert idx["rows"] == scan["rows"]
+
+
+def test_fulltext_index_probe_prunes_by_term(spark, server, tmp_path_factory):
+    """The index probe must push the term filter into the parquet scan
+    (row-group pruning on the tok-sorted layout) — the GIN-index analog;
+    an index read that scans all postings is just a slower corpus scan."""
+    from australian_company_etl_spark.serving.http_api import (
+        build_fulltext_index,
+        fulltext_rank_from_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("ft_index"))
+    build_fulltext_index(spark, SF_DIR, d)
+    plan = (
+        fulltext_rank_from_index(spark, d, ["quick", "spark"], 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(tok" in plan
+    assert "partial_sum" in plan  # per-doc score combines map-side
+
+
 def test_trigram_fuzzy(server, con):
     q = api_plans.TRGM_QUERY.replace(" ", "+")
     status, body = _get(server, f"/fuzzy?q={q}")
@@ -128,6 +161,7 @@ def test_health_reports_snapshot(server):
     assert status == 200
     assert body["ok"] is True
     assert body["snapshot"]["customer"]["rows"] > 0
+    assert body["snapshot"]["fulltext_index"]["rows"] > 0
 
 
 def test_unknown_route_404_and_bad_param_400(server):
