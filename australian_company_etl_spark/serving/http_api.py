@@ -35,7 +35,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from australian_company_etl_spark.plans import api as api_plans
@@ -77,6 +77,63 @@ def build_fulltext_index(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     path = table_path(out_dir, FULLTEXT_INDEX)
     index.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).count()
+
+
+TRIGRAM_INDEX = "trigram_index"
+
+
+def build_trigram_index(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """Publish the pg_trgm-analog inverted index: one row per
+    (trgm, p_partkey) with the part's name and distinct-trigram count —
+    everything D6's Jaccard ranking needs. trgm-sorted layout for the
+    same row-group term pruning as the full-text index. Returns the
+    posting-row count."""
+    from australian_company_etl_spark.plans.api import _TRGM_EXPR
+
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    trg = part.select(
+        "p_partkey",
+        "p_name",
+        F.explode(F.expr(_TRGM_EXPR.format(c="p_name"))).alias("trgm"),
+    ).withColumn("n_trgm", F.count("*").over(Window.partitionBy("p_partkey")))
+    path = table_path(out_dir, TRIGRAM_INDEX)
+    (
+        trg.repartitionByRange(8, "trgm")
+        .sortWithinPartitions("trgm")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).count()
+
+
+def trigram_rank_from_index(
+    spark: SparkSession, data_dir: str, query: str, topk: int
+) -> DataFrame:
+    """D6's exact trigram-Jaccard ranking served from the published
+    index: probe = term filter pushed into the scan, |∩| = one map-side-
+    combined count per candidate id, |∪| from the indexed per-id trigram
+    count. Candidates with zero shared trigrams never leave the scan —
+    identical results to the corpus-scan plan (sim>0 filters them there
+    too), proven in tests."""
+    from australian_company_etl_spark.plans.api import _pg_trigrams
+
+    q = _pg_trigrams([w for w in query.lower().split() if w])
+    if not q:
+        raise ValueError("query yields no trigrams")
+    idx = spark.read.parquet(table_path(data_dir, TRIGRAM_INDEX)).filter(
+        F.col("trgm").isin(*q)
+    )
+    inter = F.count("*")
+    union = F.col("n_trgm") + F.lit(len(q)) - inter
+    scored = idx.groupBy("p_partkey", "p_name", "n_trgm").agg(
+        F.round(inter.cast("double") / union, 6).alias("sim")
+    )
+    return (
+        scored.filter(F.col("sim") > 0)
+        .orderBy(F.desc("sim"), F.asc("p_partkey"))
+        .limit(topk)
+        .select("p_partkey", "p_name", "sim")
+    )
 
 
 def fulltext_rank_from_index(
@@ -134,6 +191,8 @@ def snapshot_tables(
         manifest[name] = {"rows": expected[0], "content_hash": expected[1]}
     if "documents" in manifest:
         manifest[FULLTEXT_INDEX] = {"rows": build_fulltext_index(spark, sf_dir, out_dir)}
+    if "part" in manifest:
+        manifest[TRIGRAM_INDEX] = {"rows": build_trigram_index(spark, sf_dir, out_dir)}
     with open(os.path.join(out_dir, "_SNAPSHOT.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
@@ -219,7 +278,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, out)
         elif path == "/fuzzy":
             k = min(int(q.get("k", api_plans.TRGM_TOPK)), MAX_PAGE_SIZE)
-            self._send(200, _rows_payload(api_plans.api_search_trigram(spark, d, query=q["q"], topk=k)))
+            if not [w for w in q["q"].lower().split() if w]:
+                raise ValueError("q must contain at least one word")
+            if "scan" not in q and os.path.isdir(table_path(d, TRIGRAM_INDEX)):
+                out = _rows_payload(trigram_rank_from_index(spark, d, q["q"], k))
+            else:
+                out = _rows_payload(api_plans.api_search_trigram(spark, d, query=q["q"], topk=k))
+            self._send(200, out)
         elif path == "/health":
             with open(os.path.join(d, "_SNAPSHOT.json")) as f:
                 self._send(200, {"ok": True, "snapshot": json.load(f)})

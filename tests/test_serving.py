@@ -28,7 +28,9 @@ from tests.oracle_compare import canonical_rows, duckdb_connect
 def server(spark, tmp_path_factory):
     snap = str(tmp_path_factory.mktemp("serving_snapshot"))
     manifest = snapshot_tables(spark, SF_DIR, snap)
-    assert set(manifest) == {"customer", "nation", "part", "documents", "fulltext_index"}
+    assert set(manifest) == {
+        "customer", "nation", "part", "documents", "fulltext_index", "trigram_index",
+    }
     srv = make_server(spark, snap, port=0)
     serve_in_thread(srv)
     yield f"http://127.0.0.1:{srv.server_address[1]}"
@@ -154,6 +156,38 @@ def test_trigram_fuzzy(server, con):
     status, body = _get(server, f"/fuzzy?q={q}")
     assert status == 200
     _assert_matches_oracle(body, con, api_plans._trigram_sql())
+
+
+def test_trigram_index_path_equals_scan_path(server):
+    """/fuzzy serves from the published trigram index; ?scan=1 forces the
+    corpus-scan D6 plan. Non-default misspelled query → row-identical
+    responses (candidates sharing zero trigrams are excluded by BOTH
+    paths: never scanned there, sim=0-filtered here)."""
+    status_i, idx = _get(server, "/fuzzy?q=grene+stel&k=8")
+    status_s, scan = _get(server, "/fuzzy?q=grene+stel&k=8&scan=1")
+    assert status_i == status_s == 200
+    assert idx["n"] > 0
+    assert idx["rows"] == scan["rows"]
+
+
+def test_trigram_index_probe_prunes_by_trigram(spark, server, tmp_path_factory):
+    """The trigram probe must push the trgm filter into the parquet scan —
+    same GIN posture as the full-text index."""
+    from australian_company_etl_spark.serving.http_api import (
+        build_trigram_index,
+        trigram_rank_from_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("trgm_index"))
+    build_trigram_index(spark, SF_DIR, d)
+    plan = (
+        trigram_rank_from_index(spark, d, "red widgit", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(trgm" in plan
+    assert "partial_count" in plan  # |∩| combines map-side
 
 
 def test_health_reports_snapshot(server):
