@@ -60,6 +60,7 @@ class TaskResult:
     attempts: int = 0
     rows: int | None = None
     error: str | None = None
+    wave: int | None = None  # topological level the task ran in
 
     def as_dict(self) -> dict:
         return {k: v for k, v in self.__dict__.items() if v is not None}
@@ -97,39 +98,76 @@ def topo_order(tasks: list[Task]) -> list[Task]:
     return order
 
 
+def topo_waves(tasks: list[Task]) -> list[list[Task]]:
+    """Group tasks into topological LEVELS: wave k holds every task whose
+    longest dependency chain has k edges. Tasks within a wave are
+    mutually independent by construction and run concurrently — the
+    `[t1, t2] >> t3` parallelism Airflow's scheduler provides."""
+    order = topo_order(tasks)  # validates names/deps/cycles
+    level: dict[str, int] = {}
+    for t in order:
+        level[t.name] = 1 + max((level[d] for d in t.deps), default=-1)
+    waves: list[list[Task]] = [[] for _ in range(max(level.values()) + 1)]
+    for t in order:
+        waves[level[t.name]].append(t)
+    return waves
+
+
+def _run_one(spark: SparkSession, task: Task, out_dir: str) -> TaskResult:
+    """One task: retry loop → publish → commit check. Reads its inputs
+    from the dependencies' PUBLISHED parquet inside the attempt, so a
+    retry re-reads committed data, never a stale handle."""
+    path = task_output_path(out_dir, task.name)
+    res = TaskResult(status="failed")
+    for attempt in range(1 + task.retries):
+        res.attempts = attempt + 1
+        try:
+            inputs = {d: spark.read.parquet(task_output_path(out_dir, d)) for d in task.deps}
+            df = task.build(spark, inputs)
+            df.write.mode("overwrite").parquet(path)
+            res.status = "success"
+            res.rows = spark.read.parquet(path).count()
+            res.error = None
+            break
+        except Exception as exc:  # noqa: BLE001 — retry semantics need the catch
+            res.error = f"{type(exc).__name__}: {exc}"
+    return res
+
+
 def run_dag(
-    spark: SparkSession, tasks: list[Task], out_dir: str
+    spark: SparkSession, tasks: list[Task], out_dir: str, max_workers: int = 4
 ) -> dict[str, TaskResult]:
-    """Run (or resume) the DAG. Committed tasks are skipped; a task failing
-    all ``1 + retries`` attempts is marked failed and every transitive
-    downstream task is marked upstream_failed (independent branches still
-    run — Airflow's trigger-rule default). Returns and persists the run
-    ledger."""
+    """Run (or resume) the DAG wave by wave, tasks within a wave in
+    parallel (Spark's scheduler interleaves their jobs across executor
+    threads — concurrent INDEPENDENT stages keep a cluster busy where a
+    serial runner would idle it between shuffles). Committed tasks are
+    skipped; a task failing all ``1 + retries`` attempts is marked failed
+    and every transitive downstream task is marked upstream_failed
+    (independent branches still run — Airflow's trigger-rule default).
+    Returns and persists the run ledger."""
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(out_dir, exist_ok=True)
     results: dict[str, TaskResult] = {}
-    for task in topo_order(tasks):
-        bad = [d for d in task.deps if results[d].status in ("failed", "upstream_failed")]
-        if bad:
-            results[task.name] = TaskResult(status="upstream_failed", error=f"upstream: {bad}")
+    for wave_i, wave in enumerate(topo_waves(tasks)):
+        to_run: list[Task] = []
+        for task in wave:
+            bad = [d for d in task.deps if results[d].status in ("failed", "upstream_failed")]
+            if bad:
+                results[task.name] = TaskResult(
+                    status="upstream_failed", error=f"upstream: {bad}", wave=wave_i
+                )
+            elif _committed(out_dir, task.name):
+                results[task.name] = TaskResult(status="skipped", wave=wave_i)
+            else:
+                to_run.append(task)
+        if not to_run:
             continue
-        path = task_output_path(out_dir, task.name)
-        if _committed(out_dir, task.name):
-            results[task.name] = TaskResult(status="skipped")
-            continue
-        res = TaskResult(status="failed")
-        for attempt in range(1 + task.retries):
-            res.attempts = attempt + 1
-            try:
-                inputs = {d: spark.read.parquet(task_output_path(out_dir, d)) for d in task.deps}
-                df = task.build(spark, inputs)
-                df.write.mode("overwrite").parquet(path)
-                res.status = "success"
-                res.rows = spark.read.parquet(path).count()
-                res.error = None
-                break
-            except Exception as exc:  # noqa: BLE001 — retry semantics need the catch
-                res.error = f"{type(exc).__name__}: {exc}"
-        results[task.name] = res
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(to_run))) as pool:
+            futures = {t.name: pool.submit(_run_one, spark, t, out_dir) for t in to_run}
+        for name, fut in futures.items():
+            results[name] = fut.result()
+            results[name].wave = wave_i
 
     ledger_path = os.path.join(out_dir, LEDGER_NAME)
     history = []

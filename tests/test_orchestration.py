@@ -125,4 +125,43 @@ def test_ledger_records_run_history(spark, sf_dir, tmp_path):
     assert len(history) == 2
     assert history[0]["entity_matching"]["status"] == "success"
     assert history[0]["entity_matching"]["rows"] > 0
-    assert history[1]["entity_matching"] == {"status": "skipped", "attempts": 0}
+    assert history[1]["entity_matching"] == {"status": "skipped", "attempts": 0, "wave": 1}
+
+
+def test_waves_match_topological_levels(spark, sf_dir, tmp_path):
+    """[t1, t2] >> t3 >> t4: the extracts share wave 0 (scheduled
+    concurrently), matching wave 1, quality wave 2."""
+    results = run_dag(spark, reference_dag(sf_dir), str(tmp_path / "run"))
+    assert {n: r.wave for n, r in results.items()} == {
+        "extract_commoncrawl": 0,
+        "extract_abr": 0,
+        "entity_matching": 1,
+        "run_quality_checks": 2,
+    }
+
+
+def test_same_wave_tasks_run_concurrently(spark, tmp_path):
+    """Deterministic concurrency proof: two wave-0 tasks each block until
+    the OTHER has started (paired events). A serial runner deadlocks the
+    first task into its timeout; the parallel runner passes."""
+    import threading
+
+    started = {"a": threading.Event(), "b": threading.Event()}
+
+    def make(mine: str, other: str):
+        def build(spark, _inputs):
+            started[mine].set()
+            assert started[other].wait(timeout=120), (
+                f"{other} never started while {mine} was running — tasks "
+                f"in one wave are executing serially"
+            )
+            return spark.range(3)
+
+        return build
+
+    tasks = [
+        Task("a", make("a", "b"), retries=0),
+        Task("b", make("b", "a"), retries=0),
+    ]
+    results = run_dag(spark, tasks, str(tmp_path / "run"))
+    assert {n: r.status for n, r in results.items()} == {"a": "success", "b": "success"}
