@@ -198,6 +198,26 @@ def test_health_reports_snapshot(server):
     assert body["snapshot"]["fulltext_index"]["rows"] > 0
 
 
+def test_concurrent_requests_all_answer(server):
+    """ThreadingHTTPServer + Spark's thread-safe job submission: four
+    different routes fired concurrently must all answer correctly (a
+    serving layer that serializes or cross-wires concurrent queries is
+    broken regardless of single-request correctness)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = [
+        f"/companies/{api_plans.LOOKUP_KEY}",
+        f"/companies/search?q={api_plans.SEARCH_PATTERN}",
+        "/search?q=" + "+".join(api_plans.FT_QUERY_TERMS),
+        "/fuzzy?q=" + api_plans.TRGM_QUERY.replace(" ", "+"),
+    ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        out = list(pool.map(lambda p: _get(server, p), paths))
+    assert [s for s, _ in out] == [200, 200, 200, 200]
+    assert out[0][1]["rows"][0]["c_custkey"] == api_plans.LOOKUP_KEY
+    assert all(b["n"] > 0 for _, b in out[1:])
+
+
 def test_unknown_route_404_and_bad_param_400(server):
     assert _get(server, "/nope")[0] == 404
     assert _get(server, "/companies/search")[0] == 400  # missing q
