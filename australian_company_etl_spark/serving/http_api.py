@@ -49,34 +49,99 @@ MAX_PAGE_SIZE = 1000  # serving-side cap: a page is a page, not an export
 FULLTEXT_INDEX = "fulltext_index"
 
 
-def build_fulltext_index(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
-    """Publish the full-text SERVING INDEX next to the snapshot: one row
-    per (tok, doc_id) with tf, df_docs, and the corpus size — everything
-    D5's ranking needs, so a query probes O(matched postings) instead of
-    re-tokenizing the corpus per request (the H12 'serving form swaps the
-    scan for the index' promise, made runnable).
-
-    Layout = the index's own Z-dimension: range-partitioned and sorted by
-    tok, so parquet row-group min/max stats prune every file/row-group a
-    query's terms don't touch — the GIN-index analog at 100 TB (term
-    pushdown does the page fetches a Postgres GIN posting scan would).
-    Returns the posting-row count."""
+def _doc_postings(docs: DataFrame) -> DataFrame:
     from australian_company_etl_spark.functions.textfns import tokens_all_spark
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     toks = docs.select("doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok"))
-    tf = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_docs"))
-    n_docs = docs.count()  # publish-time scalar; baked into the index rows
-    index = (
-        tf.join(dfreq, "tok")
-        .withColumn("n_docs", F.lit(n_docs))
-        .repartitionByRange(8, "tok")
-        .sortWithinPartitions("tok")
-    )
+    return toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def build_fulltext_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Publish the full-text SERVING INDEX next to the snapshot: one
+    posting row per (tok, doc_id) with its tf — so a query probes
+    O(matched postings) instead of re-tokenizing the corpus per request
+    (the H12 'serving form swaps the scan for the index' promise, made
+    runnable).
+
+    The layout is deliberately APPEND-ONLY: df is NOT denormalized onto
+    the rows — the probe derives each query term's df by counting its own
+    matched postings (exact: the term filter keeps every posting of a
+    matched term), and the corpus size lives in the snapshot manifest. A
+    daily ingest therefore maintains the index by appending the new
+    batch's postings and bumping n_docs — never rewriting existing rows
+    (`append_documents_to_index`), the same archive-once dataflow as the
+    incremental dedup/sketch operators (F12/M6).
+
+    The initial build is range-partitioned and sorted by tok, so parquet
+    row-group min/max stats prune every file a query's terms don't touch
+    — the GIN-index analog at 100 TB; appended batches are term-pruned by
+    footer stats per file and restored to fully-sorted layout by periodic
+    compaction (sources/export.compact_dataset discipline).
+    Returns {"rows": postings, "n_docs": corpus size}."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tf = _doc_postings(docs)
     path = table_path(out_dir, FULLTEXT_INDEX)
-    index.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path).count()
+    tf.repartitionByRange(8, "tok").sortWithinPartitions("tok").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return {"rows": spark.read.parquet(path).count(), "n_docs": docs.count()}
+
+
+def append_documents_to_index(
+    spark: SparkSession, new_docs: DataFrame, data_dir: str
+) -> dict:
+    """Incremental index maintenance: append the NEW documents' postings
+    and bump the manifest's n_docs — existing rows are never rewritten.
+    Re-delivered doc_ids are dropped first (first-wins, the J8 upsert
+    discipline), so a retried batch cannot inflate df or tf. The
+    already-indexed check is an anti-join against the index's distinct
+    doc_ids; at 100 TB that membership probe is the doc-ledger / Bloom
+    lookup (M3), same semantics. Returns what was appended."""
+    path = table_path(data_dir, FULLTEXT_INDEX)
+    indexed = spark.read.parquet(path).select("doc_id").distinct()
+    fresh = new_docs.join(indexed, "doc_id", "left_anti")
+    n_new = fresh.count()
+    if n_new:
+        _doc_postings(fresh).repartitionByRange(2, "tok").sortWithinPartitions(
+            "tok"
+        ).write.mode("append").parquet(path)
+    manifest_path = os.path.join(data_dir, "_SNAPSHOT.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    manifest[FULLTEXT_INDEX]["n_docs"] += n_new
+    manifest[FULLTEXT_INDEX]["rows"] = spark.read.parquet(path).count()
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return {"docs_appended": n_new, "n_docs": manifest[FULLTEXT_INDEX]["n_docs"]}
+
+
+def run_index_maintenance_stream(
+    spark: SparkSession, src_dir: str, schema: str, data_dir: str, max_files: int = 1
+) -> int:
+    """Continuous index maintenance: stream newly-landed document files
+    into the published index, one foreachBatch append per micro-batch —
+    the serving-side twin of the incremental-dedup daily batch (F12).
+    Checkpointable like every file stream (the engine's processed-file
+    ledger); re-delivered docs are dropped by the append's first-wins
+    anti-join, so at-least-once delivery cannot inflate the index.
+    Returns the number of micro-batches processed."""
+    n_batches = 0
+
+    def _append(batch: DataFrame, _batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        append_documents_to_index(batch.sparkSession, batch, data_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_append)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches
 
 
 TRIGRAM_INDEX = "trigram_index"
@@ -137,18 +202,27 @@ def trigram_rank_from_index(
 
 
 def fulltext_rank_from_index(
-    spark: SparkSession, data_dir: str, terms: list[str], topk: int
+    spark: SparkSession, data_dir: str, terms: list[str], topk: int, n_docs: int
 ) -> DataFrame:
     """D5's exact ranking served from the published index: term filter
-    pushed into the index scan (row-group pruning on the tok sort), one
-    map-side-combined per-doc aggregate over the matched postings, sort-
-    limit top-k. Proven row-identical to the scan-based plan in tests."""
+    pushed into the index scan (row-group pruning on the tok sort), each
+    term's df counted from its own matched postings (exact — the filter
+    keeps every posting of a matched term; this is what lets the stored
+    layout stay append-only), one map-side-combined per-doc aggregate,
+    sort-limit top-k. ``n_docs`` comes from the snapshot manifest.
+    Proven row-identical to the scan-based plan in tests."""
     idx = spark.read.parquet(table_path(data_dir, FULLTEXT_INDEX)).filter(
         F.col("tok").isin(*terms)
     )
-    scored = idx.groupBy("doc_id").agg(
-        F.sum(F.expr("tf * ((1000000 * n_docs) div df_docs)")).alias("score_micro"),
-        F.count("*").cast("int").alias("n_terms_hit"),
+    dfreq = idx.groupBy("tok").agg(F.count("*").alias("df_docs"))
+    scored = (
+        idx.join(F.broadcast(dfreq), "tok")
+        .withColumn("n_docs", F.lit(int(n_docs)))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("tf * ((1000000 * n_docs) div df_docs)")).alias("score_micro"),
+            F.count("*").cast("int").alias("n_terms_hit"),
+        )
     )
     return (
         scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
@@ -190,7 +264,7 @@ def snapshot_tables(
             )
         manifest[name] = {"rows": expected[0], "content_hash": expected[1]}
     if "documents" in manifest:
-        manifest[FULLTEXT_INDEX] = {"rows": build_fulltext_index(spark, sf_dir, out_dir)}
+        manifest[FULLTEXT_INDEX] = build_fulltext_index(spark, sf_dir, out_dir)
     if "part" in manifest:
         manifest[TRIGRAM_INDEX] = {"rows": build_trigram_index(spark, sf_dir, out_dir)}
     with open(os.path.join(out_dir, "_SNAPSHOT.json"), "w") as f:
@@ -272,7 +346,9 @@ class _Handler(BaseHTTPRequestHandler):
             # snapshot has one; ?scan=1 forces the corpus-scan plan (the
             # two are proven row-identical in tests)
             if "scan" not in q and os.path.isdir(table_path(d, FULLTEXT_INDEX)):
-                out = _rows_payload(fulltext_rank_from_index(spark, d, terms, k))
+                with open(os.path.join(d, "_SNAPSHOT.json")) as f:
+                    n_docs = json.load(f)[FULLTEXT_INDEX]["n_docs"]
+                out = _rows_payload(fulltext_rank_from_index(spark, d, terms, k, n_docs))
             else:
                 out = _rows_payload(api_plans.api_fulltext_rank(spark, d, terms=terms, topk=k))
             self._send(200, out)

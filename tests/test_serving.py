@@ -140,15 +140,74 @@ def test_fulltext_index_probe_prunes_by_term(spark, server, tmp_path_factory):
     )
 
     d = str(tmp_path_factory.mktemp("ft_index"))
-    build_fulltext_index(spark, SF_DIR, d)
+    meta = build_fulltext_index(spark, SF_DIR, d)
     plan = (
-        fulltext_rank_from_index(spark, d, ["quick", "spark"], 10)
+        fulltext_rank_from_index(spark, d, ["quick", "spark"], 10, meta["n_docs"])
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "PushedFilters: [In(tok" in plan
     assert "partial_sum" in plan  # per-doc score combines map-side
+
+
+def test_incremental_index_maintenance_equals_full_corpus(spark, tmp_path):
+    """Append-only maintenance contract: index built over HALF the corpus
+    + the other half appended (one batch direct, then streamed files,
+    with one batch re-delivered) must rank exactly like the scan plan
+    over the FULL corpus — and re-delivery must append nothing."""
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving.http_api import (
+        append_documents_to_index,
+        build_fulltext_index,
+        fulltext_rank_from_index,
+        run_index_maintenance_stream,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"].select("doc_id", "text")
+    half_dir = str(tmp_path / "half")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(half_dir + "/documents.parquet")
+    d = str(tmp_path / "serving")
+    import json
+    import os
+
+    os.makedirs(d)
+    meta = build_fulltext_index(spark, half_dir, d)
+    with open(os.path.join(d, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"fulltext_index": meta}, f)
+
+    # direct append of a quarter
+    q1 = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 4 == 1))
+    r1 = append_documents_to_index(spark, q1, d)
+    assert r1["docs_appended"] == q1.count()
+    # re-delivery of the same quarter: first-wins, nothing appended
+    r_dup = append_documents_to_index(spark, q1, d)
+    assert r_dup["docs_appended"] == 0
+    assert r_dup["n_docs"] == r1["n_docs"]
+    # the final quarter arrives as a 2-file stream
+    q2 = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 4 == 3))
+    stream_src = str(tmp_path / "landing")
+    q2.repartition(2).write.parquet(stream_src)
+    n_batches = run_index_maintenance_stream(
+        spark, stream_src, "doc_id bigint, text string", d
+    )
+    assert n_batches >= 2
+
+    with open(os.path.join(d, "_SNAPSHOT.json")) as f:
+        n_docs = json.load(f)["fulltext_index"]["n_docs"]
+    assert n_docs == docs.count()
+    from australian_company_etl_spark.plans.api import FT_QUERY_TERMS, FT_TOPK, api_fulltext_rank
+
+    got = _canon_df(fulltext_rank_from_index(spark, d, FT_QUERY_TERMS, FT_TOPK, n_docs))
+    want = _canon_df(api_fulltext_rank(spark, SF_DIR))
+    assert got == want
+
+
+def _canon_df(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
 
 
 def test_trigram_fuzzy(server, con):
