@@ -203,6 +203,112 @@ def compact_dataset(spark, path: str, target_bytes: int = 128 << 20) -> dict:
     }
 
 
+# ── WebDataset-style tar-shard sink ─────────────────────────────────────────
+# The delivery format large multimodal training runs actually consume
+# (the public WebDataset convention: N tar shards, each sample a group of
+# `{key}.{ext}` member files, loaders stream shards sequentially). The
+# reference's CSV dump is the analyst export; THIS is the trainer export.
+#
+# Scale posture: shard assignment is the N6 deterministic-hash discipline
+# (crc32(key) % n_shards — reproducible, uniform by construction, no RNG);
+# each executor task writes whole tar files for the shard ids hash-routed
+# to it, so writers never contend on a shard. Members are key-sorted
+# within each shard — the byte layout is a pure function of the data. In
+# local mode shards land on the shared path directly; on a cluster the
+# same writer targets task-local disk + upload, the standard webdataset
+# writer shape.
+
+
+def export_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    members: dict[str, str],
+    n_shards: int = 8,
+) -> dict:
+    """Write ``df`` as WebDataset-style tar shards.
+
+    ``members`` maps member file extension → column name, e.g.
+    ``{"txt": "text", "json": "meta"}``: each row becomes the sample
+    ``{key}.{ext}`` files inside its shard. String columns are written
+    utf-8, binary columns raw. Returns ``{"n_shards", "samples"}`` and
+    writes a ``_WDS_MANIFEST.json`` of per-shard sample counts."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    exts = sorted(members)
+    cols = [key_col] + [members[e] for e in exts]
+    routed = (
+        df.select(*cols)
+        .withColumn("_shard", F.pmod(F.crc32(F.col(key_col).cast("string")), F.lit(n_shards)))
+        .repartition(n_shards, F.col("_shard"))
+        .sortWithinPartitions("_shard", key_col)
+    )
+
+    def _write_partition(rows):
+        import tarfile
+
+        tar = None
+        cur = None
+        n = 0
+        for r in rows:
+            sid = r["_shard"]
+            if sid != cur:  # rows arrive shard-grouped (sorted within partition)
+                if tar is not None:
+                    tar.close()
+                cur = sid
+                tar = tarfile.open(os.path.join(path, f"shard-{sid:05d}.tar"), "w")
+            for ext in exts:
+                v = r[members[ext]]
+                data = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                info = tarfile.TarInfo(name=f"{r[key_col]}.{ext}")
+                info.size = len(data)
+                info.mtime = 0  # deterministic bytes: no wall-clock in headers
+                import io
+
+                tar.addfile(info, io.BytesIO(data))
+            n += 1
+        if tar is not None:
+            tar.close()
+        yield n
+
+    counts = routed.rdd.mapPartitions(_write_partition).collect()
+    manifest = {"n_shards": n_shards, "samples": int(sum(counts)), "members": exts}
+    per_shard = {}
+    for key, grp in iter_webdataset(path):
+        per_shard[grp["_shard_file"]] = per_shard.get(grp["_shard_file"], 0) + 1
+    manifest["per_shard"] = per_shard
+    with open(os.path.join(path, "_WDS_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def iter_webdataset(path: str):
+    """Stream samples back from a tar-shard directory: yields
+    ``(key, {ext: bytes, "_shard_file": name})`` in shard/member order —
+    the loader-side contract, and the read-back verifier the tests use."""
+    import glob
+    import os
+    import tarfile
+
+    for shard in sorted(glob.glob(os.path.join(path, "shard-*.tar"))):
+        with tarfile.open(shard) as tar:
+            current: dict | None = None
+            cur_key = None
+            for m in tar:
+                key, ext = m.name.rsplit(".", 1)
+                if key != cur_key:
+                    if current is not None:
+                        yield cur_key, current
+                    cur_key, current = key, {"_shard_file": os.path.basename(shard)}
+                current[ext] = tar.extractfile(m).read()
+            if current is not None:
+                yield cur_key, current
+
+
 # ── JDBC sink (reference terminal-store parity) ─────────────────────────────
 # The reference's terminal store is Postgres, loaded with driver-side
 # psycopg2 execute_values batches and ON CONFLICT DO NOTHING

@@ -8,7 +8,9 @@ against it. Usage:
     python scripts/serve.py [--sf-dir DIR] [--snapshot-dir DIR] [--port N]
 
 Routes: /companies/{key}, /companies/search?q=, /companies/by_state?state=,
-/companies?after=&limit=, /search?q=, /fuzzy?q=, /health.
+/companies?after=&limit=, /search?q= (served from the published posting
+index; &scan=1 forces the corpus-scan plan), /fuzzy?q= (trigram index,
+same &scan=1 escape), /health (snapshot + index manifest).
 """
 
 from __future__ import annotations

@@ -210,6 +210,25 @@ def _canon_df(df):
     return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
 
 
+def test_torn_snapshot_publish_fails_loudly(spark, tmp_path, monkeypatch):
+    """A publish whose re-read digest disagrees with the source must
+    raise, never serve — corrupt a table's re-read digest and assert the
+    verify step catches it."""
+    import australian_company_etl_spark.serving.http_api as api
+
+    real = api._table_digest
+    calls = {"n": 0}
+
+    def corrupted(df):
+        calls["n"] += 1
+        rows, h = real(df)
+        return (rows, h + 1) if calls["n"] % 2 == 0 else (rows, h)  # re-read side lies
+
+    monkeypatch.setattr(api, "_table_digest", corrupted)
+    with pytest.raises(RuntimeError, match="snapshot verify failed"):
+        api.snapshot_tables(spark, SF_DIR, str(tmp_path / "snap"), tables=["nation"])
+
+
 def test_trigram_fuzzy(server, con):
     q = api_plans.TRGM_QUERY.replace(" ", "+")
     status, body = _get(server, f"/fuzzy?q={q}")
