@@ -233,12 +233,15 @@ def export_webdataset(
     ``{key}.{ext}`` files inside its shard. String columns are written
     utf-8, binary columns raw. Returns ``{"n_shards", "samples"}`` and
     writes a ``_WDS_MANIFEST.json`` of per-shard sample counts."""
+    import glob
     import json
     import os
 
     from pyspark.sql import functions as F
 
     os.makedirs(path, exist_ok=True)
+    for stale in glob.glob(os.path.join(path, "shard-*.tar")):
+        os.remove(stale)  # a smaller n_shards must not leave orphan shards
     exts = sorted(members)
     cols = [key_col] + [members[e] for e in exts]
     routed = (

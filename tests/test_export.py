@@ -245,3 +245,31 @@ def test_webdataset_shards_roundtrip_and_determinism(spark, sf_dir, tmp_path):
         }
 
     assert digest(out1) == digest(out2), "shard bytes must be reproducible"
+
+
+def test_webdataset_binary_members_and_stale_shard_cleanup(spark, sf_dir, tmp_path):
+    """Binary columns round-trip raw (the multimodal delivery case), and
+    re-exporting with fewer shards removes orphan shard files."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.sources import export
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .select("doc_id", "text", F.encode(F.col("text"), "utf-8").alias("payload"))
+        .limit(50)
+    )
+    out = str(tmp_path / "wds")
+    export.export_webdataset(docs, out, "doc_id", {"bin": "payload"}, n_shards=8)
+    assert len(glob.glob(os.path.join(out, "shard-*.tar"))) == 8
+    want = {str(r.doc_id): bytes(r.payload) for r in docs.collect()}
+    got = {k: grp["bin"] for k, grp in export.iter_webdataset(out)}
+    assert got == want  # raw bytes, not stringified
+
+    export.export_webdataset(docs, out, "doc_id", {"bin": "payload"}, n_shards=2)
+    assert len(glob.glob(os.path.join(out, "shard-*.tar"))) == 2
+    assert {k: g["bin"] for k, g in export.iter_webdataset(out)} == want
