@@ -171,6 +171,39 @@ def build_trigram_index(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     return spark.read.parquet(path).count()
 
 
+def append_parts_to_trigram_index(
+    spark: SparkSession, new_parts: DataFrame, data_dir: str
+) -> dict:
+    """Incremental trigram-index maintenance, mirror of
+    `append_documents_to_index`: the stored rows carry only per-part
+    state (n_trgm is local to its p_partkey), so appending a fresh
+    batch's postings is exact — |∩| and |∪| at probe time see the new
+    candidates immediately, existing rows never rewritten. First-wins on
+    re-delivered p_partkeys."""
+    from australian_company_etl_spark.plans.api import _TRGM_EXPR
+
+    path = table_path(data_dir, TRIGRAM_INDEX)
+    indexed = spark.read.parquet(path).select("p_partkey").distinct()
+    fresh = new_parts.join(indexed, "p_partkey", "left_anti")
+    n_new = fresh.count()
+    if n_new:
+        trg = fresh.select(
+            "p_partkey",
+            "p_name",
+            F.explode(F.expr(_TRGM_EXPR.format(c="p_name"))).alias("trgm"),
+        ).withColumn("n_trgm", F.count("*").over(Window.partitionBy("p_partkey")))
+        trg.repartitionByRange(2, "trgm").sortWithinPartitions("trgm").write.mode(
+            "append"
+        ).parquet(path)
+    manifest_path = os.path.join(data_dir, "_SNAPSHOT.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    manifest[TRIGRAM_INDEX]["rows"] = spark.read.parquet(path).count()
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return {"parts_appended": n_new}
+
+
 def trigram_rank_from_index(
     spark: SparkSession, data_dir: str, query: str, topk: int
 ) -> DataFrame:

@@ -210,6 +210,43 @@ def _canon_df(df):
     return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
 
 
+def test_incremental_trigram_index_equals_full_corpus(spark, tmp_path):
+    """Trigram index built over half the parts + the rest appended (with
+    a duplicate re-delivery) must rank exactly like the scan plan over
+    the full table — n_trgm is per-part local, so appends are exact by
+    construction."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.plans.api import TRGM_QUERY, TRGM_TOPK, api_search_trigram
+    from australian_company_etl_spark.serving.http_api import (
+        append_parts_to_trigram_index,
+        build_trigram_index,
+        trigram_rank_from_index,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    part = load_tables(spark, SF_DIR, ["part"])["part"]
+    half_dir = str(tmp_path / "half")
+    part.filter(F.col("p_partkey") % 2 == 0).write.parquet(half_dir + "/part.parquet")
+    d = str(tmp_path / "serving")
+    os.makedirs(d)
+    meta = build_trigram_index(spark, half_dir, d)
+    with open(os.path.join(d, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"trigram_index": {"rows": meta}}, f)
+
+    rest = part.filter(F.col("p_partkey") % 2 == 1).select("p_partkey", "p_name")
+    r = append_parts_to_trigram_index(spark, rest, d)
+    assert r["parts_appended"] == rest.count()
+    assert append_parts_to_trigram_index(spark, rest, d)["parts_appended"] == 0
+
+    got = _canon_df(trigram_rank_from_index(spark, d, TRGM_QUERY, TRGM_TOPK))
+    want = _canon_df(api_search_trigram(spark, SF_DIR))
+    assert got == want
+
+
 def test_torn_snapshot_publish_fails_loudly(spark, tmp_path, monkeypatch):
     """A publish whose re-read digest disagrees with the source must
     raise, never serve — corrupt a table's re-read digest and assert the
