@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.partitioning import spread_if_narrow
 from australian_company_etl_spark.functions.textfns import lev_ratio_spark
 
 
@@ -45,12 +46,13 @@ def best_fuzzy_match(
     (entity_matching.py:405-418 max-of-three) to override — it is evaluated
     over the joined frame, so reference precomputed per-side columns in it.
 
-    The left side is re-spread across all cores first: a dim-sized left
-    often arrives as ONE file partition, which would serialize every
-    left×right score evaluation into a single task."""
+    The left side is spread across all cores only when it arrives narrow
+    (``spread_if_narrow``): a dim-sized left often scans as ONE file
+    partition, which would serialize every left×right score evaluation into
+    a single task; a wide input passes through with no exchange."""
     if score is None:
         score = lev_ratio_spark(F.col(left_name), F.col(right_name))
-    spread = left.repartition(left.sparkSession.sparkContext.defaultParallelism)
+    spread = spread_if_narrow(left)
     scored = spread.crossJoin(F.broadcast(right)).withColumn("score", score)
     w = Window.partitionBy(left_key).orderBy(F.desc("score"), F.asc(right_key))
     return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
@@ -68,12 +70,13 @@ def blocked_fuzzy_pairs(
     """Scalable fuzzy join: equi-join on blocking key(s), then score.
     ``score`` defaults to plain levenshtein ratio; see ``best_fuzzy_match``.
 
-    The probe side is re-spread across all cores first: a dim-sized table
-    arrives as ONE file partition, and with the other side broadcast the
-    whole Σ|block|² levenshtein workload would run in a single task. At
-    100 TB the scan yields thousands of partitions and this is a no-op."""
+    The probe side is spread across all cores only when it arrives narrow
+    (``spread_if_narrow``): a dim-sized table scans as ONE file partition,
+    and with the other side broadcast the whole Σ|block|² levenshtein
+    workload would run in a single task. At 100 TB the scan yields thousands
+    of partitions and no exchange is inserted at all."""
     if score is None:
         score = lev_ratio_spark(F.col(left_name), F.col(right_name))
-    spread = right.repartition(right.sparkSession.sparkContext.defaultParallelism)
+    spread = spread_if_narrow(right)
     joined = left.join(spread, on=block_cols)
     return joined.withColumn("score", score).filter(F.col("score") >= threshold)

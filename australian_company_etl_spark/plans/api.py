@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.partitioning import spread_if_narrow
 from australian_company_etl_spark.functions.textfns import tokens_all_spark, tokens_all_sql
 from australian_company_etl_spark.sources.registry import load_tables
 
@@ -134,7 +135,7 @@ def api_fulltext_rank(
     becomes an index lookup instead of a corpus scan — same ranking."""
     terms = terms if terms is not None else FT_QUERY_TERMS
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     toks = docs.select(
         "doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok")
     ).filter(F.col("tok").isin(*terms))

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.partitioning import spread_if_narrow
 from australian_company_etl_spark.functions.textfns import (
     phash_spark,
     phash_sql,
@@ -87,7 +88,7 @@ def _doc_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus arrives in few large file-partitions; spread the expensive
     # per-doc shingle/hash work across all cores (at 100 TB the scan already
     # yields thousands of partitions and this is a no-op knob)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     toks = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t"))
     return shingle_rows_spark(toks, SHINGLE_K)
 
@@ -261,7 +262,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the pair is guaranteed to surface — exact recall at the threshold,
     not a heuristic."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens_all_spark(F.col("text")))).alias("tok"),
@@ -428,7 +429,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     single dot product (see plans/similarity.py for the parity argument)."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     # spread the interpreted per-row folds (tiny file = one scan partition)
-    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    emb = spread_if_narrow(emb, "vec_id")
     e = F.col("embedding").cast("array<double>")
     d = emb.select("vec_id", "label", e.alias("e0")).withColumn(
         "nrm", F.sqrt(_dot_spark(F.col("e0"), F.col("e0")))
@@ -640,7 +641,7 @@ SEG_TOKENS = 12
 def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, seg_id, seg): disjoint SEG_TOKENS-token windows per doc."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     d = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t")).withColumn(
         "n", F.size("t")
     )
@@ -840,7 +841,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     at fixed W this plan is exact for spans ≥ W and is the standard
     production approximation."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     ex = docs.select(
         "doc_id", F.posexplode(tokens_all_spark(F.col("text"))).alias("pos", "tok")
     )

@@ -36,6 +36,7 @@ from australian_company_etl_spark.operators.matching import (
     blocked_fuzzy_pairs,
 )
 from australian_company_etl_spark.functions.exactmath import sum_cents
+from australian_company_etl_spark.functions.partitioning import spread_if_narrow
 from australian_company_etl_spark.sources.registry import load_tables
 
 FUZZY_THRESHOLD = 50
@@ -182,7 +183,7 @@ def match_multi_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c",
     )
-    spread = right.repartition(spark.sparkContext.defaultParallelism)
+    spread = spread_if_narrow(right)
     t0, t1, t2 = token_set_strings_spark(F.col("s_tk"), F.col("c_tk"))
     return (
         left.join(spread, "nationkey")

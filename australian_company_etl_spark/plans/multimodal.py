@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.partitioning import spread_if_narrow
 from australian_company_etl_spark.functions.textfns import phash_spark, phash_sql
 from australian_company_etl_spark.sources.registry import load_tables
 
@@ -72,7 +73,7 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     return audio_features(attach_wav_payload(docs))
 
 
@@ -85,7 +86,7 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     return audio_features(attach_wav_payload(docs), decimate=4)
 
 
@@ -99,7 +100,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     return image_features(attach_bmp_payload(docs))
 
 
@@ -154,7 +155,7 @@ def mm_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     return video_frame_sample_features(attach_avi_payload(docs), stride=2)
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.partitioning import spread_if_narrow
 from australian_company_etl_spark.functions.textfns import phash_sql, phash_spark
 from australian_company_etl_spark.sources.registry import load_tables
 
@@ -219,7 +220,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from australian_company_etl_spark.functions.textfns import tokens_all_spark
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     d = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t")).withColumn(
         "n", F.size("t")
     )

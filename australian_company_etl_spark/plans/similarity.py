@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from australian_company_etl_spark.functions.exactmath import D38 as _PI_D38
+from australian_company_etl_spark.functions.partitioning import spread_if_narrow
 from australian_company_etl_spark.functions.textfns import phash_sql
 from australian_company_etl_spark.sources.registry import load_tables
 
@@ -84,7 +85,7 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     # per-row 64-dim folds run interpreted — spread across cores (tiny file
     # scans as ONE partition; no-op posture on a real many-file dataset)
-    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    emb = spread_if_narrow(emb, "vec_id")
     e = F.col("embedding").cast("array<double>")
     # norm as a materialized column FIRST — referencing the aggregate inside
     # the transform lambda would re-evaluate it per element (O(dim²)/row)
@@ -320,7 +321,7 @@ def cluster_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     emb = persist_tracked(
-        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+        spread_if_narrow(emb, "vec_id").select(
             "vec_id", _kq_spark().alias("q")
         )
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from australian_company_etl_spark.functions.partitioning import spread_if_narrow
 from australian_company_etl_spark.functions.textfns import (
     phash_spark,
     phash_sql,
@@ -57,7 +58,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stopword-vote filter lambdas run interpreted — spread the per-row
     # work across cores (a tiny file otherwise scans as ONE partition; on a
     # real many-file corpus the scan is already parallel)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     toks = tokens_all_spark(F.col("text"))
     d = docs.select(
         "doc_id", *[_vote_spark(toks, STOPWORDS[lg]).alias(f"v_{lg}") for lg in LANG_ORDER]
@@ -88,7 +89,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2 — heuristic quality score from length/punct/stopword ratios."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     # same single-partition guard as H1: regex + interpreted filter per row
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     toks = tokens_all_spark(F.col("text"))
     n_tok = F.size(toks)
     n_chars = F.length("text")
@@ -167,7 +168,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     # spread the per-doc shingle-hash work across cores (single small file
     # otherwise scans as one partition; no-op on a real many-file dataset)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     norm = F.concat_ws(" ", tokens_all_spark(F.col("text")))
     d = docs.select("doc_id", norm.alias("norm"))
     # row-form shingles (codegen) instead of the interpreted array-lambda path
@@ -231,7 +232,7 @@ def text_idf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode + one groupBy with map-side combine; the corpus size
     N is a scalar broadcast via a cross join of a 1-row aggregate."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     tok_docs = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens_all_spark(F.col("text")))).alias("tok")
     )
@@ -267,7 +268,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: row-form shingles keep the doc_id partitioning, so the count /
     count-distinct aggregate needs no extra shuffle."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     toks = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t"))
     agg = (
         shingle_rows_spark(toks, 3)
@@ -323,7 +324,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     back twice — both sides shrink to vocabulary size first, and the
     corpus total is a broadcast scalar."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     from pyspark.sql import Window
 
     ex = docs.select("doc_id", F.posexplode(tokens_all_spark(F.col("text"))).alias("pos", "x"))
@@ -414,7 +415,7 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     it → groupBy(doc_id, tok) needs no shuffle); the fold is per-doc over
     the type list. One shuffle-free corpus pass + the final projection."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     counts = (
         docs.select("doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -496,7 +497,7 @@ def text_contamination(
     if use_automaton is None:
         use_automaton = CONTAM_USE_AUTOMATON
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     phrases = spark.createDataFrame([(p,) for p in CONTAM_PHRASES], "phrase string")
     return contamination_report(docs, phrases, CONTAM_PHRASES, use_automaton)
 
@@ -530,7 +531,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled only by doc_id for the final mean — explode/join/agg all stay
     in whole-stage codegen."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     toks = docs.select("doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
@@ -606,7 +607,7 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any dedup/similarity stage touches the data.
     """
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     toks = tokens_all_spark(F.col("text"))
     d = docs.select(
         "doc_id",
@@ -700,7 +701,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_if_narrow(docs, "doc_id")
     toks = docs.select("doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_docs"))

@@ -445,3 +445,52 @@ def test_multitable_lsh_is_l_bucket_equijoins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") == N_TABLES
     assert "Union" in plan
+
+
+def test_spread_if_narrow_noop_on_wide_input(spark, sf_dir):
+    """The corpus-spread helper must insert ZERO Exchange when the input is
+    already at least as wide as the session's parallelism — the 100 TB case,
+    where the scan arrives in thousands of file-split partitions and an
+    unconditional repartition would shuffle every corpus byte before
+    map-only work."""
+    from australian_company_etl_spark.functions.partitioning import spread_if_narrow
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    wide = docs.repartition(par, "doc_id")  # simulate an already-wide scan
+    out = spread_if_narrow(wide, "doc_id")
+    assert out is wide  # passthrough: not even a new plan node
+    # and the composed plan carries exactly the one (simulated-scan) exchange
+    plan = _spark_plan(out.select("doc_id"))
+    assert plan.count("Exchange") == 1
+
+
+def test_spread_if_narrow_spreads_a_one_partition_input(spark, sf_dir):
+    """A single-file (1-partition) corpus — the local bench shape — must be
+    spread to defaultParallelism so interpreted per-row work parallelizes."""
+    from australian_company_etl_spark.functions.partitioning import spread_if_narrow
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    narrow = docs.coalesce(1)
+    assert narrow.rdd.getNumPartitions() < par
+    out = spread_if_narrow(narrow, "doc_id")
+    assert out.rdd.getNumPartitions() == par
+    assert "Exchange hashpartitioning(doc_id" in _executed_plan(out)
+
+
+def test_plans_have_no_unconditional_repartition():
+    """Greppable guarantee: no plan or operator module calls .repartition(
+    directly — every corpus spread goes through spread_if_narrow (the sinks
+    in sources/export.py keep their deliberate shard-routing repartitions)."""
+    import pathlib
+
+    root = pathlib.Path("australian_company_etl_spark")
+    offenders = []
+    for sub in ("plans", "operators"):
+        for p in (root / sub).glob("*.py"):
+            if ".repartition(" in p.read_text():
+                offenders.append(str(p))
+    assert offenders == []
