@@ -47,6 +47,13 @@ SERVING_TABLES = ["customer", "nation", "part", "documents"]
 MAX_PAGE_SIZE = 1000  # serving-side cap: a page is a page, not an export
 
 FULLTEXT_INDEX = "fulltext_index"
+#: doc ledger beside the full-text index: one row per indexed doc_id. It —
+#: not the posting rows — is the membership authority for incremental
+#: maintenance, so a document with ZERO tokens is still remembered and its
+#: re-delivery is a no-op (posting rows alone can't represent it), and
+#: n_docs (idf's denominator) is always exactly the ledger count. At 100 TB
+#: this is the processed-doc ledger a Bloom filter (M3) fronts.
+FULLTEXT_DOCS = "fulltext_docs"
 
 
 def _doc_postings(docs: DataFrame) -> DataFrame:
@@ -75,8 +82,8 @@ def build_fulltext_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     The initial build is range-partitioned and sorted by tok, so parquet
     row-group min/max stats prune every file a query's terms don't touch
     — the GIN-index analog at 100 TB; appended batches are term-pruned by
-    footer stats per file and restored to fully-sorted layout by periodic
-    compaction (sources/export.compact_dataset discipline).
+    footer stats per file and restored to fully-sorted layout by
+    `compact_index` (digest-verified rewrite + atomic swap).
     Returns {"rows": postings, "n_docs": corpus size}."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     tf = _doc_postings(docs)
@@ -84,7 +91,10 @@ def build_fulltext_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     tf.repartitionByRange(8, "tok").sortWithinPartitions("tok").write.mode(
         "overwrite"
     ).parquet(path)
-    return {"rows": spark.read.parquet(path).count(), "n_docs": docs.count()}
+    ledger = docs.select("doc_id").distinct()
+    ledger.write.mode("overwrite").parquet(table_path(out_dir, FULLTEXT_DOCS))
+    n_docs = spark.read.parquet(table_path(out_dir, FULLTEXT_DOCS)).count()
+    return {"rows": spark.read.parquet(path).count(), "n_docs": n_docs}
 
 
 def append_documents_to_index(
@@ -92,23 +102,29 @@ def append_documents_to_index(
 ) -> dict:
     """Incremental index maintenance: append the NEW documents' postings
     and bump the manifest's n_docs — existing rows are never rewritten.
-    Re-delivered doc_ids are dropped first (first-wins, the J8 upsert
-    discipline), so a retried batch cannot inflate df or tf. The
-    already-indexed check is an anti-join against the index's distinct
-    doc_ids; at 100 TB that membership probe is the doc-ledger / Bloom
-    lookup (M3), same semantics. Returns what was appended."""
+    First-wins at BOTH granularities (the J8 upsert discipline): duplicate
+    doc_ids WITHIN the batch collapse to one row before anything else, and
+    doc_ids already in the ledger are anti-joined away — so a retried or
+    self-duplicating batch cannot inflate df, tf, or n_docs. Membership is
+    decided against the `fulltext_docs` LEDGER, not the posting rows: a
+    token-less document leaves no postings but IS recorded in the ledger,
+    so its re-delivery is a no-op and n_docs (idf's denominator) stays the
+    exact ledger count. Returns what was appended."""
     path = table_path(data_dir, FULLTEXT_INDEX)
-    indexed = spark.read.parquet(path).select("doc_id").distinct()
+    ledger_path = table_path(data_dir, FULLTEXT_DOCS)
+    new_docs = new_docs.dropDuplicates(["doc_id"])
+    indexed = spark.read.parquet(ledger_path).select("doc_id")
     fresh = new_docs.join(indexed, "doc_id", "left_anti")
     n_new = fresh.count()
     if n_new:
         _doc_postings(fresh).repartitionByRange(2, "tok").sortWithinPartitions(
             "tok"
         ).write.mode("append").parquet(path)
+        fresh.select("doc_id").write.mode("append").parquet(ledger_path)
     manifest_path = os.path.join(data_dir, "_SNAPSHOT.json")
     with open(manifest_path) as f:
         manifest = json.load(f)
-    manifest[FULLTEXT_INDEX]["n_docs"] += n_new
+    manifest[FULLTEXT_INDEX]["n_docs"] = spark.read.parquet(ledger_path).count()
     manifest[FULLTEXT_INDEX]["rows"] = spark.read.parquet(path).count()
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -116,15 +132,23 @@ def append_documents_to_index(
 
 
 def run_index_maintenance_stream(
-    spark: SparkSession, src_dir: str, schema: str, data_dir: str, max_files: int = 1
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    data_dir: str,
+    max_files: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> int:
     """Continuous index maintenance: stream newly-landed document files
     into the published index, one foreachBatch append per micro-batch —
     the serving-side twin of the incremental-dedup daily batch (F12).
-    Checkpointable like every file stream (the engine's processed-file
-    ledger); re-delivered docs are dropped by the append's first-wins
-    anti-join, so at-least-once delivery cannot inflate the index.
-    Returns the number of micro-batches processed."""
+    Pass ``checkpoint_dir`` to persist the stream's processed-file ledger:
+    a restarted stream then resumes AFTER the files it already committed
+    instead of reprocessing the whole landing directory. Re-delivered docs
+    are additionally dropped by the append's first-wins ledger anti-join,
+    so at-least-once delivery cannot inflate the index either way (the
+    restart test proves interrupted-then-resumed == full rebuild).
+    Returns the number of micro-batches processed in THIS invocation."""
     n_batches = 0
 
     def _append(batch: DataFrame, _batch_id: int) -> None:
@@ -132,14 +156,16 @@ def run_index_maintenance_stream(
         n_batches += 1
         append_documents_to_index(batch.sparkSession, batch, data_dir)
 
-    q = (
+    writer = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
         .parquet(src_dir)
         .writeStream.foreachBatch(_append)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.awaitTermination()
     return n_batches
 
@@ -179,10 +205,14 @@ def append_parts_to_trigram_index(
     state (n_trgm is local to its p_partkey), so appending a fresh
     batch's postings is exact — |∩| and |∪| at probe time see the new
     candidates immediately, existing rows never rewritten. First-wins on
-    re-delivered p_partkeys."""
+    re-delivered p_partkeys AND on duplicates within one batch (the
+    intra-batch dropDuplicates below — without it two same-key rows in a
+    batch would both survive the anti-join and double every posting,
+    inflating |∩| at probe time)."""
     from australian_company_etl_spark.plans.api import _TRGM_EXPR
 
     path = table_path(data_dir, TRIGRAM_INDEX)
+    new_parts = new_parts.dropDuplicates(["p_partkey"])
     indexed = spark.read.parquet(path).select("p_partkey").distinct()
     fresh = new_parts.join(indexed, "p_partkey", "left_anti")
     n_new = fresh.count()
@@ -202,6 +232,58 @@ def append_parts_to_trigram_index(
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return {"parts_appended": n_new}
+
+
+def compact_index(
+    spark: SparkSession,
+    data_dir: str,
+    index_name: str,
+    key_col: str,
+    n_files: int = 8,
+) -> dict:
+    """Restore an append-maintained serving index to fully-sorted layout —
+    the periodic compaction the append-only builds rely on. Each appended
+    batch lands as its own small term-sorted files; probes stay correct
+    (footer stats prune per file) but file count and per-term file touches
+    grow with every batch. This rewrites the whole index as ``n_files``
+    range-partitioned, key-sorted files — one contiguous key range per
+    file, the original build's layout — and atomically swaps it in ONLY
+    after the re-read digest (rows + order-insensitive content hash, the
+    A9/compact_dataset discipline) proves the rewrite lost nothing; a
+    failed compaction can never replace a good index. Works for both the
+    full-text (key ``tok``) and trigram (key ``trgm``) indexes."""
+    import glob
+    import shutil
+
+    path = table_path(data_dir, index_name)
+    src = spark.read.parquet(path)
+    expected = _table_digest(src)
+    files_before = len(glob.glob(os.path.join(path, "*.parquet")))
+
+    tmp = path.rstrip("/") + ".compacting"
+    (
+        src.repartitionByRange(n_files, key_col)
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    actual = _table_digest(spark.read.parquet(tmp))
+    if actual != expected:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"index compaction dropped data for {index_name}: "
+            f"wrote {expected}, read back {actual}"
+        )
+    old = path.rstrip("/") + ".precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": files_before,
+        "files_after": len(glob.glob(os.path.join(path, "*.parquet"))),
+        "rows": expected[0],
+        "ok": True,
+    }
 
 
 def trigram_rank_from_index(
@@ -310,6 +392,41 @@ def _rows_payload(df: DataFrame) -> dict:
     return {"n": len(rows), "rows": rows}
 
 
+def _int_param(q: dict[str, str], name: str, default: int, lo: int | None = 1) -> int:
+    """Parse an integer query param; non-integers AND out-of-range values
+    (e.g. limit=-1, k=0) raise ValueError → a 400 bad request, never a
+    500 from DataFrame.limit(-1)."""
+    raw = q.get(name)
+    if raw is None:
+        return default
+    v = int(raw)
+    if lo is not None and v < lo:
+        raise ValueError(f"{name} must be >= {lo}, got {v}")
+    return v
+
+
+def _paged_payload(df: DataFrame, key_col: str, q: dict[str, str]) -> dict:
+    """Serve a filter route as a bounded keyset page (the D4 discipline):
+    order by the key, cap at MAX_PAGE_SIZE, and return a ``next_after``
+    cursor when more rows remain (probed with one extra row, so a result
+    that fits under the cap is exactly the reference's full answer with
+    ``next_after: null``). The reference's unbounded fetchall
+    (main.py:44-49) does not survive a hot filter over a 100 TB table —
+    this cap is a deliberate deviation, reference-identical under the cap."""
+    limit = min(_int_param(q, "limit", MAX_PAGE_SIZE), MAX_PAGE_SIZE)
+    after = _int_param(q, "after", None, lo=None)
+    if after is not None:
+        df = df.filter(F.col(key_col) > after)
+    rows = [r.asDict() for r in df.orderBy(key_col).limit(limit + 1).collect()]
+    more = len(rows) > limit
+    rows = rows[:limit]
+    return {
+        "n": len(rows),
+        "rows": rows,
+        "next_after": rows[-1][key_col] if more and rows else None,
+    }
+
+
 _COMPANY_PATH = re.compile(r"^/companies/(\d+)$")
 
 
@@ -318,11 +435,16 @@ class _Handler(BaseHTTPRequestHandler):
 
     | route | plan | reference |
     | /companies/{key} | D1 api_lookup_by_key | main.py:15-38 |
-    | /companies/search?q= | D2 api_search_ilike | main.py:40-49 |
-    | /companies/by_state?state= | D3 api_by_state | main.py:51-59 |
+    | /companies/search?q=[&after=&limit=] | D2 api_search_ilike, keyset-paged | main.py:40-49 |
+    | /companies/by_state?state=[&after=&limit=] | D3 api_by_state, keyset-paged | main.py:51-59 |
     | /companies?after=&limit= | D4 api_page_keyset | (keyset pagination) |
     | /search?q=w+w&k= | D5 api_fulltext_rank | (ranked full-text) |
     | /fuzzy?q=&k= | D6 api_search_trigram | (pg_trgm similarity) |
+
+    Every result set is capped at MAX_PAGE_SIZE; the filter routes page by
+    keyset cursor (``next_after``) like /companies — the reference's
+    unbounded fetchall responses are served identically when they fit
+    under the cap.
     """
 
     # set by make_server
@@ -355,17 +477,29 @@ class _Handler(BaseHTTPRequestHandler):
         m = _COMPANY_PATH.match(path)
         if m:
             out = _rows_payload(api_plans.api_lookup_by_key(spark, d, key=int(m.group(1))))
-            if out["n"] == 0:  # reference behavior: main.py:37
+            if out["n"] == 0:
+                # reference parity on the BODY (main.py:37); the 404 status
+                # is a deliberate deviation — the reference FastAPI service
+                # returns the error body with HTTP 200 (it never sets a
+                # status code), which proper clients can't branch on.
                 self._send(404, {"error": "Company not found"})
             else:
                 self._send(200, out)
         elif path == "/companies/search":
-            self._send(200, _rows_payload(api_plans.api_search_ilike(spark, d, pattern=q["q"])))
+            # bounded keyset page over the D2 plan (cap + cursor; the
+            # reference's unbounded fetchall is the under-cap special case)
+            self._send(
+                200,
+                _paged_payload(api_plans.api_search_ilike(spark, d, pattern=q["q"]), "p_partkey", q),
+            )
         elif path == "/companies/by_state":
-            self._send(200, _rows_payload(api_plans.api_by_state(spark, d, state=q["state"])))
+            self._send(
+                200,
+                _paged_payload(api_plans.api_by_state(spark, d, state=q["state"]), "c_custkey", q),
+            )
         elif path == "/companies":
-            limit = min(int(q.get("limit", api_plans.PAGE_SIZE)), MAX_PAGE_SIZE)
-            after = int(q.get("after", 0))
+            limit = min(_int_param(q, "limit", api_plans.PAGE_SIZE), MAX_PAGE_SIZE)
+            after = _int_param(q, "after", 0, lo=None)
             out = _rows_payload(api_plans.api_page_keyset(spark, d, after=after, limit=limit))
             # next-page cursor = last key served (keyset pagination contract)
             out["next_after"] = out["rows"][-1]["c_custkey"] if out["rows"] else None
@@ -374,7 +508,7 @@ class _Handler(BaseHTTPRequestHandler):
             terms = [w for w in q["q"].lower().split() if w]
             if not terms:
                 raise ValueError("q must contain at least one term")
-            k = min(int(q.get("k", api_plans.FT_TOPK)), MAX_PAGE_SIZE)
+            k = min(_int_param(q, "k", api_plans.FT_TOPK), MAX_PAGE_SIZE)
             # serve from the published index (term-pruned probe) when the
             # snapshot has one; ?scan=1 forces the corpus-scan plan (the
             # two are proven row-identical in tests)
@@ -386,7 +520,7 @@ class _Handler(BaseHTTPRequestHandler):
                 out = _rows_payload(api_plans.api_fulltext_rank(spark, d, terms=terms, topk=k))
             self._send(200, out)
         elif path == "/fuzzy":
-            k = min(int(q.get("k", api_plans.TRGM_TOPK)), MAX_PAGE_SIZE)
+            k = min(_int_param(q, "k", api_plans.TRGM_TOPK), MAX_PAGE_SIZE)
             if not [w for w in q["q"].lower().split() if w]:
                 raise ValueError("q must contain at least one word")
             if "scan" not in q and os.path.isdir(table_path(d, TRIGRAM_INDEX)):

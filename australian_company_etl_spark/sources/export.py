@@ -231,7 +231,12 @@ def export_webdataset(
     ``members`` maps member file extension → column name, e.g.
     ``{"txt": "text", "json": "meta"}``: each row becomes the sample
     ``{key}.{ext}`` files inside its shard. String columns are written
-    utf-8, binary columns raw. Returns ``{"n_shards", "samples"}`` and
+    utf-8, binary columns raw; struct/map/array and scalar non-string
+    columns are serialized as canonical JSON (sorted keys — NOT Python
+    repr), so a ``.json`` member is always loadable by json.loads.
+    ``key_col`` values must be unique — duplicate keys would write
+    same-named tar members that loaders silently merge, so the write
+    fails loudly instead. Returns ``{"n_shards", "samples"}`` and
     writes a ``_WDS_MANIFEST.json`` of per-shard sample counts."""
     import glob
     import json
@@ -239,6 +244,19 @@ def export_webdataset(
 
     from pyspark.sql import functions as F
 
+    dup = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"export_webdataset: key_col {key_col!r} is not unique — duplicate "
+            f"keys {[r[key_col] for r in dup]} would produce same-named tar "
+            "members that loaders silently merge"
+        )
     os.makedirs(path, exist_ok=True)
     for stale in glob.glob(os.path.join(path, "shard-*.tar")):
         os.remove(stale)  # a smaller n_shards must not leave orphan shards
@@ -250,6 +268,17 @@ def export_webdataset(
         .repartition(n_shards, F.col("_shard"))
         .sortWithinPartitions("_shard", key_col)
     )
+
+    def _member_bytes(v):
+        """bytes raw, str utf-8, anything structured → canonical JSON
+        (Rows become dicts recursively; sorted keys ⇒ deterministic bytes)."""
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        if isinstance(v, str):
+            return v.encode()
+        if hasattr(v, "asDict"):  # pyspark Row
+            v = v.asDict(recursive=True)
+        return json.dumps(v, sort_keys=True, default=str).encode()
 
     def _write_partition(rows):
         import tarfile
@@ -265,8 +294,7 @@ def export_webdataset(
                 cur = sid
                 tar = tarfile.open(os.path.join(path, f"shard-{sid:05d}.tar"), "w")
             for ext in exts:
-                v = r[members[ext]]
-                data = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                data = _member_bytes(r[members[ext]])
                 info = tarfile.TarInfo(name=f"{r[key_col]}.{ext}")
                 info.size = len(data)
                 info.mtime = 0  # deterministic bytes: no wall-clock in headers

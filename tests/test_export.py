@@ -273,3 +273,44 @@ def test_webdataset_binary_members_and_stale_shard_cleanup(spark, sf_dir, tmp_pa
     export.export_webdataset(docs, out, "doc_id", {"bin": "payload"}, n_shards=2)
     assert len(glob.glob(os.path.join(out, "shard-*.tar"))) == 2
     assert {k: g["bin"] for k, g in export.iter_webdataset(out)} == want
+
+
+def test_webdataset_struct_members_are_json_and_dup_keys_rejected(spark, sf_dir, tmp_path):
+    """A struct column mapped to a .json member must come back as REAL
+    JSON (json.loads-able, not Python Row repr), and duplicate key_col
+    values must fail loudly instead of writing same-named tar members
+    that loaders silently merge."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.sources import export
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .select(
+            "doc_id",
+            "text",
+            F.struct(
+                F.col("source"), F.length("text").alias("n_chars")
+            ).alias("meta"),
+        )
+        .limit(50)
+    )
+    out = str(tmp_path / "wds_json")
+    export.export_webdataset(docs, out, "doc_id", {"txt": "text", "json": "meta"}, n_shards=2)
+    want = {str(r.doc_id): r.meta.asDict() for r in docs.collect()}
+    n = 0
+    for key, grp in export.iter_webdataset(out):
+        parsed = json.loads(grp["json"])  # Python repr would throw here
+        assert parsed == want[key]
+        n += 1
+    assert n == 50
+
+    dup = docs.select(F.lit(7).alias("doc_id"), "text", "meta")
+    with pytest.raises(ValueError, match="not unique"):
+        export.export_webdataset(
+            dup, str(tmp_path / "wds_dup"), "doc_id", {"txt": "text"}, n_shards=2
+        )

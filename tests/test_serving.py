@@ -70,7 +70,10 @@ def test_lookup_by_key(server, con):
 def test_lookup_missing_key_404(server):
     status, body = _get(server, "/companies/999999999")
     assert status == 404
-    assert body == {"error": "Company not found"}  # main.py:37 behavior
+    # body parity with main.py:37; the 404 STATUS is a deliberate deviation
+    # (the reference returns the error body with HTTP 200 — it never sets a
+    # status code)
+    assert body == {"error": "Company not found"}
 
 
 def test_search_ilike(server, con):
@@ -337,3 +340,210 @@ def test_unknown_route_404_and_bad_param_400(server):
     assert _get(server, "/nope")[0] == 404
     assert _get(server, "/companies/search")[0] == 400  # missing q
     assert _get(server, "/companies?after=abc")[0] == 400
+
+
+def test_filter_routes_cap_and_page_by_keyset(server, con):
+    """D2/D3 routes are bounded: an under-limit request walks pages via the
+    next_after cursor, and the UNION of pages equals the reference's
+    unbounded answer — the cap changes delivery, never content."""
+    q = api_plans.SEARCH_PATTERN
+    rows, cursor, pages = [], None, 0
+    while True:
+        suffix = f"&after={cursor}" if cursor is not None else ""
+        status, body = _get(server, f"/companies/search?q={q}&limit=5{suffix}")
+        assert status == 200
+        assert body["n"] <= 5
+        rows.extend(body["rows"])
+        pages += 1
+        if body["next_after"] is None:
+            break
+        cursor = body["next_after"]
+    assert pages > 1  # the default pattern matches more than one 5-row page
+    _assert_matches_oracle({"n": len(rows), "rows": rows}, con, api_plans.SEARCH_SQL)
+    # under-cap single request: full reference answer, exhausted cursor
+    status, body = _get(server, f"/companies/by_state?state={api_plans.STATE_NAME}")
+    assert status == 200
+    assert body["next_after"] is None
+    _assert_matches_oracle(body, con, api_plans.BY_STATE_SQL)
+
+
+def test_nonpositive_params_are_400_not_500(server):
+    """limit/k must be >= 1: malformed values map to 400 bad request, never
+    a 500 from DataFrame.limit(-1)."""
+    for path in (
+        "/companies?limit=-1",
+        "/companies?limit=0",
+        f"/companies/search?q={api_plans.SEARCH_PATTERN}&limit=0",
+        f"/companies/by_state?state={api_plans.STATE_NAME}&limit=-3",
+        "/search?q=quick&k=0",
+        "/fuzzy?q=widgit&k=-2",
+        "/search?q=quick&k=abc",
+    ):
+        status, body = _get(server, path)
+        assert status == 400, path
+        assert "bad request" in body["error"]
+
+
+def _build_half_corpus_index(spark, tmp_path):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving.http_api import build_fulltext_index
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"].select("doc_id", "text")
+    half_dir = str(tmp_path / "half")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(half_dir + "/documents.parquet")
+    d = str(tmp_path / "serving")
+    os.makedirs(d)
+    meta = build_fulltext_index(spark, half_dir, d)
+    with open(os.path.join(d, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"fulltext_index": meta}, f)
+    return docs, d
+
+
+def test_append_dedupes_within_batch_and_remembers_tokenless_docs(spark, tmp_path):
+    """The two maintenance holes: (a) duplicate doc_ids WITHIN one batch
+    must collapse to one copy (not both surviving the ledger anti-join and
+    doubling tf/df); (b) a token-less document leaves no postings but must
+    still be remembered, so re-delivering it can't bump n_docs again."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving.http_api import (
+        append_documents_to_index,
+        fulltext_rank_from_index,
+    )
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    q1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # (a) the batch contains every odd doc TWICE: exactly one copy indexes
+    # (a doubled batch would report 2x appended and double every tf)
+    doubled = q1.unionAll(q1)
+    r = append_documents_to_index(spark, doubled, d)
+    assert r["docs_appended"] == q1.count()
+    assert r["n_docs"] == docs.count()
+    single = append_documents_to_index(spark, q1, d)  # re-delivery: no-op
+    assert single["docs_appended"] == 0
+
+    # the doubled-batch index must rank exactly like the clean full corpus
+    # (doubled tf would reorder scores — this is the discriminating check)
+    from australian_company_etl_spark.plans.api import FT_QUERY_TERMS, FT_TOPK, api_fulltext_rank
+
+    got = _canon_df(fulltext_rank_from_index(spark, d, FT_QUERY_TERMS, FT_TOPK, r["n_docs"]))
+    want = _canon_df(api_fulltext_rank(spark, SF_DIR))
+    assert got == want
+
+    # (b) a token-less doc: counted once in n_docs, re-delivery is a no-op
+    empty = spark.createDataFrame([(10_000_000, "...!!!...")], "doc_id bigint, text string")
+    r1 = append_documents_to_index(spark, empty, d)
+    assert r1["docs_appended"] == 1
+    assert r1["n_docs"] == docs.count() + 1
+    r2 = append_documents_to_index(spark, empty, d)
+    assert r2["docs_appended"] == 0
+    assert r2["n_docs"] == docs.count() + 1
+    with open(os.path.join(d, "_SNAPSHOT.json")) as f:
+        assert json.load(f)["fulltext_index"]["n_docs"] == docs.count() + 1
+
+
+def test_index_compaction_restores_sorted_layout(spark, tmp_path):
+    """Build half, append the rest in two batches (small appended files),
+    compact: one sorted layout of exactly n_files, probe pruning intact,
+    ranking still equal to the full-corpus scan plan."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving.http_api import (
+        append_documents_to_index,
+        compact_index,
+        fulltext_rank_from_index,
+    )
+    from australian_company_etl_spark.sources.registry import table_path
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    idx_path = table_path(d, "fulltext_index")
+    append_documents_to_index(
+        spark, docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 4 == 1)), d
+    )
+    append_documents_to_index(
+        spark, docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 4 == 3)), d
+    )
+    frag_files = len(glob.glob(os.path.join(idx_path, "*.parquet")))
+    assert frag_files > 8  # appends fragmented the build layout
+
+    out = compact_index(spark, d, "fulltext_index", "tok", n_files=8)
+    assert out["ok"] and out["files_before"] == frag_files and out["files_after"] == 8
+    # every file now holds one contiguous key range (fully-sorted layout)
+    ranges = []
+    for p in sorted(glob.glob(os.path.join(idx_path, "*.parquet"))):
+        toks = [r["tok"] for r in spark.read.parquet(p).select("tok").collect()]
+        if toks:
+            ranges.append((min(toks), max(toks)))
+    ranges.sort()
+    assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
+
+    import json
+
+    with open(os.path.join(d, "_SNAPSHOT.json")) as f:
+        n_docs = json.load(f)["fulltext_index"]["n_docs"]
+    from australian_company_etl_spark.plans.api import FT_QUERY_TERMS, FT_TOPK, api_fulltext_rank
+
+    ranked = fulltext_rank_from_index(spark, d, FT_QUERY_TERMS, FT_TOPK, n_docs)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(tok" in plan  # probe pruning survives compaction
+    assert _canon_df(ranked) == _canon_df(api_fulltext_rank(spark, SF_DIR))
+
+
+def test_maintenance_stream_restarts_from_checkpoint(spark, tmp_path, monkeypatch):
+    """Kill the index-maintenance stream mid-way (batch 2 of 4 throws),
+    restart from the SAME checkpoint: committed batches are not
+    reprocessed, the failed batch is, and the final index equals a full
+    rebuild — the at-least-once + first-wins contract under a real crash."""
+    import australian_company_etl_spark.serving.http_api as api
+
+    from pyspark.sql import functions as F
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    stream_src = str(tmp_path / "landing")
+    docs.filter(F.col("doc_id") % 2 == 1).repartition(4).write.parquet(stream_src)
+    ckpt = str(tmp_path / "ckpt")
+
+    real = api.append_documents_to_index
+    calls = {"n": 0}
+
+    def flaky(spark_, batch, data_dir):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("executor lost (injected)")
+        return real(spark_, batch, data_dir)
+
+    monkeypatch.setattr(api, "append_documents_to_index", flaky)
+    with pytest.raises(Exception, match="injected"):
+        api.run_index_maintenance_stream(
+            spark, stream_src, "doc_id bigint, text string", d, checkpoint_dir=ckpt
+        )
+    monkeypatch.setattr(api, "append_documents_to_index", real)
+    n_resumed = api.run_index_maintenance_stream(
+        spark, stream_src, "doc_id bigint, text string", d, checkpoint_dir=ckpt
+    )
+    # the checkpoint persisted batch 1's commit: the restart replays only
+    # the failed batch onward, not the whole landing directory
+    assert n_resumed == 3
+
+    import json
+    import os
+
+    with open(os.path.join(d, "_SNAPSHOT.json")) as f:
+        n_docs = json.load(f)["fulltext_index"]["n_docs"]
+    assert n_docs == docs.count()
+    from australian_company_etl_spark.plans.api import FT_QUERY_TERMS, FT_TOPK, api_fulltext_rank
+
+    got = _canon_df(api.fulltext_rank_from_index(spark, d, FT_QUERY_TERMS, FT_TOPK, n_docs))
+    assert got == _canon_df(api_fulltext_rank(spark, SF_DIR))
