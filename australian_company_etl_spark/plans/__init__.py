@@ -13,42 +13,69 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # Registration order is the driver's verification order (it checks the first
-# 50 registered queries per round). Round-4 rotation (per VERDICT r03 tasks
-# 1-2): lead with the 15 queries that have never had a driver CORRECTNESS
-# row (the post-window round-3 additions — 12 sql-gated, 3 rows-only), then
-# text_inverted_index (the one r03-red row; its postings column is now a
-# canonical comma-joined string, hashable by the driver's pandas
-# canonicalizer), then this round's semantic re-checks. The remaining ~34
-# slots fall through to module order, which starts with the oldest r1-green
-# rows (etl/matching/quality) — the right re-verification order. The
-# registry is FROZEN this round (VERDICT r03 task 3): no new query keys.
+# 50 registered queries per round). Round-5 rotation (VERDICT r04 task 3):
+# no registry semantics changed this round (the spread_if_narrow swap is
+# plan-shape only), so the window is a pure oldest-green-first sweep —
+# first every row whose latest driver check is still ROUND 1 (the E-family
+# tail, tpch_full, and the F/G dedup/ANN cores: 24 rows), then the oldest
+# round-2 rows (text H1-H10, temporal L1-L6, sketches M1-M4, sampling
+# N1-N6) to fill the 50 slots. After this round no query's latest driver
+# row is older than r2; the remaining r2 rows rotate in round 6. The
+# registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- never driver-checked (15; judge's sf0.01 replay green) -----------
-    "orders_market_basket",
-    "suppliers_pareto_abc",
-    "events_attribution_last_touch",
-    "quality_snapshot_diff",
-    "events_funnel_3step",
-    "events_peak_concurrency",
-    "mix_curriculum_stages",
-    "sketch_bottomk_daily_merge",
-    "ann_recall_report",
-    "ann_lsh_multiprobe",
-    "match_phonetic_block",
-    "sketch_hll_sliding_window",
-    "text_bpe_vocab",
-    "text_bpe_tokenize",
-    "embed_top_eigenvector",
-    # ---- r03 driver-red, fixed this round (postings → canonical string) ---
-    "text_inverted_index",
-    # ---- remaining slots: module order = oldest r1-green rows first -------
-    # Round 4's window closes after q6_forecast_revenue (A/B/C/D families +
-    # q1/q3/q5/q6 re-verified). Round-5 rotation: any round-5 semantic
-    # changes first, then continue the oldest-rows sweep where this window
-    # stopped — the E-family tail (q10, window_top_orders_per_cust, q4,
-    # q12, q14, q18, tpch_full q2-q22, deciles/set-ops/RFM/basket/pareto),
-    # then the F/G r1-green rows (dedup_exact, minhash, embedding_cosine,
-    # cluster_cc, ann_*), then the H/I/J/L/M/N r2-green rows.
+    # ---- latest driver row = round 1 (24) ---------------------------------
+    "q10_returned_items",
+    "window_top_orders_per_cust",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_cust_order_dist",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pred",
+    "q20_surplus_suppliers",
+    "q21_last_shipper",
+    "q22_global_sales_opp",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_cluster_cc",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # ---- oldest round-2 rows (fill to the 50-query window) ----------------
+    "q12_priority_shipping",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_idf_vocab",
+    "text_repetition_ratio",
+    "text_contamination",
+    "text_unigram_logprob",
+    "text_gopher_filters",
+    "asof_join_last_error",
+    "range_join_close_pairs",
+    "rollup_events_hourly",
+    "cube_orders_priority",
+    "join_skew_salted",
+    "rolling_window_24h",
+    "sketch_kmv_distinct",
+    "quantiles_event_value",
+    "sketch_bloom_membership",
+    "sketch_cms_heavy_hitters",
+    "sample_stratified_hash",
+    "split_train_holdout",
+    "pack_sequences",
+    "mix_corpus_weighted",
+    "chunk_documents",
+    "shard_shuffle_deterministic",
 ]
 
 
