@@ -20,9 +20,11 @@ Spark-first posture:
 - The run ledger (`_RUN_LEDGER.json`) records status + attempts + rows per
   task per run, the runner's analog of Airflow's task-instance table.
 
-Deliberately NOT here: wall-clock scheduling (cron/`@daily`) and multi-run
-catchup — the driver environment has no daemon; a crontab entry invoking
-`run_dag` with a dated ``out_dir`` is that feature at any scale.
+Interval scheduling (`@daily` + catchup, the reference's
+``schedule_interval``/``catchup`` declaration) lives in
+`orchestration/schedule.py` as a pure deterministic tick over dated
+out_dirs — the daemon itself stays out of scope (a crontab entry invoking
+`scripts/run_schedule.py` is the tick at any scale).
 """
 
 from __future__ import annotations

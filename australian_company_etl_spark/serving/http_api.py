@@ -332,7 +332,9 @@ def fulltext_rank_from_index(
     dfreq = idx.groupBy("tok").agg(F.count("*").alias("df_docs"))
     scored = (
         idx.join(F.broadcast(dfreq), "tok")
-        .withColumn("n_docs", F.lit(int(n_docs)))
+        # BIGINT, not a plain int literal: 1000000 * n_docs overflows int32
+        # past ~2147 docs (the scan plan's count(*) is already bigint)
+        .withColumn("n_docs", F.lit(int(n_docs)).cast("bigint"))
         .groupBy("doc_id")
         .agg(
             F.sum(F.expr("tf * ((1000000 * n_docs) div df_docs)")).alias("score_micro"),

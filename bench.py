@@ -135,6 +135,63 @@ def main() -> None:
             "spread": large_spreads,
         }
 
+        # serving probe vs corpus scan at ~sf1 (SURVEY D7): the published
+        # search indexes claim O(matched postings) probes — time the claim.
+        # Index build happens OUTSIDE the timed region (it is the publish
+        # step, amortized over every query the snapshot serves).
+        import shutil
+        import tempfile
+
+        from australian_company_etl_spark.plans.api import (
+            FT_QUERY_TERMS,
+            FT_TOPK,
+            TRGM_QUERY,
+            TRGM_TOPK,
+            api_fulltext_rank,
+            api_search_trigram,
+        )
+        from australian_company_etl_spark.serving.http_api import (
+            build_fulltext_index,
+            build_trigram_index,
+            fulltext_rank_from_index,
+            trigram_rank_from_index,
+        )
+
+        idx_dir = tempfile.mkdtemp(prefix="bench_serving_idx_")
+        ft_meta = build_fulltext_index(spark, large_dir, idx_dir)
+        build_trigram_index(spark, large_dir, idx_dir)
+
+        def _best_of_3(fn) -> float:
+            fn().collect()  # untimed warm run (JIT + shuffle files)
+            runs = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn().collect()
+                runs.append(round(time.perf_counter() - t0, 3))
+            return min(runs)
+
+        probe_times = {
+            "search_probe": _best_of_3(
+                lambda: fulltext_rank_from_index(
+                    spark, idx_dir, FT_QUERY_TERMS, FT_TOPK, ft_meta["n_docs"]
+                )
+            ),
+            "search_scan": _best_of_3(lambda: api_fulltext_rank(spark, large_dir)),
+            "fuzzy_probe": _best_of_3(
+                lambda: trigram_rank_from_index(spark, idx_dir, TRGM_QUERY, TRGM_TOPK)
+            ),
+            "fuzzy_scan": _best_of_3(lambda: api_search_trigram(spark, large_dir)),
+        }
+        shutil.rmtree(idx_dir)
+        result["serving_probe_vs_scan"] = {
+            "sf": result["large"]["sf"],
+            "probe_sec": round(probe_times["search_probe"] + probe_times["fuzzy_probe"], 3),
+            "scan_sec": round(probe_times["search_scan"] + probe_times["fuzzy_scan"], 3),
+            "queries": probe_times,
+        }
+        print(f"# serving probe vs scan: {result['serving_probe_vs_scan']}", file=sys.stderr)
+
     print(json.dumps(result))
 
 

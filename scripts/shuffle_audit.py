@@ -15,6 +15,10 @@ operator that won't fit executor memory at 100 TB.
 
 Usage: python scripts/shuffle_audit.py [sf_dir] [query ...]
 Defaults: /root/testdata/sf0.1, the bench HEADLINERS.
+
+`--components` audits the library components that are not registry
+queries — the serving index build, the index probes, and the WebDataset
+tar-shard write — with the same stage attribution.
 """
 
 from __future__ import annotations
@@ -41,8 +45,66 @@ def _stages(base: str, app_id: str) -> dict[int, dict]:
     return out
 
 
+def _component_actions(spark, sf_dir: str):
+    """(name, thunk) pairs for the non-registry library components: the
+    serving index publish, the term-pruned probes over it, and the
+    WebDataset tar-shard write. The probes run AFTER the build (shared
+    temp index dir), mirroring the real publish-then-serve dataflow."""
+    import tempfile
+
+    from australian_company_etl_spark.plans.api import (
+        FT_QUERY_TERMS,
+        FT_TOPK,
+        TRGM_QUERY,
+        TRGM_TOPK,
+    )
+    from australian_company_etl_spark.serving.http_api import (
+        build_fulltext_index,
+        build_trigram_index,
+        fulltext_rank_from_index,
+        trigram_rank_from_index,
+    )
+    from australian_company_etl_spark.sources import export
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    idx = tempfile.mkdtemp(prefix="audit_idx_")
+    meta: dict = {}
+
+    def _build():
+        meta.update(build_fulltext_index(spark, sf_dir, idx))
+        build_trigram_index(spark, sf_dir, idx)
+
+    return [
+        ("serving_index_build", _build),
+        (
+            "serving_search_probe",
+            lambda: fulltext_rank_from_index(
+                spark, idx, FT_QUERY_TERMS, FT_TOPK, meta["n_docs"]
+            ).collect(),
+        ),
+        (
+            "serving_fuzzy_probe",
+            lambda: trigram_rank_from_index(spark, idx, TRGM_QUERY, TRGM_TOPK).collect(),
+        ),
+        (
+            "webdataset_write",
+            lambda: export.export_webdataset(
+                load_tables(spark, sf_dir, ["documents"])["documents"].select(
+                    "doc_id", "text"
+                ),
+                tempfile.mkdtemp(prefix="audit_wds_"),
+                "doc_id",
+                {"txt": "text"},
+                n_shards=8,
+            ),
+        ),
+    ]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--components"]
+    components = "--components" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     from australian_company_etl_spark.session import get_spark
     from australian_company_etl_spark.plans import all_queries
     from bench import HEADLINERS
@@ -54,13 +116,22 @@ def main() -> int:
         return 2
     app_id = spark.sparkContext.applicationId
     queries = all_queries()
-    names = sys.argv[2:] or HEADLINERS
+
+    if components:
+        work = _component_actions(spark, sf_dir)
+    else:
+        names = args[1:] or HEADLINERS
+        work = [
+            (name, lambda name=name: queries[name](spark, sf_dir)
+             .write.mode("overwrite").format("noop").save())
+            for name in names
+        ]
 
     rows = []
-    for name in names:
+    for name, thunk in work:
         spark.catalog.clearCache()
         before = set(_stages(base, app_id))
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        thunk()
         after = _stages(base, app_id)
         new = [s for sid, s in after.items() if sid not in before]
         agg = {

@@ -165,3 +165,141 @@ def test_same_wave_tasks_run_concurrently(spark, tmp_path):
     ]
     results = run_dag(spark, tasks, str(tmp_path / "run"))
     assert {n: r.status for n, r in results.items()} == {"a": "success", "b": "success"}
+
+
+# ── schedule semantics (interval + catchup, etl_pipeline.py:22-31) ──────────
+
+
+def _toy_dag(spark):
+    """Two-task DAG whose output encodes nothing date-specific — completion
+    is judged per dated out_dir, which is what the schedule tests probe."""
+
+    def src(spark_, inputs):
+        return spark_.range(10).withColumnRenamed("id", "k")
+
+    def double(spark_, inputs):
+        from pyspark.sql import functions as F
+
+        return inputs["src"].select((F.col("k") * 2).alias("k2"))
+
+    return [Task("src", src, retries=0), Task("double", double, deps=("src",), retries=0)]
+
+
+def test_closed_intervals_and_catchup_selection(tmp_path):
+    from datetime import date
+
+    from australian_company_etl_spark.orchestration.schedule import (
+        closed_intervals,
+        due_runs,
+    )
+
+    start = date(2025, 6, 28)
+    # nothing closed before start+Δ; three dailies closed by July 1
+    assert closed_intervals(start, date(2025, 6, 28)) == []
+    assert closed_intervals(start, date(2025, 7, 1)) == [
+        date(2025, 6, 28),
+        date(2025, 6, 29),
+        date(2025, 6, 30),
+    ]
+    # weekly interval: one closed run after 8 days
+    assert closed_intervals(start, date(2025, 7, 6), interval_days=7) == [start]
+    t = [Task("a", lambda s, i: None, retries=0)]
+    base = str(tmp_path / "sched")
+    # catchup=True: full backlog due; catchup=False: only the latest
+    assert due_runs(t, base, start, date(2025, 7, 1), catchup=True) == [
+        date(2025, 6, 28),
+        date(2025, 6, 29),
+        date(2025, 6, 30),
+    ]
+    assert due_runs(t, base, start, date(2025, 7, 1), catchup=False) == [
+        date(2025, 6, 30)
+    ]
+    with pytest.raises(ValueError, match="interval_days"):
+        closed_intervals(start, start, interval_days=0)
+
+
+def test_scheduled_backlog_runs_then_ticks_are_idempotent(spark, tmp_path):
+    """catchup=True over a 3-day backlog executes 3 dated runs; the next
+    tick at the same `now` runs NOTHING (all complete); advancing `now`
+    one day runs exactly the newly closed interval."""
+    from datetime import date
+
+    from australian_company_etl_spark.orchestration.schedule import run_scheduled
+
+    base = str(tmp_path / "sched")
+    start = date(2025, 6, 28)
+    ran = run_scheduled(
+        spark, lambda d: _toy_dag(spark), base, start, date(2025, 7, 1), catchup=True
+    )
+    assert sorted(ran) == ["2025-06-28", "2025-06-29", "2025-06-30"]
+    assert all(
+        r.status == "success" for res in ran.values() for r in res.values()
+    )
+    import os
+
+    assert sorted(os.listdir(base)) == [
+        "run_date=2025-06-28",
+        "run_date=2025-06-29",
+        "run_date=2025-06-30",
+    ]
+    # same tick again: nothing due
+    again = run_scheduled(
+        spark, lambda d: _toy_dag(spark), base, start, date(2025, 7, 1), catchup=True
+    )
+    assert again == {}
+    # next day: exactly one new run
+    nxt = run_scheduled(
+        spark, lambda d: _toy_dag(spark), base, start, date(2025, 7, 2), catchup=True
+    )
+    assert sorted(nxt) == ["2025-07-01"]
+
+
+def test_scheduled_no_catchup_skips_backlog(spark, tmp_path):
+    """catchup=False (the reference's setting): a freshly-enabled schedule
+    with a backlog runs ONLY the most recently closed interval."""
+    from datetime import date
+
+    from australian_company_etl_spark.orchestration.schedule import run_scheduled
+
+    base = str(tmp_path / "sched")
+    ran = run_scheduled(
+        spark,
+        lambda d: _toy_dag(spark),
+        base,
+        date(2025, 6, 28),
+        date(2025, 7, 1),
+        catchup=False,
+    )
+    assert sorted(ran) == ["2025-06-30"]
+    import os
+
+    assert os.listdir(base) == ["run_date=2025-06-30"]
+
+
+def test_scheduled_failed_run_stays_due_and_resumes(spark, tmp_path):
+    """A run whose task fails remains due on the next tick and RESUMES
+    (committed upstream task skipped, failed task re-run) — a half-done
+    scheduled run can never be silently recorded as complete."""
+    from datetime import date
+
+    from australian_company_etl_spark.orchestration.schedule import run_scheduled
+
+    base = str(tmp_path / "sched")
+    start, now = date(2025, 6, 29), date(2025, 7, 1)
+    counter: dict = {}
+
+    def dag_with_flaky(_d):
+        tasks = _toy_dag(spark)
+        # `double` has 0 retries: its single tick-1 attempt fails and the
+        # run is recorded failed; the tick-2 invocation then succeeds
+        return [tasks[0], flaky(tasks[1], 1, counter)]
+
+    t1 = run_scheduled(spark, dag_with_flaky, base, start, now, catchup=False)
+    assert t1["2025-06-30"]["src"].status == "success"
+    assert t1["2025-06-30"]["double"].status == "failed"
+    # still due → tick 2 resumes: src skipped (committed), double succeeds
+    t2 = run_scheduled(spark, dag_with_flaky, base, start, now, catchup=False)
+    assert t2["2025-06-30"]["src"].status == "skipped"
+    assert t2["2025-06-30"]["double"].status == "success"
+    # complete now → tick 3 is a no-op
+    assert run_scheduled(spark, dag_with_flaky, base, start, now, catchup=False) == {}
