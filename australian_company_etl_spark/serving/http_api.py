@@ -109,17 +109,34 @@ def append_documents_to_index(
     decided against the `fulltext_docs` LEDGER, not the posting rows: a
     token-less document leaves no postings but IS recorded in the ledger,
     so its re-delivery is a no-op and n_docs (idf's denominator) stays the
-    exact ledger count. Returns what was appended."""
+    exact ledger count.
+
+    CRASH SAFETY: the postings append and the ledger append are two
+    parquet writes with no shared transaction, so each write's freshness
+    is decided against its OWN table — postings against the posting rows,
+    ledger against the ledger. A crash between the two (the exact window
+    an at-least-once foreachBatch replay re-enters) then heals instead of
+    corrupting: the replay finds the postings already present (skips
+    them, no doubled tf) and appends only the missing ledger rows.
+    Returns what was appended (ledger granularity)."""
     path = table_path(data_dir, FULLTEXT_INDEX)
     ledger_path = table_path(data_dir, FULLTEXT_DOCS)
     new_docs = new_docs.dropDuplicates(["doc_id"])
-    indexed = spark.read.parquet(ledger_path).select("doc_id")
-    fresh = new_docs.join(indexed, "doc_id", "left_anti")
+    in_ledger = spark.read.parquet(ledger_path).select("doc_id")
+    fresh = new_docs.join(in_ledger, "doc_id", "left_anti")
     n_new = fresh.count()
     if n_new:
-        _doc_postings(fresh).repartitionByRange(2, "tok").sortWithinPartitions(
-            "tok"
-        ).write.mode("append").parquet(path)
+        # ledger lags postings only inside the crash window (postings are
+        # written first), so the postings-membership probe runs on the
+        # not-yet-ledgered remainder alone; a clean re-delivery never
+        # scans the index at all. At 100 TB a Bloom filter (M3) fronts
+        # this probe, same semantics.
+        in_postings = spark.read.parquet(path).select("doc_id").distinct()
+        postings_new = _doc_postings(fresh.join(in_postings, "doc_id", "left_anti"))
+        if not postings_new.isEmpty():  # token-less docs append no postings
+            postings_new.repartitionByRange(2, "tok").sortWithinPartitions(
+                "tok"
+            ).write.mode("append").parquet(path)
         fresh.select("doc_id").write.mode("append").parquet(ledger_path)
     manifest_path = os.path.join(data_dir, "_SNAPSHOT.json")
     with open(manifest_path) as f:

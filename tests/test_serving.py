@@ -565,3 +565,51 @@ def test_fulltext_probe_survives_large_corpus_counts(spark, tmp_path_factory):
         spark, d, ["quick", "spark"], 10, n_docs=3_000_000_0
     ).collect()
     assert rows and all(r["score_micro"] > 0 for r in rows)
+
+
+def test_append_heals_a_crash_between_postings_and_ledger(spark, tmp_path):
+    """The postings append and the ledger append are separate parquet
+    writes: simulate a crash BETWEEN them (postings committed, ledger
+    not — the window an at-least-once foreachBatch replay re-enters) and
+    re-deliver the batch. The replay must NOT double any tf (postings
+    freshness is decided against the posting rows) and must append the
+    missing ledger rows, converging on exactly the full-rebuild state."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving.http_api import (
+        _doc_postings,
+        append_documents_to_index,
+        fulltext_rank_from_index,
+    )
+    from australian_company_etl_spark.sources.registry import table_path
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # simulate the crashed first delivery: postings land, ledger does not
+    _doc_postings(batch).repartitionByRange(2, "tok").sortWithinPartitions(
+        "tok"
+    ).write.mode("append").parquet(table_path(d, "fulltext_index"))
+    postings_after_crash = spark.read.parquet(table_path(d, "fulltext_index")).count()
+
+    # the replay: must add zero postings, all missing ledger rows
+    r = append_documents_to_index(spark, batch, d)
+    assert r["docs_appended"] == batch.count()
+    assert r["n_docs"] == docs.count()
+    assert (
+        spark.read.parquet(table_path(d, "fulltext_index")).count()
+        == postings_after_crash
+    )
+    # converged state ranks exactly like the clean full corpus
+    with open(os.path.join(d, "_SNAPSHOT.json")) as f:
+        n_docs = json.load(f)["fulltext_index"]["n_docs"]
+    from australian_company_etl_spark.plans.api import FT_QUERY_TERMS, FT_TOPK, api_fulltext_rank
+
+    got = _canon_df(fulltext_rank_from_index(spark, d, FT_QUERY_TERMS, FT_TOPK, n_docs))
+    assert got == _canon_df(api_fulltext_rank(spark, SF_DIR))
+    # and a further re-delivery is a complete no-op
+    r2 = append_documents_to_index(spark, batch, d)
+    assert r2["docs_appended"] == 0
