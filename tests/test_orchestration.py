@@ -303,3 +303,31 @@ def test_scheduled_failed_run_stays_due_and_resumes(spark, tmp_path):
     assert t2["2025-06-30"]["double"].status == "success"
     # complete now → tick 3 is a no-op
     assert run_scheduled(spark, dag_with_flaky, base, start, now, catchup=False) == {}
+
+
+def test_closed_intervals_properties():
+    """Property: for any (start, now, Δ) the closed intervals exactly tile
+    [start, start + kΔ) with k = floor((now-start)/Δ) — no gaps, no
+    overlap, nothing open past `now`."""
+    from datetime import date, timedelta
+
+    from hypothesis import given, strategies as st
+
+    from australian_company_etl_spark.orchestration.schedule import closed_intervals
+
+    @given(
+        start_off=st.integers(min_value=0, max_value=2000),
+        span=st.integers(min_value=0, max_value=2000),
+        delta=st.integers(min_value=1, max_value=30),
+    )
+    def check(start_off, span, delta):
+        start = date(2024, 1, 1) + timedelta(days=start_off)
+        now = start + timedelta(days=span)
+        got = closed_intervals(start, now, interval_days=delta)
+        assert len(got) == span // delta
+        assert got == [start + timedelta(days=i * delta) for i in range(len(got))]
+        if got:  # last interval closes at or before now; next would be open
+            assert got[-1] + timedelta(days=delta) <= now
+            assert got[-1] + timedelta(days=2 * delta) > now or len(got) * delta <= span
+
+    check()
