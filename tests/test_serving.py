@@ -613,3 +613,33 @@ def test_append_heals_a_crash_between_postings_and_ledger(spark, tmp_path):
     # and a further re-delivery is a complete no-op
     r2 = append_documents_to_index(spark, batch, d)
     assert r2["docs_appended"] == 0
+
+
+def test_failed_index_compaction_never_replaces_the_live_index(spark, tmp_path, monkeypatch):
+    """Corrupt the rewrite's re-read digest: compact_index must raise,
+    leave the live index byte-layout untouched, and clean up its temp
+    directory — same torn-publish discipline as snapshot_tables."""
+    import glob
+    import os
+
+    import australian_company_etl_spark.serving.http_api as api
+    from australian_company_etl_spark.sources.registry import table_path
+
+    _docs, d = _build_half_corpus_index(spark, tmp_path)
+    idx_path = table_path(d, "fulltext_index")
+    files_before = sorted(glob.glob(os.path.join(idx_path, "*.parquet")))
+
+    real = api._table_digest
+    calls = {"n": 0}
+
+    def corrupted(df):
+        calls["n"] += 1
+        rows, h = real(df)
+        return (rows, h + 1) if calls["n"] % 2 == 0 else (rows, h)  # rewrite side lies
+
+    monkeypatch.setattr(api, "_table_digest", corrupted)
+    with pytest.raises(RuntimeError, match="compaction dropped data"):
+        api.compact_index(spark, d, "fulltext_index", "tok")
+    assert sorted(glob.glob(os.path.join(idx_path, "*.parquet"))) == files_before
+    assert not os.path.exists(idx_path + ".compacting")
+    assert not os.path.exists(idx_path + ".precompact")
