@@ -148,6 +148,38 @@ def append_documents_to_index(
     return {"docs_appended": n_new, "n_docs": manifest[FULLTEXT_INDEX]["n_docs"]}
 
 
+def _run_maintenance_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    append_fn,
+    max_files: int,
+    checkpoint_dir: str | None,
+) -> int:
+    """Shared streaming shell for index maintenance: one foreachBatch
+    append per micro-batch of newly-landed files, availableNow trigger.
+    Returns the number of micro-batches processed in THIS invocation."""
+    n_batches = 0
+
+    def _append(batch: DataFrame, _batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        append_fn(batch)
+
+    writer = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_append)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return n_batches
+
+
 def run_index_maintenance_stream(
     spark: SparkSession,
     src_dir: str,
@@ -164,27 +196,39 @@ def run_index_maintenance_stream(
     instead of reprocessing the whole landing directory. Re-delivered docs
     are additionally dropped by the append's first-wins ledger anti-join,
     so at-least-once delivery cannot inflate the index either way (the
-    restart test proves interrupted-then-resumed == full rebuild).
-    Returns the number of micro-batches processed in THIS invocation."""
-    n_batches = 0
-
-    def _append(batch: DataFrame, _batch_id: int) -> None:
-        nonlocal n_batches
-        n_batches += 1
-        append_documents_to_index(batch.sparkSession, batch, data_dir)
-
-    writer = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files)
-        .parquet(src_dir)
-        .writeStream.foreachBatch(_append)
-        .trigger(availableNow=True)
+    restart test proves interrupted-then-resumed == full rebuild)."""
+    return _run_maintenance_stream(
+        spark,
+        src_dir,
+        schema,
+        # late-bound module lookup (not a direct reference): the restart
+        # test injects failures by patching append_documents_to_index
+        lambda batch: append_documents_to_index(batch.sparkSession, batch, data_dir),
+        max_files,
+        checkpoint_dir,
     )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
-    return n_batches
+
+
+def run_trigram_maintenance_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    data_dir: str,
+    max_files: int = 1,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Trigram-index twin of `run_index_maintenance_stream`: stream
+    newly-landed part files ((p_partkey, p_name) parquet) into the
+    published trigram index with the same checkpointed, first-wins
+    at-least-once contract."""
+    return _run_maintenance_stream(
+        spark,
+        src_dir,
+        schema,
+        lambda batch: append_parts_to_trigram_index(batch.sparkSession, batch, data_dir),
+        max_files,
+        checkpoint_dir,
+    )
 
 
 TRIGRAM_INDEX = "trigram_index"

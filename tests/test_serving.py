@@ -643,3 +643,44 @@ def test_failed_index_compaction_never_replaces_the_live_index(spark, tmp_path, 
     assert sorted(glob.glob(os.path.join(idx_path, "*.parquet"))) == files_before
     assert not os.path.exists(idx_path + ".compacting")
     assert not os.path.exists(idx_path + ".precompact")
+
+
+def test_trigram_maintenance_stream_equals_full_rebuild(spark, tmp_path):
+    """Stream the odd parts into a half-built trigram index (2 files, one
+    per micro-batch, checkpointed) and re-run the drained stream: the
+    probe must rank exactly like the scan plan over the full table, and
+    the second invocation must process zero batches."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.plans.api import TRGM_QUERY, TRGM_TOPK, api_search_trigram
+    from australian_company_etl_spark.serving.http_api import (
+        build_trigram_index,
+        run_trigram_maintenance_stream,
+        trigram_rank_from_index,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    part = load_tables(spark, SF_DIR, ["part"])["part"]
+    half_dir = str(tmp_path / "half")
+    part.filter(F.col("p_partkey") % 2 == 0).write.parquet(half_dir + "/part.parquet")
+    d = str(tmp_path / "serving")
+    os.makedirs(d)
+    meta = build_trigram_index(spark, half_dir, d)
+    with open(os.path.join(d, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"trigram_index": {"rows": meta}}, f)
+
+    landing = str(tmp_path / "landing")
+    part.filter(F.col("p_partkey") % 2 == 1).select("p_partkey", "p_name").repartition(
+        2
+    ).write.parquet(landing)
+    ckpt = str(tmp_path / "ckpt")
+    schema = "p_partkey bigint, p_name string"
+    assert run_trigram_maintenance_stream(spark, landing, schema, d, checkpoint_dir=ckpt) == 2
+    # drained: the checkpointed re-run processes nothing
+    assert run_trigram_maintenance_stream(spark, landing, schema, d, checkpoint_dir=ckpt) == 0
+
+    got = _canon_df(trigram_rank_from_index(spark, d, TRGM_QUERY, TRGM_TOPK))
+    assert got == _canon_df(api_search_trigram(spark, SF_DIR))
