@@ -63,7 +63,9 @@ def _doc_postings(docs: DataFrame) -> DataFrame:
     return toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
 
 
-def build_fulltext_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+def build_fulltext_index(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8
+) -> dict:
     """Publish the full-text SERVING INDEX next to the snapshot: one
     posting row per (tok, doc_id) with its tf — so a query probes
     O(matched postings) instead of re-tokenizing the corpus per request
@@ -84,11 +86,16 @@ def build_fulltext_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     — the GIN-index analog at 100 TB; appended batches are term-pruned by
     footer stats per file and restored to fully-sorted layout by
     `compact_index` (digest-verified rewrite + atomic swap).
+
+    ``n_files`` sizes the sorted layout: the local default (8) suits the
+    test corpora; at scale pick postings_bytes / ~128 MB so each file is
+    one well-sized contiguous key range (the same sizing rule as
+    compact_dataset's target_bytes).
     Returns {"rows": postings, "n_docs": corpus size}."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     tf = _doc_postings(docs)
     path = table_path(out_dir, FULLTEXT_INDEX)
-    tf.repartitionByRange(8, "tok").sortWithinPartitions("tok").write.mode(
+    tf.repartitionByRange(n_files, "tok").sortWithinPartitions("tok").write.mode(
         "overwrite"
     ).parquet(path)
     ledger = docs.select("doc_id").distinct()
@@ -234,7 +241,9 @@ def run_trigram_maintenance_stream(
 TRIGRAM_INDEX = "trigram_index"
 
 
-def build_trigram_index(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+def build_trigram_index(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8
+) -> int:
     """Publish the pg_trgm-analog inverted index: one row per
     (trgm, p_partkey) with the part's name and distinct-trigram count —
     everything D6's Jaccard ranking needs. trgm-sorted layout for the
@@ -250,7 +259,7 @@ def build_trigram_index(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     ).withColumn("n_trgm", F.count("*").over(Window.partitionBy("p_partkey")))
     path = table_path(out_dir, TRIGRAM_INDEX)
     (
-        trg.repartitionByRange(8, "trgm")
+        trg.repartitionByRange(n_files, "trgm")
         .sortWithinPartitions("trgm")
         .write.mode("overwrite")
         .parquet(path)
