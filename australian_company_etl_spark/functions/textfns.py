@@ -73,26 +73,48 @@ def shingles_sql(tok_expr: str, k: int) -> str:
     )
 
 
-# ── row-form shingles: posexplode + window lead (whole-stage codegen) ───────
+# ── row-form shingles: zip-shift + one posexplode (whole-stage codegen) ─────
 # The array-lambda form (`shingles_spark`) runs interpreted (Spark HOFs skip
-# codegen) — ~4x slower per token. Produces (id, shingle) rows WITH
-# positional duplicates: min-hash and collect_set downstream are duplicate-
-# insensitive, and skipping the distinct keeps the id partitioning intact
-# (posexplode + window preserve it), so the groupBy(id) that follows needs
-# NO shuffle.
+# codegen) — ~4x slower per token. This form zips the token array with its
+# own k-1 shifted slices (arrays_zip/slice/concat_ws are all regular codegen
+# expressions, not HOFs) and explodes ONCE, so it imposes NO partitioning
+# requirement: unlike the earlier posexplode + window-lead form — whose
+# Window.partitionBy(id) forced Catalyst to insert an Exchange ABOVE the
+# Generate on any input not already hash-partitioned by id, shuffling
+# exploded token rows (~2-3× corpus bytes) on a real many-file corpus —
+# the zip-shift plan is scan → Generate → map work, and a downstream
+# groupBy(id) partial-aggregates BEFORE its exchange (one combined row per
+# doc moves, since a doc lives in exactly one scan partition). Produces
+# (id, shingle) rows WITH positional duplicates: min-hash and collect_set
+# downstream are duplicate-insensitive.
 
 
-def shingle_rows_spark(df, k: int, id_col: str = "doc_id", tok_col: str = "t", out_col: str = "s"):
-    from pyspark.sql import Window
+def shingle_rows_spark(
+    df,
+    k: int,
+    id_col: str = "doc_id",
+    tok_col: str = "t",
+    out_col: str = "s",
+    pos_col: str | None = None,
+):
+    """(id, [pos,] k-gram) rows from an ordered token-array column.
 
-    ex = df.select(id_col, F.posexplode(tok_col).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", j).over(w).alias(f"_l{j}") for j in range(1, k)]
-    r = ex.select(id_col, "tok", *leads)
-    if k > 1:
-        r = r.filter(F.col(f"_l{k - 1}").isNotNull())
-    gram = F.concat_ws(" ", "tok", *[f"_l{j}" for j in range(1, k)])
-    return r.select(id_col, gram.alias(out_col))
+    ``pos_col``: also emit the 0-based start position of each gram (used by
+    the rolling-span detector's run analysis).
+    """
+    t = F.col(tok_col)
+    n = F.size(t)
+    parts = [t.alias("g0")] + [F.slice(t, j + 1, n).alias(f"g{j}") for j in range(1, k)]
+    # arrays_zip pads the shorter shifted slices with null; the outer slice
+    # truncates to the n-k+1 complete grams (empty when n < k, so short docs
+    # vanish exactly as the window form's isNotNull filter made them).
+    zipped = F.slice(F.arrays_zip(*parts), 1, F.greatest(n - k + 1, F.lit(0)))
+    ex = df.select(id_col, F.posexplode(zipped).alias("_pos", "_g"))
+    gram = F.concat_ws(" ", *[F.col(f"_g.g{j}") for j in range(k)])
+    cols = [F.col(id_col)]
+    if pos_col is not None:
+        cols.append(F.col("_pos").alias(pos_col))
+    return ex.select(*cols, gram.alias(out_col))
 
 
 # ── levenshtein ratio (rapidfuzz fuzz.ratio analog, 0-100 int) ──────────────

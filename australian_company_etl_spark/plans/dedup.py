@@ -82,12 +82,18 @@ MH_COEFFS = _mh_coeffs()
 
 
 def _doc_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, s) word-3gram rows via posexplode + window lead —
-    stays in whole-stage codegen, unlike the array-lambda form."""
+    """(doc_id, s) word-3gram rows via the zip-shift form (one posexplode,
+    whole-stage codegen, NO window) — imposes no doc_id partitioning
+    requirement, so on a wide many-file corpus the plan is scan → Generate
+    with zero exchange below any downstream groupBy(doc_id), which
+    partial-aggregates map-side and shuffles one combined row per doc
+    (vs the earlier window-lead form, whose required doc_id exchange
+    landed ABOVE the explode on wide inputs and moved exploded token
+    rows — the measured round-5 sf1 regression)."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    # the corpus arrives in few large file-partitions; spread the expensive
-    # per-doc shingle/hash work across all cores (at 100 TB the scan already
-    # yields thousands of partitions and this is a no-op knob)
+    # the corpus arrives in few large file-partitions locally; spread the
+    # expensive per-doc shingle/hash work across all cores (no-op on a real
+    # many-file dataset, where the scan already yields thousands of splits)
     docs = spread_if_narrow(docs, "doc_id")
     toks = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t"))
     return shingle_rows_spark(toks, SHINGLE_K)
@@ -836,23 +842,19 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick) so both shuffles move (int64, int64) pairs, never window text:
     (1) doc-frequency per window hash — two-phase distinct-then-count, the
     skew-safe exact-distinct rewrite; (2) flag join back on the hash. The
-    per-doc run/island analysis rides the doc_id partitioning (window
-    functions only). A true suffix array generalizes to any-length repeats;
+    per-doc run/island window shuffles only the FLAGGED rows (duplicated
+    positions), a small subset. A true suffix array generalizes to any-length repeats;
     at fixed W this plan is exact for spans ≥ W and is the standard
     production approximation."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     docs = spread_if_narrow(docs, "doc_id")
-    ex = docs.select(
-        "doc_id", F.posexplode(tokens_all_spark(F.col("text"))).alias("pos", "tok")
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", j).over(wd).alias(f"_l{j}") for j in range(1, SPAN_W)]
-    gram = F.concat_ws(" ", "tok", *[f"_l{j}" for j in range(1, SPAN_W)])
-    rows = persist_tracked(
-        ex.select("doc_id", "pos", "tok", *leads)
-        .filter(F.col(f"_l{SPAN_W - 1}").isNotNull())
-        .select("doc_id", "pos", phash_spark(gram).alias("gh"))
-    )
+    toks = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t"))
+    # zip-shift window rows (no Window.partitionBy(doc_id) → no exchange
+    # above the explode on wide inputs); pos is the 0-based window start,
+    # used only differentially (pos − row_number), so the offset vs the
+    # oracle's 1-based range() is immaterial.
+    grams = shingle_rows_spark(toks, SPAN_W, pos_col="pos")
+    rows = persist_tracked(grams.select("doc_id", "pos", phash_spark(F.col("s")).alias("gh")))
     # windows present in >1 distinct doc (explicit dedup-then-count: exact
     # and skew-safe — a boilerplate window IS a hot key)
     multi = (

@@ -171,7 +171,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_if_narrow(docs, "doc_id")
     norm = F.concat_ws(" ", tokens_all_spark(F.col("text")))
     d = docs.select("doc_id", norm.alias("norm"))
-    # row-form shingles (codegen) instead of the interpreted array-lambda path
+    # zip-shift row-form shingles (codegen, no window → no exchange above
+    # the explode on wide inputs); the groupBy(doc_id) min partial-aggregates
+    # map-side, so the shuffle moves one (doc_id, bigint) row per doc.
     toks = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t"))
     mins = (
         shingle_rows_spark(toks, 3)
@@ -265,26 +267,32 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H7 — within-document repetition: 1 - distinct/total word-3grams
     (the Gopher/C4-style boilerplate signal; high ratio = loopy spam).
 
-    Scale: row-form shingles keep the doc_id partitioning, so the count /
-    count-distinct aggregate needs no extra shuffle."""
+    Scale: fully per-row — the 3-gram multiset is the token array zipped
+    with its own two shifted slices (arrays_zip/slice: codegen collection
+    expressions, not HOFs), so n_distinct = size(array_distinct(zipped))
+    computes inside the scan partition with ZERO shuffle and no explode.
+    Struct distinctness == gram-string distinctness because tokens are
+    space-free by construction (split on [^a-z0-9]+), making the
+    space-join injective."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     docs = spread_if_narrow(docs, "doc_id")
-    toks = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t"))
-    agg = (
-        shingle_rows_spark(toks, 3)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_sh"), F.countDistinct("s").alias("n_di"))
+    t = F.coalesce(tokens_all_spark(F.col("text")), F.array().cast("array<string>"))
+    toks = docs.select("doc_id", t.alias("t"))
+    tc = F.col("t")
+    n = F.size(tc)
+    grams = F.slice(
+        F.arrays_zip(tc.alias("g0"), F.slice(tc, 2, n).alias("g1"), F.slice(tc, 3, n).alias("g2")),
+        1,
+        F.greatest(n - 2, F.lit(0)),
     )
-    rep = 1 - F.col("n_di") / F.col("n_sh")
-    return (
-        docs.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_sh"), F.lit(0)).cast("int").alias("n_shingles"),
-            F.coalesce(F.col("n_di"), F.lit(0)).cast("int").alias("n_distinct"),
-            F.round(F.coalesce(rep, F.lit(0.0)), 4).alias("rep_ratio"),
-        )
+    n_sh = F.greatest(n - 2, F.lit(0))
+    n_di = F.size(F.array_distinct(grams))
+    rep = F.when(n_sh > 0, 1 - n_di / n_sh).otherwise(F.lit(0.0))
+    return toks.select(
+        "doc_id",
+        n_sh.cast("int").alias("n_shingles"),
+        F.when(n_sh > 0, n_di).otherwise(F.lit(0)).cast("int").alias("n_distinct"),
+        F.round(rep, 4).alias("rep_ratio"),
     )
 
 
@@ -319,23 +327,30 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus of 9M tokens — inside BIGINT here; at 100 TB (10¹²⁺ tokens)
     swap the arithmetic to DECIMAL(38,0)/HUGEINT, same expressions.
 
-    Scale: bigram rows ride the doc_id partitioning (posexplode + lead);
-    one shuffle each for pair and unigram counts; the unigram table joins
-    back twice — both sides shrink to vocabulary size first, and the
-    corpus total is a broadcast scalar."""
+    Scale: bigram rows come from the zip-shift form (token array zipped
+    with its own 1-shifted slice → one explode, no window, no doc_id
+    partitioning requirement — no exchange above the Generate on a wide
+    corpus); one map-side-combined shuffle each for pair and unigram
+    counts; the unigram table joins back twice — both sides shrink to
+    vocabulary size first, and the corpus total is a broadcast scalar."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     docs = spread_if_narrow(docs, "doc_id")
     from pyspark.sql import Window
 
-    ex = docs.select("doc_id", F.posexplode(tokens_all_spark(F.col("text"))).alias("pos", "x"))
-    wd = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select("doc_id", tokens_all_spark(F.col("text")).alias("t"))
+    tc = F.col("t")
+    n = F.size(tc)
+    pair_arr = F.slice(
+        F.arrays_zip(tc.alias("x"), F.slice(tc, 2, n).alias("y")), 1, F.greatest(n - 1, F.lit(0))
+    )
     bi = (
-        ex.withColumn("y", F.lead("x").over(wd))
-        .filter(F.col("y").isNotNull())
+        toks.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .groupBy("x", "y")
         .agg(F.count("*").alias("c_xy"))
         .filter(F.col("c_xy") >= PMI_MIN_PAIR)
     )
+    ex = toks.select(F.explode(tc).alias("x"))
     uni = ex.groupBy("x").agg(F.count("*").alias("c"))
     n_tok = ex.agg(F.count("*").alias("n_total"))
     scored = (

@@ -79,6 +79,10 @@ def main() -> None:
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     total = 0.0
+    # ambient-load context for the timed numbers (VERDICT r05 task 2: a
+    # regression claim must be separable from machine noise) — 1/5/15-min
+    # load averages recorded immediately before each timed region.
+    load_before = [round(x, 2) for x in os.getloadavg()]
     for name in HEADLINERS:
         runs = []
         for _ in range(3):
@@ -98,6 +102,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "spread": spreads,
+        "load_avg_before": load_before,
+        "load_avg_after": [round(x, 2) for x in os.getloadavg()],
     }
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result["sf"] = float(sf) if sf else sf_dir
@@ -109,6 +115,7 @@ def main() -> None:
         large_times: dict[str, float] = {}
         large_spreads: dict[str, float] = {}
         large_total = 0.0
+        large_load_before = [round(x, 2) for x in os.getloadavg()]
         for name in LARGE_HEADLINERS:
             # one untimed run at the large SF first: tiered JIT only reaches
             # steady state after the hot codegen paths see full-scale row
@@ -133,6 +140,8 @@ def main() -> None:
             "unit": "sec",
             "queries": large_times,
             "spread": large_spreads,
+            "load_avg_before": large_load_before,
+            "load_avg_after": [round(x, 2) for x in os.getloadavg()],
         }
 
         # serving probe vs corpus scan at ~sf1 (SURVEY D7): the published

@@ -481,6 +481,101 @@ def test_spread_if_narrow_spreads_a_one_partition_input(spark, sf_dir):
     assert "Exchange hashpartitioning(doc_id" in _executed_plan(out)
 
 
+def _node_depth(line: str) -> int:
+    """Tree depth proxy for a physical-plan line: length of the box-drawing
+    prefix (`+- `, `:  `, spaces) before the node name."""
+    import re
+
+    return len(re.match(r"^[\s:+\-]*", line).group(0))
+
+
+def _exploded_rows_cross_a_doc_exchange(plan: str) -> list[str]:
+    """Return the offending Exchange lines: every `Exchange
+    hashpartitioning(doc_id…)` whose subtree contains a `Generate
+    posexplode` with NO aggregate between them — i.e. the exchange moves
+    raw exploded token rows (the round-5 regression shape) instead of
+    partial-aggregated per-doc rows or pre-explode documents."""
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning(doc_id" not in ln:
+            continue
+        d = _node_depth(ln)
+        for j in range(i + 1, len(lines)):
+            dj = _node_depth(lines[j])
+            if dj <= d:
+                break  # left the exchange's subtree
+            if "Generate posexplode" in lines[j]:
+                # climb the ancestor chain from the Generate back up to the
+                # Exchange; an Aggregate ancestor means the exchange input
+                # is already combined map-side (one row per doc), and a Join
+                # ancestor means it is a (filtered) join output, not the raw
+                # exploded stream — both fine. The regression shape is the
+                # DIRECT Generate → Exchange(doc_id) chain.
+                cur = dj
+                ok = False
+                for k in range(j - 1, i, -1):
+                    dk = _node_depth(lines[k])
+                    if dk < cur:
+                        cur = dk
+                        if "Aggregate" in lines[k] or "Join" in lines[k]:
+                            ok = True
+                            break
+                if not ok:
+                    bad.append(ln.strip())
+                break
+    return bad
+
+
+# every registry query whose plan explodes per-token rows keyed by doc_id —
+# the surface on which the round-5 spread_if_narrow swap regressed when the
+# input was wide (multi-file) and the then-window forced a post-explode
+# doc_id exchange of token rows.
+SHINGLE_FAMILY = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_substring_spans",
+    "dedup_incremental",
+    "dedup_setsim_prefix",
+    "text_fingerprint",
+    "text_repetition_ratio",
+    "text_collocations_pmi",
+]
+
+
+@pytest.fixture(scope="module")
+def wide_docs_dir(spark, sf_dir, tmp_path_factory):
+    """A MULTI-FILE documents corpus at least as wide as the session's
+    parallelism — the 100 TB scan shape, where spread_if_narrow passes
+    through and any keyed requirement must NOT re-shuffle exploded rows."""
+    out = tmp_path_factory.mktemp("wide") / "corpus"
+    out.mkdir()
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(par).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", SHINGLE_FAMILY)
+def test_shingle_family_never_shuffles_exploded_rows_on_wide_input(
+    name, spark, wide_docs_dir
+):
+    """Round-5 regression guard (VERDICT r05 What's-wrong #1): on a wide
+    corpus, every doc_id exchange in a shingle-family plan must carry
+    partial-aggregated per-doc rows (an Aggregate sits between the Generate
+    and the Exchange), never the exploded token rows themselves. The old
+    test only checked that the helper added no Exchange — this one checks
+    where the REQUIRED exchange lands."""
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    docs = load_tables(spark, wide_docs_dir, ["documents"])["documents"]
+    assert docs.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    df = QUERIES[name](spark, wide_docs_dir)
+    plan = _executed_plan(df)
+    offenders = _exploded_rows_cross_a_doc_exchange(plan)
+    assert offenders == [], f"{name}: exploded rows cross {offenders}"
+
+
 def test_plans_have_no_unconditional_repartition():
     """Greppable guarantee: no plan or operator module calls .repartition(
     directly — every corpus spread goes through spread_if_narrow (the sinks
