@@ -13,69 +13,71 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # Registration order is the driver's verification order (it checks the first
-# 50 registered queries per round). Round-5 rotation (VERDICT r04 task 3):
-# no registry semantics changed this round (the spread_if_narrow swap is
-# plan-shape only), so the window is a pure oldest-green-first sweep —
-# first every row whose latest driver check is still ROUND 1 (the E-family
-# tail, tpch_full, and the F/G dedup/ANN cores: 24 rows), then the oldest
-# round-2 rows (text H1-H10, temporal L1-L6, sketches M1-M4, sampling
-# N1-N6) to fill the 50 slots. After this round no query's latest driver
-# row is older than r2; the remaining r2 rows rotate in round 6. The
-# registry stays FROZEN at 155 keys.
+# 50 registered queries per round). Round-6 rotation (VERDICT r05 task 3):
+# semantics-touched-first, then oldest-green. First the 8 shingle-family
+# queries whose builders changed this round (zip-shift shingles — same
+# results, new plan; the driver must re-gate them), then every row whose
+# latest driver check is still ROUND 2 (18), then the oldest round-3 rows
+# to fill the 50 slots (24 of 32; the last 8 r3 rows — sketch_hll_daily_
+# merge, mix_corpus_temperature, sample_weighted_priority, curate_keep_
+# best, events_cdc_snapshot, events_watermark_lag_audit, sketch_theta_
+# setops, knn_graph_lsh — rotate in round 7). After this round no query's
+# latest driver row is older than r3. The registry stays FROZEN at 155
+# keys.
 _VERIFY_FIRST = [
-    # ---- latest driver row = round 1 (24) ---------------------------------
-    "q10_returned_items",
-    "window_top_orders_per_cust",
-    "q4_order_priority",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_cust_order_dist",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_pred",
-    "q20_surplus_suppliers",
-    "q21_last_shipper",
-    "q22_global_sales_opp",
-    "dedup_exact",
+    # ---- shingle builders changed this round (8) --------------------------
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_cluster_cc",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # ---- oldest round-2 rows (fill to the 50-query window) ----------------
-    "q12_priority_shipping",
-    "text_langid",
-    "text_quality_score",
-    "text_token_count",
+    "dedup_ngram_jaccard",
+    "dedup_substring_spans",
+    "dedup_incremental",
+    "dedup_setsim_prefix",
     "text_fingerprint",
-    "text_pii_scrub",
-    "text_idf_vocab",
     "text_repetition_ratio",
-    "text_contamination",
-    "text_unigram_logprob",
-    "text_gopher_filters",
-    "asof_join_last_error",
-    "range_join_close_pairs",
-    "rollup_events_hourly",
-    "cube_orders_priority",
-    "join_skew_salted",
-    "rolling_window_24h",
-    "sketch_kmv_distinct",
-    "quantiles_event_value",
-    "sketch_bloom_membership",
-    "sketch_cms_heavy_hitters",
-    "sample_stratified_hash",
-    "split_train_holdout",
-    "pack_sequences",
-    "mix_corpus_weighted",
-    "chunk_documents",
+    "text_collocations_pmi",
+    # ---- latest driver row = round 2 (18) ---------------------------------
+    "mm_binary_meta",
+    "events_tumbling_agg",
+    "curate_corpus",
+    "etl_dag_end_to_end",
+    "dedup_url_canonical",
+    "dedup_lines",
+    "events_scd2_history",
+    "events_funnel_steps",
+    "events_distinct_skewsafe",
+    "ann_pq_topk",
     "shard_shuffle_deterministic",
+    "dedup_semantic_kmeans",
+    "cluster_kmeans_embed",
+    "mm_audio_features",
+    "mm_audio_resample",
+    "mm_image_features",
+    "events_retention_cohorts",
+    "events_value_outliers",
+    # ---- oldest round-3 rows (fill to the 50-query window) ----------------
+    "q11_important_stock",
+    "dedup_simhash",
+    "events_sessionize",
+    "pivot_user_event_matrix",
+    "window_value_deciles",
+    "set_ops_customer_segments",
+    "orders_rfm_segments",
+    "rank_neardup_pagerank",
+    "graph_triangle_count",
+    "embed_random_projection",
+    "text_tfidf_topterms",
+    "text_entropy",
+    "mm_video_framesample",
+    "events_anomaly_mad",
+    "events_session_window_native",
+    "events_markov_transitions",
+    "events_corr_value_hour",
+    "events_freshness",
+    "events_gap_stats",
+    "incremental_rollup_merge",
+    "events_resample_ffill",
+    "grouping_sets_report",
+    "events_zorder_key",
+    "sketch_hll_distinct",
 ]
 
 
