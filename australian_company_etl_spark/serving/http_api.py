@@ -28,10 +28,12 @@ protocol shim, not the engine.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -54,6 +56,90 @@ FULLTEXT_INDEX = "fulltext_index"
 #: n_docs (idf's denominator) is always exactly the ledger count. At 100 TB
 #: this is the processed-doc ledger a Bloom filter (M3) fronts.
 FULLTEXT_DOCS = "fulltext_docs"
+
+
+@contextlib.contextmanager
+def _index_lock(path: str, timeout: float = 60.0):
+    """Advisory mutual exclusion between index APPENDERS and COMPACTION.
+
+    ``compact_index`` rewrites from a point-in-time file listing and swaps
+    directories; a posting batch appended between that listing and the swap
+    would silently vanish with the old directory (scripts/maintain_index.py
+    documents cron-pairing frequent 'stream' with periodic 'compact', so
+    overlap IS the deployment shape). Both sides therefore hold this lock:
+    appenders for their read-membership → write → manifest window,
+    compaction for its delta re-diff + directory swap (its long rewrite
+    phase runs UNLOCKED; files appended meanwhile are detected by the
+    re-diff and carried into the new layout verbatim).
+
+    Mechanics: O_CREAT|O_EXCL lock file beside the index holding the owner
+    pid. A lock whose pid is no longer alive is broken automatically (a
+    kill -9 mid-append must not wedge maintenance forever); that liveness
+    probe is only meaningful when all maintainers share a host, which is
+    the single-driver deployment here. On a multi-host object store this
+    becomes the table-format commit protocol (a catalog/conditional-put
+    lock, as Delta/Iceberg do) — same protocol shape, different primitive.
+    """
+    lock = path.rstrip("/") + ".lock"
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    owner = int(f.read().strip() or "0")
+                if owner:
+                    os.kill(owner, 0)  # raises if the owner is gone
+            except (OSError, ValueError):
+                # stale lock (dead owner / unreadable): break it and retry
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(lock)
+                continue
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"index lock {lock} held by live pid {owner} for >{timeout}s"
+                )
+            time.sleep(0.05)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(lock)
+
+
+def heal_interrupted_compaction(path: str) -> str | None:
+    """Recover an index directory from a compaction that died mid-swap.
+
+    The swap is two renames (live → .precompact, .compacting → live), NOT
+    atomic as a unit: a crash between them leaves no live directory, with
+    the good data stranded in ``.precompact``. Called on server startup and
+    at the head of every compaction, this rolls that window back (restore
+    ``.precompact`` as live — always correct: it is byte-identical to the
+    pre-compaction index plus nothing, and appends are excluded by the
+    lock) and discards any orphaned ``.compacting`` rewrite (it will simply
+    be re-compacted later). Returns a short action tag for logging/tests,
+    or None if nothing needed healing."""
+    import shutil
+
+    old = path.rstrip("/") + ".precompact"
+    tmp = path.rstrip("/") + ".compacting"
+    action = None
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+            action = "rolled_back"
+        else:
+            # crashed after the second rename, before cleanup
+            shutil.rmtree(old)
+            action = "cleaned_precompact"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+        action = action or "cleaned_compacting"
+    return action
 
 
 def _doc_postings(docs: DataFrame) -> DataFrame:
@@ -125,33 +211,48 @@ def append_documents_to_index(
     an at-least-once foreachBatch replay re-enters) then heals instead of
     corrupting: the replay finds the postings already present (skips
     them, no doubled tf) and appends only the missing ledger rows.
+
+    Holds the index lock for the whole read-membership → write → manifest
+    window: without it a concurrent `compact_index` swap could replace the
+    directory between this function's listing and its append, stranding
+    the appended files in the swapped-out copy (`_index_lock`).
     Returns what was appended (ledger granularity)."""
     path = table_path(data_dir, FULLTEXT_INDEX)
     ledger_path = table_path(data_dir, FULLTEXT_DOCS)
     new_docs = new_docs.dropDuplicates(["doc_id"])
-    in_ledger = spark.read.parquet(ledger_path).select("doc_id")
-    fresh = new_docs.join(in_ledger, "doc_id", "left_anti")
-    n_new = fresh.count()
-    if n_new:
-        # ledger lags postings only inside the crash window (postings are
-        # written first), so the postings-membership probe runs on the
-        # not-yet-ledgered remainder alone; a clean re-delivery never
-        # scans the index at all. At 100 TB a Bloom filter (M3) fronts
-        # this probe, same semantics.
-        in_postings = spark.read.parquet(path).select("doc_id").distinct()
-        postings_new = _doc_postings(fresh.join(in_postings, "doc_id", "left_anti"))
-        if not postings_new.isEmpty():  # token-less docs append no postings
-            postings_new.repartitionByRange(2, "tok").sortWithinPartitions(
-                "tok"
-            ).write.mode("append").parquet(path)
-        fresh.select("doc_id").write.mode("append").parquet(ledger_path)
-    manifest_path = os.path.join(data_dir, "_SNAPSHOT.json")
-    with open(manifest_path) as f:
-        manifest = json.load(f)
-    manifest[FULLTEXT_INDEX]["n_docs"] = spark.read.parquet(ledger_path).count()
-    manifest[FULLTEXT_INDEX]["rows"] = spark.read.parquet(path).count()
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    with _index_lock(path):
+        if not os.path.exists(ledger_path):
+            # pre-ledger snapshot (postings only, published before the
+            # ledger existed): backfill it ONCE from the index's distinct
+            # doc_ids — exactly the old postings-anti-join membership
+            # source, so migration changes no append decision. (Token-less
+            # docs were unrepresentable in that layout; nothing to recover.)
+            spark.read.parquet(path).select("doc_id").distinct().write.parquet(
+                ledger_path
+            )
+        in_ledger = spark.read.parquet(ledger_path).select("doc_id")
+        fresh = new_docs.join(in_ledger, "doc_id", "left_anti")
+        n_new = fresh.count()
+        if n_new:
+            # ledger lags postings only inside the crash window (postings are
+            # written first), so the postings-membership probe runs on the
+            # not-yet-ledgered remainder alone; a clean re-delivery never
+            # scans the index at all. At 100 TB a Bloom filter (M3) fronts
+            # this probe, same semantics.
+            in_postings = spark.read.parquet(path).select("doc_id").distinct()
+            postings_new = _doc_postings(fresh.join(in_postings, "doc_id", "left_anti"))
+            if not postings_new.isEmpty():  # token-less docs append no postings
+                postings_new.repartitionByRange(2, "tok").sortWithinPartitions(
+                    "tok"
+                ).write.mode("append").parquet(path)
+            fresh.select("doc_id").write.mode("append").parquet(ledger_path)
+        manifest_path = os.path.join(data_dir, "_SNAPSHOT.json")
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        manifest[FULLTEXT_INDEX]["n_docs"] = spark.read.parquet(ledger_path).count()
+        manifest[FULLTEXT_INDEX]["rows"] = spark.read.parquet(path).count()
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
     return {"docs_appended": n_new, "n_docs": manifest[FULLTEXT_INDEX]["n_docs"]}
 
 
@@ -278,29 +379,32 @@ def append_parts_to_trigram_index(
     re-delivered p_partkeys AND on duplicates within one batch (the
     intra-batch dropDuplicates below — without it two same-key rows in a
     batch would both survive the anti-join and double every posting,
-    inflating |∩| at probe time)."""
+    inflating |∩| at probe time). Same lock discipline as the full-text
+    appender: membership read → write → manifest under `_index_lock`, so
+    a concurrent compaction swap cannot strand the appended files."""
     from australian_company_etl_spark.plans.api import _TRGM_EXPR
 
     path = table_path(data_dir, TRIGRAM_INDEX)
     new_parts = new_parts.dropDuplicates(["p_partkey"])
-    indexed = spark.read.parquet(path).select("p_partkey").distinct()
-    fresh = new_parts.join(indexed, "p_partkey", "left_anti")
-    n_new = fresh.count()
-    if n_new:
-        trg = fresh.select(
-            "p_partkey",
-            "p_name",
-            F.explode(F.expr(_TRGM_EXPR.format(c="p_name"))).alias("trgm"),
-        ).withColumn("n_trgm", F.count("*").over(Window.partitionBy("p_partkey")))
-        trg.repartitionByRange(2, "trgm").sortWithinPartitions("trgm").write.mode(
-            "append"
-        ).parquet(path)
-    manifest_path = os.path.join(data_dir, "_SNAPSHOT.json")
-    with open(manifest_path) as f:
-        manifest = json.load(f)
-    manifest[TRIGRAM_INDEX]["rows"] = spark.read.parquet(path).count()
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    with _index_lock(path):
+        indexed = spark.read.parquet(path).select("p_partkey").distinct()
+        fresh = new_parts.join(indexed, "p_partkey", "left_anti")
+        n_new = fresh.count()
+        if n_new:
+            trg = fresh.select(
+                "p_partkey",
+                "p_name",
+                F.explode(F.expr(_TRGM_EXPR.format(c="p_name"))).alias("trgm"),
+            ).withColumn("n_trgm", F.count("*").over(Window.partitionBy("p_partkey")))
+            trg.repartitionByRange(2, "trgm").sortWithinPartitions("trgm").write.mode(
+                "append"
+            ).parquet(path)
+        manifest_path = os.path.join(data_dir, "_SNAPSHOT.json")
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        manifest[TRIGRAM_INDEX]["rows"] = spark.read.parquet(path).count()
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
     return {"parts_appended": n_new}
 
 
@@ -317,18 +421,34 @@ def compact_index(
     (footer stats prune per file) but file count and per-term file touches
     grow with every batch. This rewrites the whole index as ``n_files``
     range-partitioned, key-sorted files — one contiguous key range per
-    file, the original build's layout — and atomically swaps it in ONLY
-    after the re-read digest (rows + order-insensitive content hash, the
+    file, the original build's layout — and swaps it in ONLY after the
+    re-read digest (rows + order-insensitive content hash, the
     A9/compact_dataset discipline) proves the rewrite lost nothing; a
     failed compaction can never replace a good index. Works for both the
-    full-text (key ``tok``) and trigram (key ``trgm``) indexes."""
+    full-text (key ``tok``) and trigram (key ``trgm``) indexes.
+
+    CONCURRENCY: safe to run alongside the appenders/maintenance streams
+    (the documented cron pairing). The rewrite reads an explicit
+    point-in-time file listing and runs UNLOCKED; the swap then holds the
+    index lock, re-diffs the listing, and carries any file appended during
+    the rewrite into the new directory verbatim (appended files are
+    self-contained key-sorted parquet — copying them IS an append), so a
+    concurrent batch can never be lost. The two renames of the swap are
+    NOT atomic as a unit — a crash between them leaves no live directory
+    — but `heal_interrupted_compaction` (run here first, and at server
+    startup) rolls that window back, and the lock keeps appenders out of
+    it."""
     import glob
     import shutil
 
     path = table_path(data_dir, index_name)
-    src = spark.read.parquet(path)
+    with _index_lock(path):
+        heal_interrupted_compaction(path)
+        # point-in-time listing: the rewrite covers exactly these files,
+        # whatever lands afterwards is handled by the swap-time re-diff
+        listed = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    src = spark.read.parquet(*listed)
     expected = _table_digest(src)
-    files_before = len(glob.glob(os.path.join(path, "*.parquet")))
 
     tmp = path.rstrip("/") + ".compacting"
     (
@@ -344,13 +464,21 @@ def compact_index(
             f"index compaction dropped data for {index_name}: "
             f"wrote {expected}, read back {actual}"
         )
-    old = path.rstrip("/") + ".precompact"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    with _index_lock(path):
+        # files appended while the rewrite ran: verbatim-copy into the new
+        # layout (byte-identical ⇒ lossless by construction; Spark part
+        # files carry unique UUID names, so no collision)
+        delta = sorted(set(glob.glob(os.path.join(path, "*.parquet"))) - set(listed))
+        for f in delta:
+            shutil.copy2(f, os.path.join(tmp, os.path.basename(f)))
+        old = path.rstrip("/") + ".precompact"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
     return {
-        "files_before": files_before,
+        "files_before": len(listed),
         "files_after": len(glob.glob(os.path.join(path, "*.parquet"))),
+        "delta_carried": len(delta),
         "rows": expected[0],
         "ok": True,
     }
@@ -609,7 +737,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(spark: SparkSession, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
     """Build the HTTP server over a published snapshot directory. ``port=0``
-    binds an ephemeral port (tests); `server.server_address[1]` has it."""
+    binds an ephemeral port (tests); `server.server_address[1]` has it.
+    Startup first heals any compaction that died mid-swap (a missing live
+    index directory with the data stranded in ``.precompact``) so probes
+    never 500 against a half-swapped index."""
+    for idx in (FULLTEXT_INDEX, TRIGRAM_INDEX):
+        p = table_path(data_dir, idx)
+        if os.path.exists(p) or os.path.exists(p.rstrip("/") + ".precompact"):
+            heal_interrupted_compaction(p)
     handler = type("Handler", (_Handler,), {"spark": spark, "data_dir": data_dir})
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 

@@ -684,3 +684,145 @@ def test_trigram_maintenance_stream_equals_full_rebuild(spark, tmp_path):
 
     got = _canon_df(trigram_rank_from_index(spark, d, TRGM_QUERY, TRGM_TOPK))
     assert got == _canon_df(api_search_trigram(spark, SF_DIR))
+
+
+def test_compact_carries_concurrent_append_into_new_layout(spark, tmp_path, monkeypatch):
+    """ADVICE r05 (medium): a posting batch appended while compact_index's
+    rewrite runs must NOT vanish with the swapped-out directory. The
+    rewrite covers a point-in-time listing; the swap re-diffs the listing
+    under the index lock and carries any new file verbatim. Inject the
+    append at the rewrite-verify moment (after the source listing was
+    taken, before the swap) and prove the appended doc survives."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving import http_api as api
+    from australian_company_etl_spark.sources.registry import table_path
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    idx_path = table_path(d, "fulltext_index")
+    append_doc = spark.createDataFrame(
+        [(20_000_000, "zanzibar quux flutter")], "doc_id bigint, text string"
+    )
+
+    real_digest = api._table_digest
+    calls = {"n": 0}
+
+    def inject_append_on_verify(df):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the tmp-rewrite verify: rewrite done, swap not yet
+            api.append_documents_to_index(spark, append_doc, d)
+        return real_digest(df)
+
+    monkeypatch.setattr(api, "_table_digest", inject_append_on_verify)
+    out = api.compact_index(spark, d, "fulltext_index", "tok", n_files=8)
+    assert out["ok"] and out["delta_carried"] >= 1
+    assert len(glob.glob(os.path.join(idx_path, "*.parquet"))) == 8 + out["delta_carried"]
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(idx_path).select("doc_id").distinct().collect()
+    }
+    assert 20_000_000 in ids  # the concurrently-appended doc survived the swap
+    # and the ledger/manifest agree (the append ran to completion under lock)
+    import json
+
+    with open(os.path.join(d, "_SNAPSHOT.json")) as f:
+        assert json.load(f)["fulltext_index"]["n_docs"] == docs.filter(
+            F.col("doc_id") % 2 == 0
+        ).count() + 1
+
+
+def test_interrupted_compaction_swap_heals(spark, tmp_path):
+    """ADVICE r05 (low): between the swap's two renames the live index path
+    does not exist; a crash there strands the data in .precompact. Startup
+    (make_server) and the next compaction must roll it back."""
+    import os
+    import shutil
+
+    from australian_company_etl_spark.serving import http_api as api
+    from australian_company_etl_spark.sources.registry import table_path
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    idx_path = table_path(d, "fulltext_index")
+    n_before = spark.read.parquet(idx_path).count()
+
+    # simulate the crash window: live renamed away, orphan rewrite left over
+    os.rename(idx_path, idx_path + ".precompact")
+    os.makedirs(idx_path + ".compacting")
+    assert not os.path.exists(idx_path)
+
+    assert api.heal_interrupted_compaction(idx_path) == "rolled_back"
+    assert spark.read.parquet(idx_path).count() == n_before
+    assert not os.path.exists(idx_path + ".precompact")
+    assert not os.path.exists(idx_path + ".compacting")
+
+    # crash AFTER the second rename but before cleanup: live is the new
+    # data, .precompact is the leftover — healing must keep live and clean
+    shutil.copytree(idx_path, idx_path + ".precompact")
+    assert api.heal_interrupted_compaction(idx_path) == "cleaned_precompact"
+    assert spark.read.parquet(idx_path).count() == n_before
+
+    # make_server runs the same healing at startup
+    os.rename(idx_path, idx_path + ".precompact")
+    srv = api.make_server(spark, d)
+    srv.server_close()
+    assert spark.read.parquet(idx_path).count() == n_before
+
+
+def test_append_backfills_missing_ledger(spark, tmp_path):
+    """ADVICE r05 (low): a pre-ledger snapshot (postings only) must not
+    fail the appender — the ledger is backfilled once from the index's
+    distinct doc_ids (the old membership source), then the append
+    proceeds with unchanged first-wins semantics."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving.http_api import append_documents_to_index
+    from australian_company_etl_spark.sources.registry import table_path
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    shutil.rmtree(table_path(d, "fulltext_docs"))  # the pre-ledger layout
+
+    indexed = docs.filter(F.col("doc_id") % 2 == 0)
+    redelivered = indexed.limit(3)
+    new_doc = spark.createDataFrame(
+        [(30_000_000, "brand new words")], "doc_id bigint, text string"
+    )
+    out = append_documents_to_index(spark, redelivered.unionByName(new_doc), d)
+    assert out["docs_appended"] == 1  # re-delivered docs anti-joined via backfill
+    assert out["n_docs"] == indexed.count() + 1
+    ledger = spark.read.parquet(table_path(d, "fulltext_docs"))
+    assert ledger.count() == indexed.count() + 1
+    with open(os.path.join(d, "_SNAPSHOT.json")) as f:
+        assert json.load(f)["fulltext_index"]["n_docs"] == indexed.count() + 1
+
+
+def test_index_lock_blocks_and_breaks_stale(tmp_path):
+    """The index lock's two contracts: a LIVE holder blocks a contender
+    until timeout (TimeoutError, not silent entry), and a lock left by a
+    dead pid is broken automatically instead of wedging maintenance."""
+    import os
+
+    import pytest as _pytest
+
+    from australian_company_etl_spark.serving.http_api import _index_lock
+
+    p = str(tmp_path / "idx.parquet")
+    with _index_lock(p):
+        with _pytest.raises(TimeoutError, match="held by live pid"):
+            with _index_lock(p, timeout=0.3):
+                pass
+    # released: re-entry succeeds
+    with _index_lock(p, timeout=0.3):
+        pass
+    # stale lock from a dead pid: broken and acquired
+    with open(p + ".lock", "w") as f:
+        f.write("999999999")
+    with _index_lock(p, timeout=0.3):
+        assert os.path.exists(p + ".lock")
+    assert not os.path.exists(p + ".lock")
