@@ -100,8 +100,10 @@ def _doc_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle SETS per doc, built from the row form (no extra shuffle —
-    the rows are already partitioned by doc_id)."""
+    """Shingle STRING sets per doc — the readable reference form used by
+    tests to cross-check the hashed production sets (F4 ships 60-bit hash
+    sets, see dedup_ngram_jaccard). The groupBy partial-aggregates
+    map-side, so the shuffle moves one combined row per doc."""
     return _doc_shingle_rows(spark, sf_dir).groupBy("doc_id").agg(
         F.collect_set("s").alias("sh")
     )
@@ -369,15 +371,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the simple formulation), but a corpus where half the documents
     start with "the" no longer concentrates Σ|block|² in one bucket —
     max block size is bounded by the (token, size-decade) co-occurrence,
-    not the token alone."""
+    not the token alone.
+
+    The verify compares 60-bit shingle-HASH sets (int64 arrays), not
+    shingle strings — the same portable md5-prefix hash as F2's minhash
+    verify, applied in BOTH engines so parity is exact by construction:
+    the Jaccard join's array_intersect runs long-compares over ~8 B
+    elements instead of string-compares over ~20 B, and the shuffled
+    per-doc set rows shrink accordingly."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     blk = docs.select(
         "doc_id", F.element_at(tokens_all_spark(F.col("text")), 1).alias("blk")
     )
+    sets = (
+        _doc_shingle_rows(spark, sf_dir)
+        .select("doc_id", phash_spark(F.col("s")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("sh"))
+    )
     base = persist_tracked(
-        _doc_shingles(spark, sf_dir)
-        .join(blk, "doc_id")
-        .withColumn("bkt", size_bucket_spark(F.size("sh")))
+        sets.join(blk, "doc_id").withColumn("bkt", size_bucket_spark(F.size("sh")))
     )
     a = base.alias("a")
     b = (
@@ -412,7 +425,8 @@ def _ngram_sql() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {tokens_all_sql('text')} AS t FROM documents),
 base AS (
-  SELECT doc_id, t[1] AS blk, {shingles_sql('t', SHINGLE_K)} AS sh
+  SELECT doc_id, t[1] AS blk,
+         list_transform({shingles_sql('t', SHINGLE_K)}, s -> {phash_sql('s')}) AS sh
   FROM toks WHERE len(t) >= {SHINGLE_K}
 )
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, round({jac}, 4) AS jaccard

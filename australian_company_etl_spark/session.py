@@ -30,10 +30,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce small shuffles hard: below this size extra partitions are
-        # pure scheduling overhead; at 100 TB shuffles dwarf it so the
-        # advisory (64m) target takes over and this is a no-op
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8m")
+        # minPartitionSize stays at its 1m default: with parallelismFirst
+        # (also default) AQE targets max(total/parallelism, floor), so a
+        # tiny iterative frame (~500 rows) still coalesces to ONE partition
+        # while a mid-size CPU-dense shuffle keeps all cores. The earlier 8m
+        # floor looked free for IO-bound stages but was measured pinning a
+        # 41 MB set-verify join (seconds of array_intersect per MB) to 4-5
+        # tasks on 32 cores; at 100 TB total/parallelism dwarfs any floor
+        # and both settings are no-ops.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # let AQE coalesce the output partitioning of persisted plans too:
         # iterative ops (connected components) cache tiny label/edge frames,

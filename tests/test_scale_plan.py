@@ -589,3 +589,31 @@ def test_plans_have_no_unconditional_repartition():
             if ".repartition(" in p.read_text():
                 offenders.append(str(p))
     assert offenders == []
+
+
+def test_registry_wide_plan_audit_full_sweep(spark, sf_dir, tmp_path_factory):
+    """VERDICT r05 task 4 — the whole spread_if_narrow surface, not just
+    the shingle family: on a wide multi-file corpus, NO registry plan may
+    put an `Exchange hashpartitioning` directly above a `Generate` (raw
+    generated rows crossing a shuffle), for ANY key. Two adjudicated
+    allowances, both semantically required and non-expanding:
+
+    - dedup_lines: the seg-keyed window shuffles exploded SEGMENT rows —
+      segments are DISJOINT (they tile the document), so the exchange
+      moves ~1x corpus bytes, the minimum any global segment dedup pays;
+      there is no per-doc partial form of a cross-doc first-occurrence
+      rank.
+    - join_skew_salted: the (key, salt) exchange above the explode carries
+      the deliberately salt-REPLICATED small side — replication factor x
+      dim bytes, the textbook salting trade that buys hot-key spreading
+      on the fact side.
+
+    Everything else must keep generated rows inside their scan partition
+    until an aggregate or join reduces them."""
+    from scripts.audit_wide_plans import audit, build_wide_dir
+
+    allow = {"dedup_lines", "join_skew_salted"}
+    wide = str(tmp_path_factory.mktemp("wide_full"))
+    build_wide_dir(spark, sf_dir, wide)
+    offenders = {k: v for k, v in audit(spark, wide).items() if k not in allow}
+    assert offenders == {}
