@@ -1,0 +1,101 @@
+"""sf1 bench-budget tripwire (VERDICT r05 task 6).
+
+The round-5 shingle regression was visible in the driver's BENCH json but
+nothing FAILED — the plan-shape tests all passed and the wall-time drift
+was argued away as noise. This is the loud version: re-time the sf1
+headliners and compare each against a recorded budget with generous
+(2x) headroom, so a plan-shape regression of the round-5 magnitude
+(minhash 2.0→2.9s, +45%) trips only when it is far outside spread, while
+ordinary machine noise (the recorded spreads are 0.02-0.55s) never does.
+
+Budgets are the measured round-6 sf1 medians on the reference hardware
+(32-core local mode, idle); re-record them (--record) after any
+deliberate plan change. Ambient load is printed with the result so a
+breach can be judged against machine state (BENCH json carries the same
+load_avg fields).
+
+Usage:
+  python scripts/bench_budget.py            # check, exit 1 on breach
+  python scripts/bench_budget.py --record   # print refreshed budget dict
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf1"
+)
+
+# measured round-6 medians (sec) at sf1 on the 32-core reference machine;
+# budget = 2x — generous against noise, tight against a 45%-class regression
+# compounding unnoticed across rounds.
+BUDGET_SEC = {
+    "dedup_minhash_lsh": 2.2,
+    "text_fingerprint": 0.8,
+    "dedup_ngram_jaccard": 6.5,
+    "dedup_substring_spans": 1.2,
+    "q5_local_supplier": 0.95,
+    "q3_shipping_priority": 1.1,
+}
+HEADROOM = 2.0
+
+
+def _best_time(fn, spark, runs: int = 3) -> float:
+    """Min of N timed runs — the standard noise-robust wall-time statistic:
+    ambient load only ever ADDS time, so the minimum is the closest
+    observable to the machine-idle cost the budget encodes."""
+    fn(spark, SF1_DIR).count()  # warm (JIT + page cache)
+    ts = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, SF1_DIR).count()
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def main() -> int:
+    from australian_company_etl_spark.plans import all_queries
+    from australian_company_etl_spark.session import get_spark
+
+    record = "--record" in sys.argv[1:]
+    spark = get_spark()
+    qs = all_queries()
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    measured: dict[str, float] = {}
+    breaches: list[str] = []
+    for name, budget in BUDGET_SEC.items():
+        t = _best_time(qs[name], spark)
+        measured[name] = round(t, 3)
+        if not record and t > budget * HEADROOM:
+            breaches.append(f"{name}: {t:.2f}s > {budget}*{HEADROOM} budget")
+    load = [round(x, 2) for x in os.getloadavg()]
+    print(json.dumps({"measured_sec": measured, "load_avg_before": load_before, "load_avg_after": load}))
+    if record:
+        print("BUDGET_SEC =", json.dumps({k: round(v, 1) for k, v in measured.items()}))
+        return 0
+    if breaches:
+        # a breach measured on an already-busy box is not a verdict — judge
+        # by the PRE-RUN load (during the run our own Spark stages dominate
+        # loadavg, so the after reading can't separate self from ambient)
+        cpus = os.cpu_count() or 8
+        if load_before[0] > 0.25 * cpus:
+            print("INCONCLUSIVE: budget exceeded but machine under heavy load")
+            for b in breaches:
+                print(" ", b)
+            return 2
+        print("BENCH BUDGET BREACH (plan regression at sf1):")
+        for b in breaches:
+            print(" ", b)
+        return 1
+    print("OK: all sf1 headliners within budget")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
