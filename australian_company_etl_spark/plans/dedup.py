@@ -404,12 +404,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("b")
     jac = _jaccard_spark(F.col("a.sh"), F.col("b.sh"))
+    sa, sb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
+    # exact size-ratio prune BEFORE the O(|a|+|b|) intersect: J ≤ min/max,
+    # so rounded-J ≥ 0.2 (true J ≥ 0.19995) forces min/max ≥ 0.1999 (a hair
+    # of slack under 0.19995 against float boundary dust) — a pure integer
+    # compare that skips the intersect for the ±2-replicated candidates in
+    # the ratio-(5,25] band, which the bucket join admits only to keep its
+    # proof simple. Output-identical: every pruned pair was already below
+    # threshold. On the size-uniform bench corpus this removes only ~8% of
+    # candidates (measured at sf1); on a real size-diverse corpus the
+    # cross-bucket replicas it targets are the bulk of the admitted excess.
+    ratio_ok = F.least(sa, sb) * 10000 >= F.greatest(sa, sb) * 1999
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ratio_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
