@@ -617,3 +617,39 @@ def test_registry_wide_plan_audit_full_sweep(spark, sf_dir, tmp_path_factory):
     build_wide_dir(spark, sf_dir, wide)
     offenders = {k: v for k, v in audit(spark, wide).items() if k not in allow}
     assert offenders == {}
+
+
+def test_width_probe_memoized_per_plan(spark, sf_dir, monkeypatch):
+    """VERDICT r05 task 7: composed pipelines (K1/K3 chain several text ops
+    over one corpus) must pay the analyzer width probe once per loaded
+    corpus per session, not once per call site. The memo key is
+    (applicationId, analyzed-plan semanticHash), so re-loading the same
+    table hits the cache while a different plan probes fresh."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+
+    from australian_company_etl_spark.functions import partitioning as P
+
+    P._WIDTH_CACHE.clear()
+    probes = {"n": 0}
+    # Spark 4: pyspark.sql.DataFrame is the abstract base; the session's
+    # frames are the classic subclass, whose own `rdd` (a cached_property)
+    # shadows the base one — patch the concrete class.
+    real = ClassicDataFrame.rdd.func
+
+    def counting_rdd(df):
+        probes["n"] += 1
+        return real(df)
+
+    monkeypatch.setattr(ClassicDataFrame, "rdd", property(counting_rdd))
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    d1 = load_tables(spark, sf_dir, ["documents"])["documents"]
+    P.spread_if_narrow(d1, "doc_id")
+    assert probes["n"] == 1
+    # same table re-loaded (a composed pipeline's second op): cache hit
+    d2 = load_tables(spark, sf_dir, ["documents"])["documents"]
+    P.spread_if_narrow(d2, "doc_id")
+    assert probes["n"] == 1
+    # a different plan (projection changes the analyzed plan): fresh probe
+    P.spread_if_narrow(d1.select("doc_id"), "doc_id")
+    assert probes["n"] == 2
