@@ -111,18 +111,26 @@ def _index_lock(path: str, timeout: float = 60.0):
             os.unlink(lock)
 
 
-def heal_interrupted_compaction(path: str) -> str | None:
+def heal_interrupted_compaction(path: str, clean_tmp: bool = False) -> str | None:
     """Recover an index directory from a compaction that died mid-swap.
 
     The swap is two renames (live → .precompact, .compacting → live), NOT
     atomic as a unit: a crash between them leaves no live directory, with
-    the good data stranded in ``.precompact``. Called on server startup and
-    at the head of every compaction, this rolls that window back (restore
-    ``.precompact`` as live — always correct: it is byte-identical to the
-    pre-compaction index plus nothing, and appends are excluded by the
-    lock) and discards any orphaned ``.compacting`` rewrite (it will simply
-    be re-compacted later). Returns a short action tag for logging/tests,
-    or None if nothing needed healing."""
+    the good data stranded in ``.precompact``. Called on server startup,
+    at the head of every compaction, and by the appenders under their
+    lock, this rolls that window back (restore ``.precompact`` as live —
+    always correct: it is byte-identical to the pre-compaction index plus
+    nothing, and appends are excluded by the lock).
+
+    ``clean_tmp`` additionally discards a leftover ``.compacting`` rewrite
+    — pass it ONLY from `compact_index` itself (which must not run
+    concurrently with another compaction of the same index): to every
+    other caller a ``.compacting`` dir may be a LIVE compaction's
+    in-flight rewrite, and deleting it would destroy that work. Leaving
+    an orphan is safe — the next compaction's mode-overwrite rewrite
+    replaces it wholesale; the flag exists to reclaim the disk. Returns
+    a short action tag for logging/tests, or None if nothing needed
+    healing."""
     import shutil
 
     old = path.rstrip("/") + ".precompact"
@@ -136,7 +144,7 @@ def heal_interrupted_compaction(path: str) -> str | None:
             # crashed after the second rename, before cleanup
             shutil.rmtree(old)
             action = "cleaned_precompact"
-    if os.path.exists(tmp):
+    if clean_tmp and os.path.exists(tmp):
         shutil.rmtree(tmp)
         action = action or "cleaned_compacting"
     return action
@@ -221,6 +229,7 @@ def append_documents_to_index(
     ledger_path = table_path(data_dir, FULLTEXT_DOCS)
     new_docs = new_docs.dropDuplicates(["doc_id"])
     with _index_lock(path):
+        heal_interrupted_compaction(path)
         if not os.path.exists(ledger_path):
             # pre-ledger snapshot (postings only, published before the
             # ledger existed): backfill it ONCE from the index's distinct
@@ -387,6 +396,7 @@ def append_parts_to_trigram_index(
     path = table_path(data_dir, TRIGRAM_INDEX)
     new_parts = new_parts.dropDuplicates(["p_partkey"])
     with _index_lock(path):
+        heal_interrupted_compaction(path)
         indexed = spark.read.parquet(path).select("p_partkey").distinct()
         fresh = new_parts.join(indexed, "p_partkey", "left_anti")
         n_new = fresh.count()
@@ -443,7 +453,9 @@ def compact_index(
 
     path = table_path(data_dir, index_name)
     with _index_lock(path):
-        heal_interrupted_compaction(path)
+        # clean_tmp is safe ONLY here: compactions of one index must not
+        # run concurrently with each other (cron one of them)
+        heal_interrupted_compaction(path, clean_tmp=True)
         # point-in-time listing: the rewrite covers exactly these files,
         # whatever lands afterwards is handled by the swap-time re-diff
         listed = sorted(glob.glob(os.path.join(path, "*.parquet")))

@@ -753,10 +753,20 @@ def test_interrupted_compaction_swap_heals(spark, tmp_path):
     os.makedirs(idx_path + ".compacting")
     assert not os.path.exists(idx_path)
 
-    assert api.heal_interrupted_compaction(idx_path) == "rolled_back"
+    # compact-side healing (clean_tmp): rollback + orphan rewrite discarded
+    assert api.heal_interrupted_compaction(idx_path, clean_tmp=True) == "rolled_back"
     assert spark.read.parquet(idx_path).count() == n_before
     assert not os.path.exists(idx_path + ".precompact")
     assert not os.path.exists(idx_path + ".compacting")
+
+    # appender-side healing (default): a .compacting dir may be a LIVE
+    # compaction's in-flight rewrite — it must be left alone
+    os.makedirs(idx_path + ".compacting")
+    assert api.heal_interrupted_compaction(idx_path) is None
+    assert os.path.exists(idx_path + ".compacting")
+    import shutil as _sh
+
+    _sh.rmtree(idx_path + ".compacting")
 
     # crash AFTER the second rename but before cleanup: live is the new
     # data, .precompact is the leftover — healing must keep live and clean
@@ -826,3 +836,27 @@ def test_index_lock_blocks_and_breaks_stale(tmp_path):
     with _index_lock(p, timeout=0.3):
         assert os.path.exists(p + ".lock")
     assert not os.path.exists(p + ".lock")
+
+
+def test_append_heals_interrupted_compaction_first(spark, tmp_path):
+    """An appender arriving after a compaction died mid-swap must roll the
+    index back and append normally — cron'd maintenance streams should
+    self-heal, not fail until a human notices the missing live path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving.http_api import append_documents_to_index
+    from australian_company_etl_spark.sources.registry import table_path
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    idx_path = table_path(d, "fulltext_index")
+    os.rename(idx_path, idx_path + ".precompact")  # the crash window
+    new_doc = spark.createDataFrame(
+        [(40_000_000, "healed append works")], "doc_id bigint, text string"
+    )
+    out = append_documents_to_index(spark, new_doc, d)
+    assert out["docs_appended"] == 1
+    assert out["n_docs"] == docs.filter(F.col("doc_id") % 2 == 0).count() + 1
+    assert os.path.exists(idx_path)
+    assert not os.path.exists(idx_path + ".precompact")
