@@ -11,14 +11,19 @@ dataflows against a live snapshot directory —
     python scripts/maintain_index.py stream --data-dir SNAP \
         --landing DIR --checkpoint DIR
 
-    # restore an index to fully-sorted layout (digest-verified atomic swap)
+    # restore an index to fully-sorted layout (digest-verified swap)
     python scripts/maintain_index.py compact --data-dir SNAP \
         [--index fulltext_index --key tok] [--n-files 8]
 
 All three are idempotent: re-delivered batches append nothing, a restarted
 stream resumes after its committed files, and a failed compaction never
 replaces the live index. A crontab pairing `stream` (frequent) with
-`compact` (periodic) is the full index-maintenance daemon.
+`compact` (periodic) is the full index-maintenance daemon — overlap is
+safe: appenders and the compaction swap exclude each other via the index
+lock file, a batch appended during a compaction rewrite is re-diffed into
+the new layout at swap time, and every entry point first rolls back a
+swap that died between its two renames (heal_interrupted_compaction).
+Only compactions of the SAME index must not overlap each other.
 """
 
 from __future__ import annotations
