@@ -33,12 +33,36 @@ def cents_sql(expr: str) -> str:
 
 
 def money(sum_col: Column, scale: int, ndp: int = 2) -> Column:
-    """Exact integer-unit sum → currency double, rounded to ndp."""
-    return F.round(sum_col.cast("double") / F.lit(float(10**scale)), ndp)
+    """Exact integer-unit sum → currency double, rounded to ndp.
+
+    The scale→ndp reduction rounds in INTEGER units first (half away from
+    zero on the exact integer), THEN performs the single division: dividing
+    the e-4 integer by 10^4 before rounding puts the tie exactly on a
+    non-representable decimal (…X.XX50), where Spark (BigDecimal
+    shortest-repr HALF_UP: up) and DuckDB (raw-double: whichever side the
+    nearest double landed) disagree — the replicated sf1 corpus makes …50
+    endings 10× likelier (every replicated sum gains a trailing zero) and
+    flipped 5 of 1000 Pareto revenues by one cent between engines. With the
+    tie resolved on the exact integer, both engines derive the SAME
+    reduced integer and the final cast/divide is the identical operation
+    on identical inputs."""
+    unit = 10 ** (scale - ndp)
+    if unit > 1:
+        half = unit // 2
+        mag = F.floor((F.abs(sum_col) + F.lit(half)) / F.lit(unit))
+        sum_col = F.when(sum_col < 0, -mag).otherwise(mag)
+    return F.round(sum_col.cast("double") / F.lit(float(10**ndp)), ndp)
 
 
 def money_sql(sum_expr: str, scale: int, ndp: int = 2) -> str:
-    return f"round(({sum_expr})::DOUBLE / {float(10 ** scale)}, {ndp})"
+    unit = 10 ** (scale - ndp)
+    if unit > 1:
+        half = unit // 2
+        mag = f"((abs({sum_expr}) + {half}) // {unit})"
+        red = f"(CASE WHEN ({sum_expr}) < 0 THEN -{mag} ELSE {mag} END)"
+    else:
+        red = f"({sum_expr})"
+    return f"round({red}::DOUBLE / {float(10 ** ndp)}, {ndp})"
 
 
 def sum_cents(col: Column | str) -> Column:

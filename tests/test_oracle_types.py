@@ -137,3 +137,37 @@ def test_no_registry_query_emits_nested_columns(spark):
         f"registry queries emit driver-unhashable nested columns {offenders}; "
         f"join arrays into a canonical string in BOTH dialects instead"
     )
+
+
+def test_money_rounds_ties_identically_across_engines(spark):
+    """Regression (round-6 sf1 parity): an e-4 integer sum ending in …50
+    puts the 2-dp tie on a non-representable decimal if divided BEFORE
+    rounding — Spark's BigDecimal HALF_UP then rounds up while DuckDB
+    rounds the raw double to whichever side the nearest representation
+    landed, a one-cent cross-engine flip (5 of 1000 Pareto revenues at
+    the replicated sf1, whose sums gain a trailing zero). money()/
+    money_sql() must resolve the tie on the exact integer, identically."""
+    import duckdb
+
+    from australian_company_etl_spark.functions.exactmath import money, money_sql
+    from pyspark.sql import functions as F
+
+    # …50 endings (the tie), a tie just above/below, negatives, scale 6
+    cases_e4 = [3209364585250, 123450, 123449, 123451, -123450, 50, -50]
+    df = spark.createDataFrame([(v,) for v in cases_e4], "v long").select(
+        money(F.col("v").cast("decimal(38,0)"), 4).alias("m")
+    )
+    got = [r["m"] for r in df.collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {money_sql(str(v), 4)}").fetchone()[0] for v in cases_e4
+    ]
+    assert got == want
+    # the tie itself rounds half away from zero on the exact integer
+    assert got[1] == 12.35 and got[4] == -12.35 and got[2] == 12.34
+    e6 = spark.createDataFrame([(123455000,)], "v long").select(
+        money(F.col("v").cast("decimal(38,0)"), 6).alias("m")
+    )
+    assert e6.collect()[0]["m"] == con.execute(
+        f"SELECT {money_sql('123455000', 6)}"
+    ).fetchone()[0] == 123.46
