@@ -30,14 +30,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # minPartitionSize stays at its 1m default: with parallelismFirst
-        # (also default) AQE targets max(total/parallelism, floor), so a
-        # tiny iterative frame (~500 rows) still coalesces to ONE partition
-        # while a mid-size CPU-dense shuffle keeps all cores. The earlier 8m
-        # floor looked free for IO-bound stages but was measured pinning a
-        # 41 MB set-verify join (seconds of array_intersect per MB) to 4-5
-        # tasks on 32 cores; at 100 TB total/parallelism dwarfs any floor
-        # and both settings are no-ops.
+        # AQE coalesce floor tuned for CPU-DENSE rows: with parallelismFirst
+        # (default) AQE targets max(total/parallelism, minPartitionSize), so
+        # the floor decides how small a shuffle still keeps every core. The
+        # original 8m floor was measured pinning the 41 MB set-verify join
+        # (seconds of array_intersect per MB) to 4-5 tasks on 32 cores; the
+        # 1m default still halved it to 16 tasks on its ~20 MB exchanges.
+        # 256k keeps such joins at full width (ngram verify at sf1:
+        # 8m 38s → 1m 5-6s → 256k 3.0s) while a tiny iterative frame
+        # (~500 rows ≪ 256k) still coalesces to ONE partition, so the
+        # scheduling-overhead motive for a floor is preserved. At 100 TB
+        # total/parallelism dwarfs any floor — this knob is local-only.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # let AQE coalesce the output partitioning of persisted plans too:
         # iterative ops (connected components) cache tiny label/edge frames,

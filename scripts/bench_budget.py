@@ -37,11 +37,11 @@ SF1_DIR = os.path.join(
 # compounding unnoticed across rounds.
 BUDGET_SEC = {
     "dedup_minhash_lsh": 2.2,
-    "text_fingerprint": 0.8,
-    "dedup_ngram_jaccard": 6.5,
+    "text_fingerprint": 0.4,
+    "dedup_ngram_jaccard": 3.8,
     "dedup_substring_spans": 1.2,
-    "q5_local_supplier": 0.95,
-    "q3_shipping_priority": 1.1,
+    "q5_local_supplier": 1.0,
+    "q3_shipping_priority": 1.2,
 }
 HEADROOM = 2.0
 
