@@ -36,7 +36,7 @@ SF1_DIR = os.path.join(
 # budget = 2x — generous against noise, tight against a 45%-class regression
 # compounding unnoticed across rounds.
 BUDGET_SEC = {
-    "dedup_minhash_lsh": 2.2,
+    "dedup_minhash_lsh": 1.4,
     "text_fingerprint": 0.4,
     "dedup_ngram_jaccard": 3.8,
     "dedup_substring_spans": 1.2,
