@@ -198,9 +198,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 — minhash/LSH candidate pairs with verified Jaccard ≥ 0.2.
 
     The verify Jaccard is computed over 60-bit shingle-HASH sets, not the
-    shingle strings: md5 runs once per shingle occurrence into a persisted
-    (doc_id, h60) table that feeds all three branches (signature build +
-    both verify sides), and the verify join shuffles int64 arrays instead
+    shingle strings: md5 runs once per shingle occurrence inside the single
+    set+signature aggregate pass (`_minhash_bands_sets`), whose persisted
+    per-doc result feeds the band join and both verify sides, and the
+    verify join shuffles int64 arrays instead
     of long string arrays — measured 2.5× end-to-end at sf1. Hash-set
     Jaccard equals string-set Jaccard unless two distinct shingles collide
     in 60 bits (odds ~n²/2⁶¹ per doc — negligible), and the oracle hashes
