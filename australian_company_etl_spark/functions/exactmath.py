@@ -46,23 +46,27 @@ def money(sum_col: Column, scale: int, ndp: int = 2) -> Column:
     tie resolved on the exact integer, both engines derive the SAME
     reduced integer and the final cast/divide is the identical operation
     on identical inputs."""
-    unit = 10 ** (scale - ndp)
-    if unit > 1:
+    if scale > ndp:
+        unit = 10 ** (scale - ndp)
         half = unit // 2
         mag = F.floor((F.abs(sum_col) + F.lit(half)) / F.lit(unit))
         sum_col = F.when(sum_col < 0, -mag).otherwise(mag)
-    return F.round(sum_col.cast("double") / F.lit(float(10**ndp)), ndp)
+        scale = ndp  # the reduced integer is now in 10^-ndp units
+    # scale <= ndp: the value has at most `scale` decimals, exactly — no
+    # tie exists and the single division is the full answer
+    return F.round(sum_col.cast("double") / F.lit(float(10**scale)), ndp)
 
 
 def money_sql(sum_expr: str, scale: int, ndp: int = 2) -> str:
-    unit = 10 ** (scale - ndp)
-    if unit > 1:
+    if scale > ndp:
+        unit = 10 ** (scale - ndp)
         half = unit // 2
         mag = f"((abs({sum_expr}) + {half}) // {unit})"
         red = f"(CASE WHEN ({sum_expr}) < 0 THEN -{mag} ELSE {mag} END)"
+        scale = ndp
     else:
         red = f"({sum_expr})"
-    return f"round({red}::DOUBLE / {float(10 ** ndp)}, {ndp})"
+    return f"round({red}::DOUBLE / {float(10 ** scale)}, {ndp})"
 
 
 def sum_cents(col: Column | str) -> Column:

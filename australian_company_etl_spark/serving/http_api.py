@@ -72,43 +72,40 @@ def _index_lock(path: str, timeout: float = 60.0):
     phase runs UNLOCKED; files appended meanwhile are detected by the
     re-diff and carried into the new layout verbatim).
 
-    Mechanics: O_CREAT|O_EXCL lock file beside the index holding the owner
-    pid. A lock whose pid is no longer alive is broken automatically (a
-    kill -9 mid-append must not wedge maintenance forever); that liveness
-    probe is only meaningful when all maintainers share a host, which is
-    the single-driver deployment here. On a multi-host object store this
+    Mechanics: flock(LOCK_EX) on a lock file beside the index. The kernel
+    releases the lock when the holder dies — any death, including kill -9
+    between any two instructions — so there is NO stale-lock state and no
+    liveness-probe protocol to race on (an earlier create-O_EXCL +
+    dead-pid-break scheme let two contenders both "break" one stale file
+    and both enter). The lock file itself persists; its pid content is
+    informational only. flock is a same-host primitive, which is the
+    single-driver deployment here; on a multi-host object store this
     becomes the table-format commit protocol (a catalog/conditional-put
     lock, as Delta/Iceberg do) — same protocol shape, different primitive.
     """
+    import fcntl
+
     lock = path.rstrip("/") + ".lock"
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
     deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                with open(lock) as f:
-                    owner = int(f.read().strip() or "0")
-                if owner:
-                    os.kill(owner, 0)  # raises if the owner is gone
-            except (OSError, ValueError):
-                # stale lock (dead owner / unreadable): break it and retry
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(lock)
-                continue
-            if time.monotonic() >= deadline:
-                raise TimeoutError(
-                    f"index lock {lock} held by live pid {owner} for >{timeout}s"
-                )
-            time.sleep(0.05)
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"index lock {lock} held by a live process for >{timeout}s"
+                    ) from None
+                time.sleep(0.05)
+        os.ftruncate(fd, 0)
         os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
         yield
     finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(lock)
+        # closing the fd releases the flock atomically with process exit
+        # semantics; the file stays behind as a harmless mailbox
+        os.close(fd)
 
 
 def heal_interrupted_compaction(path: str, clean_tmp: bool = False) -> str | None:
@@ -476,7 +473,10 @@ def compact_index(
             f"index compaction dropped data for {index_name}: "
             f"wrote {expected}, read back {actual}"
         )
-    with _index_lock(path):
+    # patient timeout: the rewrite is already done and digest-verified, so
+    # waiting out a long-running append (which holds the lock across its
+    # Spark jobs) is strictly better than discarding the completed rewrite
+    with _index_lock(path, timeout=600.0):
         # files appended while the rewrite ran: verbatim-copy into the new
         # layout (byte-identical ⇒ lossless by construction; Spark part
         # files carry unique UUID names, so no collision)
@@ -756,7 +756,10 @@ def make_server(spark: SparkSession, data_dir: str, port: int = 0) -> ThreadingH
     for idx in (FULLTEXT_INDEX, TRIGRAM_INDEX):
         p = table_path(data_dir, idx)
         if os.path.exists(p) or os.path.exists(p.rstrip("/") + ".precompact"):
-            heal_interrupted_compaction(p)
+            # under the lock: a live compaction mid-swap must not see its
+            # .precompact rolled back between its two renames
+            with _index_lock(p):
+                heal_interrupted_compaction(p)
     handler = type("Handler", (_Handler,), {"spark": spark, "data_dir": data_dir})
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 

@@ -31,7 +31,9 @@ def build_wide_dir(spark, sf_dir: str, out: str) -> None:
     par = spark.sparkContext.defaultParallelism
     os.makedirs(out, exist_ok=True)
     for t in os.listdir(sf_dir):
-        src = os.path.join(sf_dir, t)
+        # absolute target: a relative sf_dir would make the symlink resolve
+        # relative to the tmp dir and dangle
+        src = os.path.abspath(os.path.join(sf_dir, t))
         dst = os.path.join(out, t)
         if t.split(".")[0] in ("documents", "embeddings"):
             spark.read.parquet(src).repartition(par).write.mode("overwrite").parquet(dst)
@@ -40,10 +42,6 @@ def build_wide_dir(spark, sf_dir: str, out: str) -> None:
 
 
 def audit(spark, wide_dir: str) -> dict[str, list[str]]:
-    from tests.test_scale_plan import (
-        _exploded_rows_cross_a_doc_exchange as _chain_check,  # noqa: N813
-    )
-
     from australian_company_etl_spark.plans import all_queries
 
     offenders: dict[str, list[str]] = {}
@@ -60,10 +58,15 @@ def audit(spark, wide_dir: str) -> dict[str, list[str]]:
     return offenders
 
 
-def _generate_to_exchange_chains(plan: str) -> list[str]:
-    """Any-key generalization of the shingle-family guard: every
-    `Exchange hashpartitioning(...)` whose subtree contains a `Generate`
-    with no Aggregate/Join ancestor between them."""
+def _generate_to_exchange_chains(plan: str, key: str = "") -> list[str]:
+    """The round-5-regression plan-shape detector, shared by the
+    full-registry sweep here and tests/test_scale_plan.py: every
+    `Exchange hashpartitioning(<key>…)` whose subtree contains ANY
+    `Generate` with no Aggregate/Join ancestor between them — i.e. raw
+    generated (exploded) rows crossing a shuffle. All Generates in the
+    subtree are examined, not just the first printed: a join subtree can
+    hold a protected Generate in one branch and a raw one in another.
+    ``key`` narrows to exchanges on one column ("" = any key)."""
     import re
 
     def depth(line: str) -> int:
@@ -72,13 +75,14 @@ def _generate_to_exchange_chains(plan: str) -> list[str]:
     lines = plan.splitlines()
     bad = []
     for i, ln in enumerate(lines):
-        if "Exchange hashpartitioning(" not in ln:
+        if f"Exchange hashpartitioning({key}" not in ln:
             continue
         d = depth(ln)
+        offending = False
         for j in range(i + 1, len(lines)):
             dj = depth(lines[j])
             if dj <= d:
-                break
+                break  # left the exchange's subtree
             if "Generate " in lines[j]:
                 cur = dj
                 ok = False
@@ -90,8 +94,10 @@ def _generate_to_exchange_chains(plan: str) -> list[str]:
                             ok = True
                             break
                 if not ok:
-                    bad.append(ln.strip()[:160])
-                break
+                    offending = True
+                    break
+        if offending:
+            bad.append(ln.strip()[:160])
     return bad
 
 

@@ -171,3 +171,23 @@ def test_money_rounds_ties_identically_across_engines(spark):
     assert e6.collect()[0]["m"] == con.execute(
         f"SELECT {money_sql('123455000', 6)}"
     ).fetchone()[0] == 123.46
+
+
+def test_money_handles_scale_below_ndp(spark):
+    """money(col, scale=0) — whole-currency-unit sums — must divide by
+    10^scale, not 10^ndp (a refactor briefly narrowed the contract: the
+    reduction branch rewired the final division to 10^ndp, which is only
+    correct after reduction; with scale < ndp it returned values 100x
+    off)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.functions.exactmath import money, money_sql
+
+    df = spark.createDataFrame([(1234,), (-7,)], "v long").select(
+        money(F.col("v").cast("decimal(38,0)"), 0).alias("m")
+    )
+    assert [r["m"] for r in df.collect()] == [1234.0, -7.0]
+    con = duckdb.connect()
+    assert con.execute(f"SELECT {money_sql('1234', 0)}").fetchone()[0] == 1234.0

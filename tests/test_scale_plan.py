@@ -481,50 +481,13 @@ def test_spread_if_narrow_spreads_a_one_partition_input(spark, sf_dir):
     assert "Exchange hashpartitioning(doc_id" in _executed_plan(out)
 
 
-def _node_depth(line: str) -> int:
-    """Tree depth proxy for a physical-plan line: length of the box-drawing
-    prefix (`+- `, `:  `, spaces) before the node name."""
-    import re
-
-    return len(re.match(r"^[\s:+\-]*", line).group(0))
-
-
-def _exploded_rows_cross_a_doc_exchange(plan: str) -> list[str]:
-    """Return the offending Exchange lines: every `Exchange
-    hashpartitioning(doc_id…)` whose subtree contains a `Generate
-    posexplode` with NO aggregate between them — i.e. the exchange moves
-    raw exploded token rows (the round-5 regression shape) instead of
-    partial-aggregated per-doc rows or pre-explode documents."""
-    lines = plan.splitlines()
-    bad = []
-    for i, ln in enumerate(lines):
-        if "Exchange hashpartitioning(doc_id" not in ln:
-            continue
-        d = _node_depth(ln)
-        for j in range(i + 1, len(lines)):
-            dj = _node_depth(lines[j])
-            if dj <= d:
-                break  # left the exchange's subtree
-            if "Generate posexplode" in lines[j]:
-                # climb the ancestor chain from the Generate back up to the
-                # Exchange; an Aggregate ancestor means the exchange input
-                # is already combined map-side (one row per doc), and a Join
-                # ancestor means it is a (filtered) join output, not the raw
-                # exploded stream — both fine. The regression shape is the
-                # DIRECT Generate → Exchange(doc_id) chain.
-                cur = dj
-                ok = False
-                for k in range(j - 1, i, -1):
-                    dk = _node_depth(lines[k])
-                    if dk < cur:
-                        cur = dk
-                        if "Aggregate" in lines[k] or "Join" in lines[k]:
-                            ok = True
-                            break
-                if not ok:
-                    bad.append(ln.strip())
-                break
-    return bad
+# The Exchange-over-Generate walker lives in scripts/audit_wide_plans.py —
+# ONE implementation shared by the doc_id-focused shingle test below and
+# the full-registry any-key sweep, so a heuristic fix cannot silently
+# diverge between them.
+from scripts.audit_wide_plans import (  # noqa: E402
+    _generate_to_exchange_chains as _exploded_rows_cross_an_exchange,
+)
 
 
 # every registry query whose plan explodes per-token rows keyed by doc_id —
@@ -572,7 +535,7 @@ def test_shingle_family_never_shuffles_exploded_rows_on_wide_input(
     assert docs.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
     df = QUERIES[name](spark, wide_docs_dir)
     plan = _executed_plan(df)
-    offenders = _exploded_rows_cross_a_doc_exchange(plan)
+    offenders = _exploded_rows_cross_an_exchange(plan, key="doc_id")
     assert offenders == [], f"{name}: exploded rows cross {offenders}"
 
 
@@ -653,3 +616,56 @@ def test_width_probe_memoized_per_plan(spark, sf_dir, monkeypatch):
     # a different plan (projection changes the analyzed plan): fresh probe
     P.spread_if_narrow(d1.select("doc_id"), "doc_id")
     assert probes["n"] == 2
+
+
+def test_exchange_walker_flags_raw_generates_in_any_branch():
+    """The walker must flag a raw Generate feeding an Exchange (the
+    round-5 regression shape) and must examine EVERY Generate in the
+    subtree — a join whose first-printed branch protects its Generate
+    behind an Aggregate while the second branch feeds raw exploded rows
+    was invisible to an earlier first-match-only version."""
+    protected = "\n".join([
+        "Exchange hashpartitioning(doc_id#1L, 32)",
+        "+- HashAggregate(keys=[doc_id#1L])",
+        "   +- Generate posexplode(t#2)",
+        "      +- FileScan parquet",
+    ])
+    assert _exploded_rows_cross_an_exchange(protected) == []
+
+    direct = "\n".join([
+        "Exchange hashpartitioning(doc_id#1L, 32)",
+        "+- Project [doc_id#1L, tok#3]",
+        "   +- Generate posexplode(t#2)",
+        "      +- FileScan parquet",
+    ])
+    assert len(_exploded_rows_cross_an_exchange(direct)) == 1
+    assert _exploded_rows_cross_an_exchange(direct, key="doc_id")
+    assert _exploded_rows_cross_an_exchange(direct, key="vec_id") == []
+
+    # second branch raw: first Generate is aggregate-protected, the raw
+    # one appears later in the same exchange subtree
+    two_branch = "\n".join([
+        "Exchange hashpartitioning(doc_id#1L, 32)",
+        "+- SortMergeJoin [doc_id#1L]",
+        "   :- HashAggregate(keys=[doc_id#1L])",
+        "   :  +- Generate posexplode(t#2)",
+        "   :     +- FileScan parquet",
+        "   +- Project [doc_id#4L]",
+        "      +- Generate posexplode(u#5)",
+        "         +- FileScan parquet",
+    ])
+    # NB: the join itself sits between the second Generate and the
+    # exchange here, so this exact shape is accepted (join outputs are
+    # not the raw exploded stream); drop the join to see the raw flag
+    second_raw = "\n".join([
+        "Exchange hashpartitioning(doc_id#1L, 32)",
+        "+- Union",
+        "   :- HashAggregate(keys=[doc_id#1L])",
+        "   :  +- Generate posexplode(t#2)",
+        "   :     +- FileScan parquet",
+        "   +- Project [doc_id#4L]",
+        "      +- Generate posexplode(u#5)",
+        "         +- FileScan parquet",
+    ])
+    assert len(_exploded_rows_cross_an_exchange(two_branch)) == 0
+    assert len(_exploded_rows_cross_an_exchange(second_raw)) == 1

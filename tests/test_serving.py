@@ -812,11 +812,17 @@ def test_append_backfills_missing_ledger(spark, tmp_path):
         assert json.load(f)["fulltext_index"]["n_docs"] == indexed.count() + 1
 
 
-def test_index_lock_blocks_and_breaks_stale(tmp_path):
+def test_index_lock_blocks_and_never_goes_stale(tmp_path):
     """The index lock's two contracts: a LIVE holder blocks a contender
-    until timeout (TimeoutError, not silent entry), and a lock left by a
-    dead pid is broken automatically instead of wedging maintenance."""
+    until timeout (TimeoutError, not silent entry), and a lock whose
+    holder died never wedges maintenance. flock gives the second for
+    free — the kernel releases on ANY process death — with no
+    stale-break protocol to race on (the earlier dead-pid-break scheme
+    let two contenders both break one stale file and both enter; a
+    subprocess death below stands in for kill -9)."""
     import os
+    import subprocess
+    import sys
 
     import pytest as _pytest
 
@@ -824,18 +830,27 @@ def test_index_lock_blocks_and_breaks_stale(tmp_path):
 
     p = str(tmp_path / "idx.parquet")
     with _index_lock(p):
-        with _pytest.raises(TimeoutError, match="held by live pid"):
+        # flock conflicts across open file descriptions, so a same-process
+        # contender on a fresh fd blocks exactly like another process
+        with _pytest.raises(TimeoutError, match="live process"):
             with _index_lock(p, timeout=0.3):
                 pass
     # released: re-entry succeeds
     with _index_lock(p, timeout=0.3):
         pass
-    # stale lock from a dead pid: broken and acquired
-    with open(p + ".lock", "w") as f:
-        f.write("999999999")
+    # a holder that DIES without cleanup (os._exit, no finally) leaves the
+    # file behind but no lock — the next contender acquires immediately
+    code = (
+        "import os, sys; sys.path.insert(0, sys.argv[2]); "
+        "from australian_company_etl_spark.serving.http_api import _index_lock; "
+        "ctx = _index_lock(sys.argv[1]); ctx.__enter__(); os._exit(9)"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code, p, os.getcwd()], check=False, timeout=60
+    )
+    assert os.path.exists(p + ".lock")  # the mailbox file persists
     with _index_lock(p, timeout=0.3):
-        assert os.path.exists(p + ".lock")
-    assert not os.path.exists(p + ".lock")
+        pass  # but the dead holder's lock is gone
 
 
 def test_append_heals_interrupted_compaction_first(spark, tmp_path):
