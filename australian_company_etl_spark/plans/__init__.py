@@ -13,71 +13,73 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # Registration order is the driver's verification order (it checks the first
-# 50 registered queries per round). Round-6 rotation (VERDICT r05 task 3):
-# semantics-touched-first, then oldest-green. First the 8 shingle-family
-# queries whose builders changed this round (zip-shift shingles — same
-# results, new plan; the driver must re-gate them), then every row whose
-# latest driver check is still ROUND 2 (18), then the oldest round-3 rows
-# to fill the 50 slots (24 of 32; the last 8 r3 rows — sketch_hll_daily_
-# merge, mix_corpus_temperature, sample_weighted_priority, curate_keep_
-# best, events_cdc_snapshot, events_watermark_lag_audit, sketch_theta_
-# setops, knn_graph_lsh — rotate in round 7). After this round no query's
-# latest driver row is older than r3. The registry stays FROZEN at 155
-# keys.
+# 50 registered queries per round). Round-7 rotation (VERDICT r06 task 1):
+# semantics-touched-first, then oldest-green. First the one query whose plan
+# changed this round (dedup_ngram_jaccard — the size-ratio prune now does
+# bigint math, ADVICE r06; same results, new expression; the driver must
+# re-gate it), then the 8 rows whose latest driver check is still ROUND 3
+# (the r6 window's leftovers), then the oldest round-4 rows to fill the 50
+# slots (41 of 50). Deferred to round 8: the 4 declared no-oracle rows
+# (embed_top_eigenvector, quality_table_health, text_bpe_vocab,
+# text_bpe_tokenize — the driver's rows-only check adds nothing over their
+# python-reference pytest gates) and 5 trivial point plans (api_lookup_by_
+# key, api_page_keyset, quality_row_counts, quality_null_counts,
+# norm_names). After this round no sql-gated query's latest driver row is
+# older than r4. The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- shingle builders changed this round (8) --------------------------
-    "dedup_minhash_lsh",
+    # ---- plan changed this round (1) --------------------------------------
     "dedup_ngram_jaccard",
-    "dedup_substring_spans",
-    "dedup_incremental",
-    "dedup_setsim_prefix",
-    "text_fingerprint",
-    "text_repetition_ratio",
-    "text_collocations_pmi",
-    # ---- latest driver row = round 2 (18) ---------------------------------
-    "mm_binary_meta",
-    "events_tumbling_agg",
-    "curate_corpus",
-    "etl_dag_end_to_end",
-    "dedup_url_canonical",
-    "dedup_lines",
-    "events_scd2_history",
-    "events_funnel_steps",
-    "events_distinct_skewsafe",
-    "ann_pq_topk",
-    "shard_shuffle_deterministic",
-    "dedup_semantic_kmeans",
-    "cluster_kmeans_embed",
-    "mm_audio_features",
-    "mm_audio_resample",
-    "mm_image_features",
-    "events_retention_cohorts",
-    "events_value_outliers",
-    # ---- oldest round-3 rows (fill to the 50-query window) ----------------
-    "q11_important_stock",
-    "dedup_simhash",
-    "events_sessionize",
-    "pivot_user_event_matrix",
-    "window_value_deciles",
-    "set_ops_customer_segments",
-    "orders_rfm_segments",
-    "rank_neardup_pagerank",
-    "graph_triangle_count",
-    "embed_random_projection",
-    "text_tfidf_topterms",
-    "text_entropy",
-    "mm_video_framesample",
-    "events_anomaly_mad",
-    "events_session_window_native",
-    "events_markov_transitions",
-    "events_corr_value_hour",
-    "events_freshness",
-    "events_gap_stats",
-    "incremental_rollup_merge",
-    "events_resample_ffill",
-    "grouping_sets_report",
-    "events_zorder_key",
-    "sketch_hll_distinct",
+    # ---- latest driver row = round 3 (8) ----------------------------------
+    "curate_keep_best",
+    "events_cdc_snapshot",
+    "events_watermark_lag_audit",
+    "knn_graph_lsh",
+    "mix_corpus_temperature",
+    "sample_weighted_priority",
+    "sketch_hll_daily_merge",
+    "sketch_theta_setops",
+    # ---- oldest round-4 rows (fill to the 50-query window) ----------------
+    "extract_regex_fields",
+    "extract_url_filter",
+    "extract_json_props",
+    "extract_first_wins_upsert",
+    "extract_xml_fields",
+    "extract_title_company",
+    "filter_valid_names",
+    "match_exact_key",
+    "match_fuzzy_levenshtein",
+    "match_multi_scorer",
+    "match_keyword_jaccard",
+    "match_blocked_fuzzy",
+    "unify_entities",
+    "match_phonetic_block",
+    "quality_dup_keys",
+    "quality_conf_distribution",
+    "quality_column_profile",
+    "quality_constraint_checks",
+    "privacy_pseudonymize",
+    "privacy_k_anonymity",
+    "quality_drift_psi",
+    "quality_snapshot_diff",
+    "api_search_ilike",
+    "api_by_state",
+    "api_fulltext_rank",
+    "api_search_trigram",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "orders_market_basket",
+    "suppliers_pareto_abc",
+    "ann_recall_report",
+    "ann_lsh_multiprobe",
+    "text_inverted_index",
+    "sketch_bottomk_daily_merge",
+    "sketch_hll_sliding_window",
+    "mix_curriculum_stages",
+    "events_attribution_last_touch",
+    "events_funnel_3step",
+    "events_peak_concurrency",
 ]
 
 

@@ -425,7 +425,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold. On the size-uniform bench corpus this removes only ~8% of
     # candidates (measured at sf1); on a real size-diverse corpus the
     # cross-bucket replicas it targets are the bulk of the admitted excess.
-    ratio_ok = F.least(sa, sb) * 10000 >= F.greatest(sa, sb) * 1999
+    # bigint math: F.size() is int32 and the session runs ANSI mode (Spark 4
+    # default), so int32 * 10000 would raise ARITHMETIC_OVERFLOW for any doc
+    # whose shingle-hash set exceeds 214,748 elements (~215k-token document).
+    ratio_ok = (
+        F.least(sa, sb).cast("bigint") * 10000
+        >= F.greatest(sa, sb).cast("bigint") * 1999
+    )
     return (
         a.join(
             b,

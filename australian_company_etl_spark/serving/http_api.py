@@ -449,44 +449,58 @@ def compact_index(
     import shutil
 
     path = table_path(data_dir, index_name)
-    with _index_lock(path):
-        # clean_tmp is safe ONLY here: compactions of one index must not
-        # run concurrently with each other (cron one of them)
-        heal_interrupted_compaction(path, clean_tmp=True)
-        # point-in-time listing: the rewrite covers exactly these files,
-        # whatever lands afterwards is handled by the swap-time re-diff
-        listed = sorted(glob.glob(os.path.join(path, "*.parquet")))
-    src = spark.read.parquet(*listed)
-    expected = _table_digest(src)
+    # COMPACTION flock (distinct from the appender lock), held across the
+    # whole rewrite+verify+swap: two compactions of one index share the
+    # fixed `.compacting` tmp path, and the rewrite runs outside the index
+    # lock — without this, compactor B's mode-overwrite could clobber tmp
+    # between A's digest verify and A's swap, and A would rename a
+    # partially-written tmp into the live path (corruption the digest check
+    # cannot catch). Fail-fast timeout: a second compactor should error
+    # immediately, not queue behind an hours-long rewrite.
+    with _index_lock(path.rstrip("/") + ".compact", timeout=1.0):
+        # patient timeout on the INDEX lock even for this listing phase:
+        # appenders legitimately hold it across several Spark jobs
+        # (membership anti-joins, parquet writes, two full-index counts for
+        # the manifest), which can exceed 60s on a larger corpus — dying
+        # here before doing any work would starve the cron'd compaction
+        with _index_lock(path, timeout=600.0):
+            # clean_tmp is safe ONLY here: concurrent compactions of one
+            # index are excluded by the compaction flock above
+            heal_interrupted_compaction(path, clean_tmp=True)
+            # point-in-time listing: the rewrite covers exactly these files,
+            # whatever lands afterwards is handled by the swap-time re-diff
+            listed = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        src = spark.read.parquet(*listed)
+        expected = _table_digest(src)
 
-    tmp = path.rstrip("/") + ".compacting"
-    (
-        src.repartitionByRange(n_files, key_col)
-        .sortWithinPartitions(key_col)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    actual = _table_digest(spark.read.parquet(tmp))
-    if actual != expected:
-        shutil.rmtree(tmp)
-        raise RuntimeError(
-            f"index compaction dropped data for {index_name}: "
-            f"wrote {expected}, read back {actual}"
+        tmp = path.rstrip("/") + ".compacting"
+        (
+            src.repartitionByRange(n_files, key_col)
+            .sortWithinPartitions(key_col)
+            .write.mode("overwrite")
+            .parquet(tmp)
         )
-    # patient timeout: the rewrite is already done and digest-verified, so
-    # waiting out a long-running append (which holds the lock across its
-    # Spark jobs) is strictly better than discarding the completed rewrite
-    with _index_lock(path, timeout=600.0):
-        # files appended while the rewrite ran: verbatim-copy into the new
-        # layout (byte-identical ⇒ lossless by construction; Spark part
-        # files carry unique UUID names, so no collision)
-        delta = sorted(set(glob.glob(os.path.join(path, "*.parquet"))) - set(listed))
-        for f in delta:
-            shutil.copy2(f, os.path.join(tmp, os.path.basename(f)))
-        old = path.rstrip("/") + ".precompact"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        actual = _table_digest(spark.read.parquet(tmp))
+        if actual != expected:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"index compaction dropped data for {index_name}: "
+                f"wrote {expected}, read back {actual}"
+            )
+        # patient timeout: the rewrite is already done and digest-verified,
+        # so waiting out a long-running append (which holds the lock across
+        # its Spark jobs) is strictly better than discarding the rewrite
+        with _index_lock(path, timeout=600.0):
+            # files appended while the rewrite ran: verbatim-copy into the
+            # new layout (byte-identical ⇒ lossless by construction; Spark
+            # part files carry unique UUID names, so no collision)
+            delta = sorted(set(glob.glob(os.path.join(path, "*.parquet"))) - set(listed))
+            for f in delta:
+                shutil.copy2(f, os.path.join(tmp, os.path.basename(f)))
+            old = path.rstrip("/") + ".precompact"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
     return {
         "files_before": len(listed),
         "files_after": len(glob.glob(os.path.join(path, "*.parquet"))),
@@ -756,10 +770,28 @@ def make_server(spark: SparkSession, data_dir: str, port: int = 0) -> ThreadingH
     for idx in (FULLTEXT_INDEX, TRIGRAM_INDEX):
         p = table_path(data_dir, idx)
         if os.path.exists(p) or os.path.exists(p.rstrip("/") + ".precompact"):
-            # under the lock: a live compaction mid-swap must not see its
-            # .precompact rolled back between its two renames
-            with _index_lock(p):
-                heal_interrupted_compaction(p)
+            try:
+                # under the lock: a live compaction mid-swap must not see
+                # its .precompact rolled back between its two renames
+                with _index_lock(p):
+                    heal_interrupted_compaction(p)
+            except OSError as exc:
+                # read-only snapshot mount: the lock file cannot be created
+                # (EROFS/EACCES). Healing is only meaningful where
+                # appenders/compaction run — which requires a writable dir
+                # anyway — so degrade to a warning instead of refusing to
+                # serve a published read-only snapshot.
+                import errno
+                import warnings
+
+                if exc.errno not in (errno.EROFS, errno.EACCES, errno.EPERM):
+                    raise
+                warnings.warn(
+                    f"snapshot dir not writable ({exc}); skipping startup "
+                    f"compaction heal for {idx}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     handler = type("Handler", (_Handler,), {"spark": spark, "data_dir": data_dir})
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 

@@ -224,6 +224,29 @@ def test_ngram_compound_blocking_bounds_skew(spark, sf_dir):
     assert compound_max < token_only_max
 
 
+def test_ngram_size_ratio_prune_survives_giant_doc(spark, tmp_path):
+    """F4 regression (ADVICE r06, medium) — the size-ratio prune multiplies
+    F.size() results, and the session runs ANSI mode (Spark 4 default): with
+    int32 math, a doc whose shingle-hash set exceeds 214,748 elements
+    (~215k-token document) raised ARITHMETIC_OVERFLOW at runtime and failed
+    the whole query. The prune must do bigint math: two near-identical
+    220k-token docs must come back as one pair, not an error."""
+    from australian_company_etl_spark.plans.dedup import dedup_ngram_jaccard
+
+    n = 220_003  # distinct tokens -> ~220k distinct shingles > 2**31 / 10000
+    toks = [f"t{j}" for j in range(n)]
+    doc_a = " ".join(toks)
+    doc_b = " ".join(toks[:-1] + ["zzz"])  # same first token, same size bucket
+    df = spark.createDataFrame(
+        [(1, doc_a, "en", "fx", len(doc_a)), (2, doc_b, "en", "fx", len(doc_b))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    pairs = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert [(p.doc_id_a, p.doc_id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.99
+
+
 def test_setsim_prefix_recall_is_exact(spark):
     """F10 — the prefix filter must be LOSSLESS: the blocked join's pair set
     equals the unblocked all-pairs ground truth (exact integer Jaccard ≥ τ
