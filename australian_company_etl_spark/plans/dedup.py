@@ -194,6 +194,25 @@ def _minhash_bands_sets(spark: SparkSession, sf_dir: str):
     return bands, sh
 
 
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """The F2 LSH candidate generator: band-bucket equi-self-join, distinct
+    pairs. Factored out so `scripts/skew_demo.py` and the skew test drive
+    the EXACT production join shape on a hot-banded corpus (this self-join
+    is where a boilerplate shingle family concentrates Σ|bucket|², and the
+    stage AQE's OptimizeSkewedJoin must split at scale)."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 — minhash/LSH candidate pairs with verified Jaccard ≥ 0.2.
 
@@ -208,17 +227,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically so parity is exact either way.
     """
     bands, sh = _minhash_bands_sets(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
+    cand = _band_candidates(bands)
     sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
     jac = _jaccard_spark(F.col("sh_a"), F.col("sh_b"))
