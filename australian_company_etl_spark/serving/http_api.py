@@ -346,6 +346,20 @@ def run_trigram_maintenance_stream(
 
 
 TRIGRAM_INDEX = "trigram_index"
+#: optional probe-cost statistics beside the trigram index, both APPEND-ONLY
+#: ledgers (same dataflow as the postings): `trigram_stats` holds (trgm,
+#: df_inc) rows — a trigram's document frequency is the SUM of its rows —
+#: and `trigram_meta` holds (n_parts_inc, min_n_trgm) rows — corpus size is
+#: the sum, the corpus-wide minimum distinct-trigram count is the min.
+#: They exist solely for the max-df probe skip (`trigram_rank_maxdf`);
+#: when absent or stale the probe falls back to the full plan, so they are
+#: never a correctness dependency. Append ordering makes the guard SOUND
+#: under crashes: both ledger rows are written BEFORE the postings, so a
+#: crash in the window leaves min_n_trgm ≤ the true min (the guard's only
+#: soundness input) and df/n_parts inflated — inflation only shifts the
+#: hot/rare split and the fallback rate, never the served rows.
+TRIGRAM_STATS = "trigram_stats"
+TRIGRAM_META = "trigram_meta"
 
 
 def build_trigram_index(
@@ -371,7 +385,32 @@ def build_trigram_index(
         .write.mode("overwrite")
         .parquet(path)
     )
-    return spark.read.parquet(path).count()
+    idx = spark.read.parquet(path)
+    _write_trigram_stats(spark, idx, out_dir, mode="overwrite")
+    return idx.count()
+
+
+def _write_trigram_meta(spark: SparkSession, postings: DataFrame, data_dir: str, mode: str) -> None:
+    """One (n_parts_inc, min_n_trgm) ledger row for a postings batch."""
+    meta = postings.select("p_partkey", "n_trgm").distinct().agg(
+        F.count("*").alias("n_parts_inc"),
+        F.min("n_trgm").alias("min_n_trgm"),
+    )
+    meta.coalesce(1).write.mode(mode).parquet(table_path(data_dir, TRIGRAM_META))
+
+
+def _write_trigram_df_stats(spark: SparkSession, postings: DataFrame, data_dir: str, mode: str) -> None:
+    """(trgm, df_inc) ledger rows for a postings batch."""
+    stats = postings.groupBy("trgm").agg(F.count("*").alias("df_inc"))
+    stats.coalesce(1).write.mode(mode).parquet(table_path(data_dir, TRIGRAM_STATS))
+
+
+def _write_trigram_stats(spark: SparkSession, postings: DataFrame, data_dir: str, mode: str) -> None:
+    """Publish the max-df probe statistics for a postings batch (see
+    TRIGRAM_STATS/TRIGRAM_META). Build-time path; the append path issues
+    the same two writes before its postings append."""
+    _write_trigram_meta(spark, postings, data_dir, mode)
+    _write_trigram_df_stats(spark, postings, data_dir, mode)
 
 
 def append_parts_to_trigram_index(
@@ -403,9 +442,35 @@ def append_parts_to_trigram_index(
                 "p_name",
                 F.explode(F.expr(_TRGM_EXPR.format(c="p_name"))).alias("trgm"),
             ).withColumn("n_trgm", F.count("*").over(Window.partitionBy("p_partkey")))
-            trg.repartitionByRange(2, "trgm").sortWithinPartitions("trgm").write.mode(
-                "append"
-            ).parquet(path)
+            # local persist (not the query-scoped tracker — this is a
+            # maintenance job): the batch postings feed up to three writes,
+            # and the meta/stats ledgers must describe the SAME rows as the
+            # postings append
+            trg = trg.persist()
+            try:
+                # probe-stat ledgers are maintained only for snapshots that
+                # have them (older postings-only snapshots keep working; the
+                # max-df probe just falls back there). BOTH ledgers are
+                # written BEFORE the postings: (a) soundness — a crash then
+                # leaves min_n_trgm ≤ the true min and df/n_parts inflated,
+                # and neither inflated value can break exactness (the df
+                # split only picks WHICH trigrams probe; the guard uses
+                # min_n) — and (b) mechanics — appending to the postings
+                # path invalidates every cached plan that scans it,
+                # including this batch (its anti-join reads the index), so
+                # a ledger write issued afterwards would recompute against
+                # the post-append index and see an empty batch.
+                has_stats = os.path.exists(
+                    table_path(data_dir, TRIGRAM_STATS)
+                ) and os.path.exists(table_path(data_dir, TRIGRAM_META))
+                if has_stats:
+                    _write_trigram_meta(spark, trg, data_dir, mode="append")
+                    _write_trigram_df_stats(spark, trg, data_dir, mode="append")
+                trg.repartitionByRange(2, "trgm").sortWithinPartitions(
+                    "trgm"
+                ).write.mode("append").parquet(path)
+            finally:
+                trg.unpersist()
         manifest_path = os.path.join(data_dir, "_SNAPSHOT.json")
         with open(manifest_path) as f:
             manifest = json.load(f)
@@ -538,6 +603,123 @@ def trigram_rank_from_index(
         .limit(topk)
         .select("p_partkey", "p_name", "sim")
     )
+
+
+def trigram_rank_maxdf(
+    spark: SparkSession,
+    data_dir: str,
+    query: str,
+    topk: int,
+    max_df: float = 0.05,
+) -> tuple[list[dict] | None, dict]:
+    """Max-df trigram skip (VERDICT r06 stretch): probe candidates with the
+    RARE query trigrams only, so a stopword-analog trigram (' th' in a
+    corpus full of 'the') never drives the shuffled candidate aggregate —
+    the pg_trgm-style cost lever, made EXACT.
+
+    Cost shape: today's probe shuffles one partial-aggregated row per
+    (candidate, partition) for EVERY posting-matched part — a trigram with
+    df = 20% of the corpus puts 0.2·N parts through the aggregate. Here
+    hot trigrams are excluded from candidate generation; their postings
+    are instead semi-joined (broadcast) against the rare-probe candidate
+    set BEFORE any shuffle, so the exchanges carry O(|rare-candidates|)
+    rows regardless of how common the hot trigrams are. The hot posting
+    RUN is still scanned once map-side (sorted layout, contiguous row
+    groups) — that linear scan is the floor any exact answer pays.
+
+    EXACTNESS PROOF (returns None — caller falls back — whenever any step
+    of it cannot be established):
+    - For every candidate c found via ≥1 rare trigram, inter(c) is exact:
+      rare matches counted by the probe + hot matches counted by the
+      semi-join (posting rows are distinct (trgm, part) pairs by
+      construction), so its sim is the same number the full plan computes.
+    - The only parts missing from the candidate set share ONLY hot
+      trigrams. For such a part u: inter(u) ≤ s (s = |hot ∩ query|), and
+      union(u) = n_trgm(u) + |q| − inter(u) ≥ min_n + |q| − s, where
+      min_n is the corpus-wide minimum distinct-trigram count (from the
+      TRIGRAM_META ledger, maintained crash-conservatively — see its
+      comment). Hence sim(u) ≤ s/(min_n + |q| − s) =: bound.
+    - The result is served ONLY if the rare-probe ranking has a full topk
+      rows and its k-th sim is STRICTLY greater than round(bound, 6).
+      Both plans round sims to 6dp and rounding is monotone, so every
+      unseen part ranks strictly below all served rows (ties are
+      impossible under strict >, so the (sim desc, p_partkey asc)
+      tie-order cannot be violated either). The served topk is therefore
+      row-identical to the full plan's.
+
+    Returns (rows|None, info) — info carries the decision trail for tests
+    and the /fuzzy route's debugging."""
+    from australian_company_etl_spark.plans.api import _pg_trigrams
+
+    info: dict = {"used": False}
+    q = _pg_trigrams([w for w in query.lower().split() if w])
+    if not q:
+        raise ValueError("query yields no trigrams")
+    stats_path = table_path(data_dir, TRIGRAM_STATS)
+    meta_path = table_path(data_dir, TRIGRAM_META)
+    if not (os.path.isdir(stats_path) and os.path.isdir(meta_path)):
+        info["reason"] = "no stats ledgers"
+        return None, info
+    meta = spark.read.parquet(meta_path).agg(
+        F.sum("n_parts_inc").alias("n_parts"), F.min("min_n_trgm").alias("min_n")
+    ).collect()[0]
+    n_parts, min_n = int(meta["n_parts"]), int(meta["min_n"])
+    dfs = {
+        r["trgm"]: int(r["df"])
+        for r in spark.read.parquet(stats_path)
+        .filter(F.col("trgm").isin(*q))
+        .groupBy("trgm")
+        .agg(F.sum("df_inc").alias("df"))
+        .collect()
+    }
+    hot = sorted(t for t in q if dfs.get(t, 0) > max_df * n_parts)
+    rare = sorted(t for t in q if t not in set(hot))
+    info.update({"hot": hot, "n_parts": n_parts, "min_n_trgm": min_n})
+    if not hot:
+        info["reason"] = "no hot trigrams"
+        return None, info
+    if not rare:
+        info["reason"] = "every query trigram is hot"
+        return None, info
+    s = len(hot)
+    bound = round(s / (min_n + len(q) - s), 6)
+    info["bound"] = bound
+
+    idx = spark.read.parquet(table_path(data_dir, TRIGRAM_INDEX))
+    cand = (
+        idx.filter(F.col("trgm").isin(*rare))
+        .groupBy("p_partkey", "p_name", "n_trgm")
+        .agg(F.count("*").alias("r"))
+    )
+    hot_hits = (
+        idx.filter(F.col("trgm").isin(*hot))
+        .join(F.broadcast(cand.select("p_partkey")), "p_partkey")
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("h"))
+    )
+    inter = F.col("r") + F.coalesce(F.col("h"), F.lit(0))
+    union = F.col("n_trgm") + F.lit(len(q)) - inter
+    rows = [
+        r.asDict()
+        for r in cand.join(hot_hits, "p_partkey", "left")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(inter.cast("double") / union, 6).alias("sim"),
+        )
+        .filter(F.col("sim") > 0)
+        .orderBy(F.desc("sim"), F.asc("p_partkey"))
+        .limit(topk)
+        .collect()
+    ]
+    if len(rows) < topk or not rows[-1]["sim"] > bound:
+        info["reason"] = (
+            f"guard: {len(rows)} rows, k-th sim "
+            f"{rows[-1]['sim'] if rows else None} !> bound {bound}"
+        )
+        return None, info
+    info["used"] = True
+    return rows, info
 
 
 def fulltext_rank_from_index(
@@ -750,7 +932,15 @@ class _Handler(BaseHTTPRequestHandler):
             if not [w for w in q["q"].lower().split() if w]:
                 raise ValueError("q must contain at least one word")
             if "scan" not in q and os.path.isdir(table_path(d, TRIGRAM_INDEX)):
-                out = _rows_payload(trigram_rank_from_index(spark, d, q["q"], k))
+                # max-df skip first (exact by its guard, or declines);
+                # ?maxdf=0 forces the plain probe
+                rows = None
+                if q.get("maxdf") != "0":
+                    rows, _info = trigram_rank_maxdf(spark, d, q["q"], k)
+                if rows is not None:
+                    out = {"n": len(rows), "rows": rows}
+                else:
+                    out = _rows_payload(trigram_rank_from_index(spark, d, q["q"], k))
             else:
                 out = _rows_payload(api_plans.api_search_trigram(spark, d, query=q["q"], topk=k))
             self._send(200, out)

@@ -54,6 +54,17 @@ def main() -> None:
     spark = get_spark(app_name="aus-etl-bench")
     queries = all_queries()
 
+    # all-core burn ~5s before any warmup or timed region (VERDICT r06
+    # task 4): executor-thread warmup plus insurance against hosts that
+    # throttle from idle. NB the round-7 measurement (SURVEY §6): THIS host
+    # shows no machine-level idle ramp — a fixed all-core job profiles
+    # identically from a 12-min-idle and a hot box — so the bench_r6_run4
+    # first-run effect was in-JVM JIT depth + compile-scheduling variance,
+    # which the untimed full-scale warmup tiers below address directly.
+    from scripts.benchutil import cpu_burn
+
+    cpu_burn(spark)
+
     # JVM/codegen warmup outside the timed region, two tiers:
     # (1) every headliner once at the smallest SF (plan compilation +
     #     codegen for all 12 plans);

@@ -1078,3 +1078,194 @@ def test_kill9_compactor_mid_swap_appender_wins_and_index_converges(spark, tmp_p
     build_fulltext_index(spark, rebuild_src, rebuild_dir)
     want = _table_digest(spark.read.parquet(table_path(rebuild_dir, "fulltext_index")))
     assert got == want
+
+
+def _crafted_trgm_corpus(spark, tmp_path):
+    """60-part corpus with a deliberately hot trigram family: 40 'template'
+    parts share five boilerplate words (their trigrams have df ≈ 67%, far
+    over the 5% max-df line) plus a distinct uidNN word; 20 parts are
+    unrelated word-soup. Returns (corpus_dir, index_dir)."""
+    import os
+
+    import random
+
+    tmpl = [
+        (i, f"golden harvest premium quality assurance item uid{i:02d}")
+        for i in range(40)
+    ]
+    # word-soup parts must be at least as trigram-RICH as the template parts
+    # (10 random 8-consonant words ≈ 90 distinct trigrams vs the template's
+    # ~50): the exactness guard compares the k-th candidate's sim against
+    # s/(min_n+|q|-s), and a corpus whose minimum n_trgm sits far below the
+    # candidates' would (correctly) force a fallback instead of a fire —
+    # this test needs the fire.
+    rng = random.Random(7)
+    soup = [
+        (
+            100 + j,
+            " ".join(
+                "".join(rng.choice("bcdfghjklmnpqrstvwxz") for _ in range(8))
+                for _ in range(10)
+            ),
+        )
+        for j in range(20)
+    ]
+    part = spark.createDataFrame(
+        [(k, n) for k, n in tmpl + soup], "p_partkey bigint, p_name string"
+    )
+    corpus = str(tmp_path / "corpus")
+    part.write.parquet(corpus + "/part.parquet")
+    d = str(tmp_path / "serving")
+    os.makedirs(d)
+    from australian_company_etl_spark.serving.http_api import build_trigram_index
+
+    build_trigram_index(spark, corpus, d)
+    return corpus, d
+
+
+def test_trigram_maxdf_skip_fires_and_is_row_identical(spark, tmp_path):
+    """VERDICT r06 stretch: the max-df probe must actually FIRE on a
+    hot-trigram corpus (info trail proves it, not just equal output) and
+    serve rows identical to the full probe plan — the exactness guard in
+    `trigram_rank_maxdf`'s docstring, exercised end to end."""
+    from australian_company_etl_spark.serving.http_api import (
+        trigram_rank_from_index,
+        trigram_rank_maxdf,
+    )
+
+    corpus, d = _crafted_trgm_corpus(spark, tmp_path)
+
+    rows, info = trigram_rank_maxdf(spark, d, "golden uid17", 1)
+    assert info["used"], info
+    assert info["hot"]  # the boilerplate trigrams were classified hot
+    full = [
+        r.asDict() for r in trigram_rank_from_index(spark, d, "golden uid17", 1).collect()
+    ]
+    assert rows == full
+    assert rows[0]["p_partkey"] == 17
+
+    # all-hot query: nothing rare to probe with -> decline, full plan serves
+    rows2, info2 = trigram_rank_maxdf(spark, d, "golden harvest premium", 5)
+    assert rows2 is None and "every query trigram is hot" in info2["reason"]
+
+    # guard failure: a k too large for the rare-candidate set -> decline
+    rows3, info3 = trigram_rank_maxdf(spark, d, "golden uid17", 30)
+    assert rows3 is None and info3["reason"].startswith("guard")
+
+
+def test_trigram_maxdf_declines_without_stats_ledgers(spark, tmp_path):
+    """Old postings-only snapshots have no stats ledgers: the max-df probe
+    must decline (never guess), and the appender must keep working without
+    trying to maintain ledgers that aren't there."""
+    import shutil
+
+    from australian_company_etl_spark.serving.http_api import (
+        TRIGRAM_META,
+        TRIGRAM_STATS,
+        trigram_rank_maxdf,
+    )
+    from australian_company_etl_spark.sources.registry import table_path
+
+    _corpus, d = _crafted_trgm_corpus(spark, tmp_path)
+    shutil.rmtree(table_path(d, TRIGRAM_STATS))
+    shutil.rmtree(table_path(d, TRIGRAM_META))
+    rows, info = trigram_rank_maxdf(spark, d, "golden uid17", 1)
+    assert rows is None and info["reason"] == "no stats ledgers"
+
+
+def test_trigram_maxdf_survives_appends(spark, tmp_path):
+    """The stats ledgers are append-only: after incremental maintenance the
+    df sums must equal the postings' ground truth, min_n_trgm must cover
+    the appended parts, and the max-df result must still equal the full
+    probe. Also proves first-wins: a re-delivered batch adds no ledger
+    rows."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving.http_api import (
+        TRIGRAM_META,
+        TRIGRAM_STATS,
+        append_parts_to_trigram_index,
+        build_trigram_index,
+        trigram_rank_from_index,
+        trigram_rank_maxdf,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables, table_path
+
+    part = load_tables(spark, SF_DIR, ["part"])["part"].select("p_partkey", "p_name")
+    half_dir = str(tmp_path / "half")
+    part.filter(F.col("p_partkey") % 2 == 0).write.parquet(half_dir + "/part.parquet")
+    d = str(tmp_path / "serving")
+    os.makedirs(d)
+    meta = build_trigram_index(spark, half_dir, d)
+    with open(os.path.join(d, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"trigram_index": {"rows": meta}}, f)
+    rest = part.filter(F.col("p_partkey") % 2 == 1)
+    append_parts_to_trigram_index(spark, rest, d)
+    append_parts_to_trigram_index(spark, rest, d)  # re-delivery: no-op
+
+    postings = spark.read.parquet(table_path(d, "trigram_index"))
+    true_df = {
+        r["trgm"]: r["c"]
+        for r in postings.groupBy("trgm").agg(F.count("*").alias("c")).collect()
+    }
+    ledger_df = {
+        r["trgm"]: r["df"]
+        for r in spark.read.parquet(table_path(d, TRIGRAM_STATS))
+        .groupBy("trgm")
+        .agg(F.sum("df_inc").alias("df"))
+        .collect()
+    }
+    assert ledger_df == true_df
+    m = spark.read.parquet(table_path(d, TRIGRAM_META)).agg(
+        F.sum("n_parts_inc").alias("n"), F.min("min_n_trgm").alias("mn")
+    ).collect()[0]
+    assert m["n"] == part.count()
+    true_min = postings.select("p_partkey", "n_trgm").distinct().agg(
+        F.min("n_trgm")
+    ).collect()[0][0]
+    assert m["mn"] == true_min
+
+    from australian_company_etl_spark.plans.api import TRGM_QUERY, TRGM_TOPK
+
+    rows, info = trigram_rank_maxdf(spark, d, TRGM_QUERY, TRGM_TOPK)
+    full = [
+        r.asDict()
+        for r in trigram_rank_from_index(spark, d, TRGM_QUERY, TRGM_TOPK).collect()
+    ]
+    if rows is not None:  # fired: must be row-identical to the full probe
+        assert rows == full
+    else:  # declined: the guard said so explicitly, never a silent wrong path
+        assert "reason" in info
+
+
+def test_fuzzy_route_maxdf_matches_plain_and_scan(spark, tmp_path):
+    """/fuzzy must serve identical bodies through all three paths on the
+    crafted hot corpus: default (max-df first), ?maxdf=0 (plain probe),
+    ?scan=1 (corpus scan)."""
+    import json
+    import os
+
+    from australian_company_etl_spark.serving import http_api as api
+
+    corpus, d = _crafted_trgm_corpus(spark, tmp_path)
+    # route needs part.parquet + a manifest beside the index
+    spark.read.parquet(corpus + "/part.parquet").write.parquet(d + "/part.parquet")
+    with open(os.path.join(d, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"trigram_index": {"rows": 1}}, f)
+    srv = api.make_server(spark, d)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    api.serve_in_thread(srv)
+    try:
+        q = "golden+uid17&k=1"
+        s1, b1 = _get(base, f"/fuzzy?q={q}")
+        s2, b2 = _get(base, f"/fuzzy?q={q}&maxdf=0")
+        s3, b3 = _get(base, f"/fuzzy?q={q}&scan=1")
+        assert s1 == s2 == s3 == 200
+        assert b1["rows"] == b2["rows"] == b3["rows"]
+        assert b1["rows"][0]["p_partkey"] == 17
+    finally:
+        srv.shutdown()
+        srv.server_close()
