@@ -360,6 +360,11 @@ TRIGRAM_INDEX = "trigram_index"
 #: hot/rare split and the fallback rate, never the served rows.
 TRIGRAM_STATS = "trigram_stats"
 TRIGRAM_META = "trigram_meta"
+#: max-df probe declines when the rare-candidate upper bound (Σ df of the
+#: rare query trigrams, from the stats ledger) exceeds this — the skip's
+#: semi-join force-broadcasts the candidate keys, and ~500k bigint keys is
+#: a conservative executor-memory-safe broadcast at any cluster size.
+MAXDF_BROADCAST_CAP = 500_000
 
 
 def build_trigram_index(
@@ -684,6 +689,17 @@ def trigram_rank_maxdf(
     s = len(hot)
     bound = round(s / (min_n + len(q) - s), 6)
     info["bound"] = bound
+    # scale bound on the forced broadcast below: the candidate set is at
+    # most Σ df(rare) keys (each rare posting contributes one candidate at
+    # most), known driver-side from the ledger for free — decline rather
+    # than broadcast an unbounded set when the "rare" trigrams are merely
+    # less-common (a 100 TB corpus where every query trigram has millions
+    # of postings should take the plain shuffle plan, which is built for
+    # exactly that).
+    cand_ub = sum(dfs.get(t, 0) for t in rare)
+    if cand_ub > MAXDF_BROADCAST_CAP:
+        info["reason"] = f"candidate bound {cand_ub} > broadcast cap {MAXDF_BROADCAST_CAP}"
+        return None, info
 
     idx = spark.read.parquet(table_path(data_dir, TRIGRAM_INDEX))
     cand = (

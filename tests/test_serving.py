@@ -1269,3 +1269,17 @@ def test_fuzzy_route_maxdf_matches_plain_and_scan(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_trigram_maxdf_declines_over_broadcast_cap(spark, tmp_path, monkeypatch):
+    """The skip force-broadcasts the rare-candidate keys; its driver-side
+    upper bound (Σ df of the rare query trigrams, free from the stats
+    ledger) must decline the path rather than broadcast an unbounded set —
+    the 100×-scale guard for a corpus where "rare" still means millions of
+    postings."""
+    from australian_company_etl_spark.serving import http_api as api
+
+    _corpus, d = _crafted_trgm_corpus(spark, tmp_path)
+    monkeypatch.setattr(api, "MAXDF_BROADCAST_CAP", 0)
+    rows, info = api.trigram_rank_maxdf(spark, d, "golden uid17", 1)
+    assert rows is None and "broadcast cap" in info["reason"]
