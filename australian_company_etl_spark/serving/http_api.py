@@ -652,6 +652,17 @@ def trigram_rank_maxdf(
       tie-order cannot be violated either). The served topk is therefore
       row-identical to the full plan's.
 
+    Decline cost: a declined attempt spends the (tiny, footer-pruned)
+    ledger reads plus at worst one rare-candidate aggregate before the
+    plain probe answers — bounded by ~2× the plain probe, paid only on
+    corpora whose rare trigrams aren't actually discriminative. Measured
+    on the sf1 TPC-H part corpus the skip declines for exactly that
+    reason (a 92-color vocabulary: the bench query's only non-hot
+    trigrams match nothing, and one short replicated name drives
+    min_n_trgm to 7, bound 0.8) — the win case is a real-text corpus
+    with boilerplate trigrams over a long-tail vocabulary, the shape the
+    crafted-corpus test pins down.
+
     Returns (rows|None, info) — info carries the decision trail for tests
     and the /fuzzy route's debugging."""
     from australian_company_etl_spark.plans.api import _pg_trigrams
