@@ -14,21 +14,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Registration order is the driver's verification order (it checks the first
 # 50 registered queries per round). Round-7 rotation (VERDICT r06 task 1):
-# semantics-touched-first, then oldest-green. First the one query whose plan
-# changed this round (dedup_ngram_jaccard — the size-ratio prune now does
-# bigint math, ADVICE r06; same results, new expression; the driver must
-# re-gate it), then the 8 rows whose latest driver check is still ROUND 3
-# (the r6 window's leftovers), then the oldest round-4 rows to fill the 50
-# slots (41 of 50). Deferred to round 8: the 4 declared no-oracle rows
-# (embed_top_eigenvector, quality_table_health, text_bpe_vocab,
-# text_bpe_tokenize — the driver's rows-only check adds nothing over their
-# python-reference pytest gates) and 5 trivial point plans (api_lookup_by_
-# key, api_page_keyset, quality_row_counts, quality_null_counts,
-# norm_names). After this round no sql-gated query's latest driver row is
-# older than r4. The registry stays FROZEN at 155 keys.
+# semantics-touched-first, then oldest-green. First the 8 queries whose
+# plans changed this round — dedup_ngram_jaccard (bigint size-ratio prune,
+# ADVICE r06) and the 7 queries from the proactive 100 TB overflow sweep
+# whose exact-ratio intermediates moved to DECIMAL(38,0) (same values at
+# every testable SF, new expressions; the driver must re-gate them) — then
+# the 8 rows whose latest driver check is still ROUND 3 (the r6 window's
+# leftovers), then the oldest round-4 rows to fill the 50 slots. Deferred
+# to round 8: the 4 declared no-oracle rows (embed_top_eigenvector,
+# quality_table_health, text_bpe_vocab, text_bpe_tokenize — the driver's
+# rows-only check adds nothing over their python-reference pytest gates),
+# 5 trivial point plans (api_lookup_by_key, api_page_keyset,
+# quality_row_counts, quality_null_counts, norm_names), and 4 r4 rows
+# displaced by the overflow-sweep promotions (mix_curriculum_stages,
+# events_attribution_last_touch, events_funnel_3step,
+# events_peak_concurrency). After this round no sql-gated query's latest
+# driver row is older than r4. The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- plan changed this round (1) --------------------------------------
+    # ---- plan changed this round (8) --------------------------------------
     "dedup_ngram_jaccard",
+    "text_collocations_pmi",
+    "text_tfidf_topterms",
+    "api_fulltext_rank",
+    "orders_market_basket",
+    "match_phonetic_block",
+    "q11_important_stock",
+    "rank_neardup_pagerank",
     # ---- latest driver row = round 3 (8) ----------------------------------
     "curate_keep_best",
     "events_cdc_snapshot",
@@ -52,7 +63,6 @@ _VERIFY_FIRST = [
     "match_keyword_jaccard",
     "match_blocked_fuzzy",
     "unify_entities",
-    "match_phonetic_block",
     "quality_dup_keys",
     "quality_conf_distribution",
     "quality_column_profile",
@@ -63,23 +73,17 @@ _VERIFY_FIRST = [
     "quality_snapshot_diff",
     "api_search_ilike",
     "api_by_state",
-    "api_fulltext_rank",
     "api_search_trigram",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
-    "orders_market_basket",
     "suppliers_pareto_abc",
     "ann_recall_report",
     "ann_lsh_multiprobe",
     "text_inverted_index",
     "sketch_bottomk_daily_merge",
     "sketch_hll_sliding_window",
-    "mix_curriculum_stages",
-    "events_attribution_last_touch",
-    "events_funnel_3step",
-    "events_peak_concurrency",
 ]
 
 

@@ -147,7 +147,22 @@ def api_fulltext_rank(
         .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(
-            F.sum(F.expr("tf * ((1000000 * n_docs) div df_docs)")).alias("score_micro"),
+            # DECIMAL(38,0) intermediates (same formula SHAPE as the oracle
+            # and the serving probe: tf × the per-term integer idf): the
+            # idf numerator 1e6·n_docs overflows int64 past ~9.2e12 docs
+            # and the tf× product overflows for rare-term long docs well
+            # before that — ANSI mode would fail the query. The summed
+            # score is cast back to the bigint output type, so the envelope
+            # is exactly "the OUTPUT fits"; DuckDB promotes to HUGEINT on
+            # its own and applies the same ::BIGINT at the end.
+            F.sum(
+                F.expr(
+                    "CAST(tf AS DECIMAL(38,0))"
+                    " * ((CAST(1000000 AS DECIMAL(38,0)) * n_docs) div df_docs)"
+                )
+            )
+            .cast("long")
+            .alias("score_micro"),
             F.count("*").alias("n_terms_hit"),
         )
     )
@@ -183,11 +198,23 @@ TRGM_TOPK = 10
 
 
 def _pg_trigrams(words: list[str]) -> list[str]:
-    """pg_trgm's trigram set: each word padded '  w ' then 3-gram'd."""
+    """pg_trgm's trigram set: each word padded '  w ' then 3-gram'd.
+
+    Words are first lowercased and split on non-alphanumerics — the SAME
+    normalization `_TRGM_EXPR` applies to the indexed/scanned side (and
+    what pg_trgm's show_trgm does): without it a query like "red-widgit"
+    would carry '-wi'-style trigrams that can never match any indexed
+    part, silently deflating every sim through the |q| term while a
+    pg_trgm user would get the "red widgit" ranking."""
+    import re
+
     out: set[str] = set()
     for w in words:
-        p = f"  {w} "
-        out.update(p[i : i + 3] for i in range(len(p) - 2))
+        for piece in re.split(r"[^a-z0-9]+", w.lower()):
+            if not piece:
+                continue
+            p = f"  {piece} "
+            out.update(p[i : i + 3] for i in range(len(p) - 2))
     return sorted(out)
 
 

@@ -840,7 +840,15 @@ def rank_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("contrib").alias("s"))
             .select(
                 F.col("dst").alias("node"),
-                F.expr(f"{PR_ONE - PR_DAMP} + ({PR_DAMP} * s) div {PR_ONE}").alias("pr"),
+                # DECIMAL(38,0) for the damp product: s is the incoming pr
+                # mass (≤ PR_ONE per in-edge), so a boilerplate hub with
+                # ≥ ~1.08e7 near-dup edges pushes 850000·s past int64 —
+                # ANSI failure on exactly the corpus shape pagerank is FOR.
+                # The damped result (≤ s) drops back into bigint via div.
+                F.expr(
+                    f"{PR_ONE - PR_DAMP}"
+                    f" + (CAST({PR_DAMP} AS DECIMAL(38,0)) * s) div {PR_ONE}"
+                ).alias("pr"),
             )
         )
     return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pr_ppm"))

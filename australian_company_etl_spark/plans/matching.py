@@ -411,7 +411,13 @@ def match_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "phonetic_key",
             "n_parts",
-            F.expr("(n_parts * (n_parts - 1)) div 2").alias("n_candidate_pairs"),
+            # DECIMAL(38,0) numerator: n(n-1) overflows int64 once a block
+            # holds ≥ 3.04e9 members; with the decimal intermediate the
+            # envelope is exactly "the pair count itself fits bigint"
+            # (n < 4.3e9). DuckDB promotes to HUGEINT on its own.
+            F.expr(
+                "(CAST(n_parts AS DECIMAL(38,0)) * (n_parts - 1)) div 2"
+            ).alias("n_candidate_pairs"),
         )
     )
 

@@ -365,7 +365,17 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_xy",
             "c_x",
             "c_y",
-            F.expr("(1000 * n_total * c_xy) div (c_x * c_y)").alias("pmi_milli"),
+            # DECIMAL(38,0) intermediates: at 100 TB n_total is ~2e13
+            # bigrams and a common pair's counts reach the same order, so
+            # both the numerator (1000·N·c_xy ~ 1e29) and the denominator
+            # (c_x·c_y ~ 1e26) blow past int64 and ANSI mode would fail the
+            # query; the QUOTIENT (≤ 1000·N since c_xy ≤ min(c_x, c_y))
+            # always fits the bigint that decimal `div` returns. DuckDB's
+            # oracle promotes to HUGEINT on its own — values identical.
+            F.expr(
+                "(CAST(1000 AS DECIMAL(38,0)) * n_total * c_xy)"
+                " div (CAST(c_x AS DECIMAL(38,0)) * c_y)"
+            ).alias("pmi_milli"),
         )
     )
     w = Window.orderBy(F.desc("pmi_milli"), F.asc("x"), F.asc("y"))
@@ -729,7 +739,16 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             "tf",
             "df_docs",
-            F.expr("(tf * 1000000 * n_docs) div df_docs").alias("score_micro"),
+            # DECIMAL(38,0) numerator: tf·1e6·n_docs overflows int64 once
+            # n_docs passes ~9.2e12/tf (a 1e10-doc corpus with tf ≥ 920) —
+            # ANSI mode would fail the whole query on the product even when
+            # the score fits. With the decimal intermediate the envelope is
+            # exactly "the OUTPUT fits bigint" (tf·n_docs/df < 9.2e12;
+            # beyond that the score column's own type is the limit, and
+            # df=1+huge-tf garbage docs are quarantined upstream by H7/H10).
+            F.expr(
+                "(CAST(tf AS DECIMAL(38,0)) * 1000000 * n_docs) div df_docs"
+            ).alias("score_micro"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("tok"))

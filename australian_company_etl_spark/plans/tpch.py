@@ -630,7 +630,15 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pa",
             "pb",
             "support",
-            F.expr("(support * n_orders * 1000000) div (cnt_a * cnt_b)")
+            # DECIMAL(38,0) intermediates: at 100 TB n_orders ~1.5e11, so
+            # support·n_orders·1e6 and cnt_a·cnt_b for popular parts both
+            # blow past int64 (ANSI failure); the lift itself
+            # (≤ 1e6·n_orders/cnt_b since support ≤ cnt_a) fits bigint.
+            # DuckDB promotes to HUGEINT on its own — values identical.
+            F.expr(
+                "(CAST(support AS DECIMAL(38,0)) * n_orders * 1000000)"
+                " div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b)"
+            )
             .cast("bigint")
             .alias("lift_ppm"),
         )

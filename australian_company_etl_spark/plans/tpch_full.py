@@ -325,9 +325,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("ps_partkey", v.alias("v"))
     )
-    total = nat.agg(F.sum("v").alias("total_v"))
+    # DECIMAL(38,0) sums (the exactmath money-sum discipline): v is ~1e15
+    # per row (micros × hundredths), so a bigint nation total overflows
+    # int64 in the accumulation itself at large SFs; DuckDB's sum is
+    # HUGEINT on its own, and the ×1000 threshold compare and the /1e8
+    # display division behave identically on the decimal.
+    nat_dec = nat.select("ps_partkey", F.col("v").cast("decimal(38,0)").alias("v"))
+    total = nat_dec.agg(F.sum("v").alias("total_v"))
     return (
-        nat.groupBy("ps_partkey")
+        nat_dec.groupBy("ps_partkey")
         .agg(F.sum("v").alias("raw_v"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("raw_v") * F.lit(Q11_FRACTION_DEN) > F.col("total_v"))

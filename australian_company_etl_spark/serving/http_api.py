@@ -770,7 +770,17 @@ def fulltext_rank_from_index(
         .withColumn("n_docs", F.lit(int(n_docs)).cast("bigint"))
         .groupBy("doc_id")
         .agg(
-            F.sum(F.expr("tf * ((1000000 * n_docs) div df_docs)")).alias("score_micro"),
+            # DECIMAL(38,0) intermediates — byte-identical formula to the
+            # D5 scan plan (plans/api.py), which documents the overflow
+            # envelope; the two paths must stay row-identical.
+            F.sum(
+                F.expr(
+                    "CAST(tf AS DECIMAL(38,0))"
+                    " * ((CAST(1000000 AS DECIMAL(38,0)) * n_docs) div df_docs)"
+                )
+            )
+            .cast("long")
+            .alias("score_micro"),
             F.count("*").cast("int").alias("n_terms_hit"),
         )
     )
