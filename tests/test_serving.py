@@ -1283,3 +1283,43 @@ def test_trigram_maxdf_declines_over_broadcast_cap(spark, tmp_path, monkeypatch)
     monkeypatch.setattr(api, "MAXDF_BROADCAST_CAP", 0)
     rows, info = api.trigram_rank_maxdf(spark, d, "golden uid17", 1)
     assert rows is None and "broadcast cap" in info["reason"]
+
+
+def test_pg_trigrams_matches_spark_expr_and_splits_punctuation(spark):
+    """The driver-side query trigram set (`_pg_trigrams`) and the Spark-side
+    corpus expression (`_TRGM_EXPR`) must produce IDENTICAL sets for the
+    same text — the max-df inter counts and every sim denominator rely on
+    it — including on punctuated, mixed-case, and digit-bearing input
+    (pg_trgm splits words on non-alphanumerics; so must both sides)."""
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.plans.api import _TRGM_EXPR, _pg_trigrams
+
+    samples = [
+        "red widgit",
+        "Red-Widgit",
+        "  spaced   out  ",
+        "a1b2 c3--d4",
+        "trailing! punct?",
+        "ALL CAPS AND 123",
+        "dash-joined-words and_underscored",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "txt string").select(
+        "txt", F.expr(_TRGM_EXPR.format(c="txt")).alias("trg")
+    )
+    for r in df.collect():
+        got_spark = sorted(r["trg"])
+        got_py = _pg_trigrams(r["txt"].split())
+        assert got_spark == got_py, r["txt"]
+
+
+def test_fuzzy_punctuated_query_ranks_like_clean_query(server):
+    """pg_trgm fidelity: 'red-widgit' must rank exactly like 'red widgit'
+    (the hyphen is a word separator, not three unmatchable trigrams that
+    deflate every sim)."""
+    s1, clean = _get(server, "/fuzzy?q=red+widgit&scan=1")
+    s2, punct = _get(server, "/fuzzy?q=red-widgit&scan=1")
+    s3, punct_idx = _get(server, "/fuzzy?q=red-widgit")
+    assert s1 == s2 == s3 == 200
+    assert punct["rows"] == clean["rows"]
+    assert punct_idx["rows"] == clean["rows"]
