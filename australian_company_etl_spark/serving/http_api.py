@@ -410,6 +410,42 @@ def _write_trigram_df_stats(spark: SparkSession, postings: DataFrame, data_dir: 
     stats.coalesce(1).write.mode(mode).parquet(table_path(data_dir, TRIGRAM_STATS))
 
 
+def _compact_trigram_ledgers(spark: SparkSession, data_dir: str) -> dict:
+    """Fold the append-only probe-stat ledgers back to their minimal form —
+    one (trgm, df) row per distinct trigram plus one meta row — reclaiming
+    the one-tiny-file-per-append growth (the ledger analog of
+    `compact_index`). Caller must hold the INDEX lock: appenders write
+    ledger rows under it, so folding under the same lock can never drop a
+    concurrent batch's rows. The fold runs DRIVER-SIDE (collect → rewrite):
+    the trigram alphabet bounds the stats ledger to ~50k rows at ANY corpus
+    size, and collecting first sidesteps both the read-while-overwriting
+    hazard and the cache-invalidation-by-write trap the appender hit. A
+    crash mid-overwrite leaves a torn ledger; the probe treats any
+    unreadable/empty ledger as "decline to the plain probe", so the window
+    is perf-only (the next compaction heals it wholesale)."""
+    stats_path = table_path(data_dir, TRIGRAM_STATS)
+    meta_path = table_path(data_dir, TRIGRAM_META)
+    if not (os.path.isdir(stats_path) and os.path.isdir(meta_path)):
+        return {"ledgers": "absent"}
+    stats_rows = spark.read.parquet(stats_path).collect()
+    folded: dict[str, int] = {}
+    for r in stats_rows:
+        folded[r["trgm"]] = folded.get(r["trgm"], 0) + int(r["df_inc"])
+    meta_rows = spark.read.parquet(meta_path).collect()
+    n_parts = sum(int(r["n_parts_inc"]) for r in meta_rows)
+    min_n = min(int(r["min_n_trgm"]) for r in meta_rows)
+    spark.createDataFrame(
+        sorted(folded.items()), "trgm string, df_inc bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(stats_path)
+    spark.createDataFrame(
+        [(n_parts, min_n)], "n_parts_inc bigint, min_n_trgm bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    return {
+        "ledger_rows_before": len(stats_rows) + len(meta_rows),
+        "ledger_rows_after": len(folded) + 1,
+    }
+
+
 def _write_trigram_stats(spark: SparkSession, postings: DataFrame, data_dir: str, mode: str) -> None:
     """Publish the max-df probe statistics for a postings batch (see
     TRIGRAM_STATS/TRIGRAM_META). Build-time path; the append path issues
@@ -571,13 +607,20 @@ def compact_index(
             os.rename(path, old)
             os.rename(tmp, path)
             shutil.rmtree(old)
-    return {
-        "files_before": len(listed),
-        "files_after": len(glob.glob(os.path.join(path, "*.parquet"))),
-        "delta_carried": len(delta),
-        "rows": expected[0],
-        "ok": True,
-    }
+        out = {
+            "files_before": len(listed),
+            "files_after": len(glob.glob(os.path.join(path, "*.parquet"))),
+            "delta_carried": len(delta),
+            "rows": expected[0],
+            "ok": True,
+        }
+        if index_name == TRIGRAM_INDEX:
+            # fold the probe-stat ledgers too (one tiny file per append
+            # otherwise accumulates forever); under the index lock so a
+            # concurrent append's ledger rows can't be dropped mid-fold
+            with _index_lock(path, timeout=600.0):
+                out["ledgers"] = _compact_trigram_ledgers(spark, data_dir)
+    return out
 
 
 def trigram_rank_from_index(
@@ -676,18 +719,26 @@ def trigram_rank_maxdf(
     if not (os.path.isdir(stats_path) and os.path.isdir(meta_path)):
         info["reason"] = "no stats ledgers"
         return None, info
-    meta = spark.read.parquet(meta_path).agg(
-        F.sum("n_parts_inc").alias("n_parts"), F.min("min_n_trgm").alias("min_n")
-    ).collect()[0]
-    n_parts, min_n = int(meta["n_parts"]), int(meta["min_n"])
-    dfs = {
-        r["trgm"]: int(r["df"])
-        for r in spark.read.parquet(stats_path)
-        .filter(F.col("trgm").isin(*q))
-        .groupBy("trgm")
-        .agg(F.sum("df_inc").alias("df"))
-        .collect()
-    }
+    try:
+        meta = spark.read.parquet(meta_path).agg(
+            F.sum("n_parts_inc").alias("n_parts"), F.min("min_n_trgm").alias("min_n")
+        ).collect()[0]
+        if meta["n_parts"] is None or meta["min_n"] is None:
+            raise ValueError("empty meta ledger")
+        n_parts, min_n = int(meta["n_parts"]), int(meta["min_n"])
+        dfs = {
+            r["trgm"]: int(r["df"])
+            for r in spark.read.parquet(stats_path)
+            .filter(F.col("trgm").isin(*q))
+            .groupBy("trgm")
+            .agg(F.sum("df_inc").alias("df"))
+            .collect()
+        }
+    except Exception as exc:  # noqa: BLE001 — the ledgers are an OPTIONAL
+        # perf structure: a torn/empty state (e.g. a crash mid ledger
+        # compaction overwrite) must degrade to the plain probe, never 500
+        info["reason"] = f"unreadable stats ledgers: {exc}"
+        return None, info
     hot = sorted(t for t in q if dfs.get(t, 0) > max_df * n_parts)
     rare = sorted(t for t in q if t not in set(hot))
     info.update({"hot": hot, "n_parts": n_parts, "min_n_trgm": min_n})

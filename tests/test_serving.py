@@ -1323,3 +1323,77 @@ def test_fuzzy_punctuated_query_ranks_like_clean_query(server):
     assert s1 == s2 == s3 == 200
     assert punct["rows"] == clean["rows"]
     assert punct_idx["rows"] == clean["rows"]
+
+
+def test_trigram_ledger_compaction_folds_and_preserves_probe(spark, tmp_path):
+    """Appends grow the probe-stat ledgers one tiny file per batch;
+    trigram-index compaction must fold them back to one row per distinct
+    trigram plus one meta row, with df sums / n_parts / min_n_trgm exactly
+    preserved — and the max-df probe must behave identically before and
+    after the fold. A torn ledger (simulated by emptying the stats dir)
+    must make the probe DECLINE, never 500."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving.http_api import (
+        TRIGRAM_META,
+        TRIGRAM_STATS,
+        append_parts_to_trigram_index,
+        build_trigram_index,
+        compact_index,
+        trigram_rank_maxdf,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables, table_path
+
+    part = load_tables(spark, SF_DIR, ["part"])["part"].select("p_partkey", "p_name")
+    half_dir = str(tmp_path / "half")
+    part.filter(F.col("p_partkey") % 4 == 0).write.parquet(half_dir + "/part.parquet")
+    d = str(tmp_path / "serving")
+    os.makedirs(d)
+    n = build_trigram_index(spark, half_dir, d)
+    with open(os.path.join(d, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"trigram_index": {"rows": n}}, f)
+    for m in (1, 2, 3):
+        append_parts_to_trigram_index(
+            spark, part.filter(F.col("p_partkey") % 4 == m), d
+        )
+    stats_path = table_path(d, TRIGRAM_STATS)
+    files_before = len(glob.glob(os.path.join(stats_path, "*.parquet")))
+    assert files_before >= 4  # build + three appends
+
+    from australian_company_etl_spark.plans.api import TRGM_QUERY, TRGM_TOPK
+
+    before = trigram_rank_maxdf(spark, d, TRGM_QUERY, TRGM_TOPK)
+
+    out = compact_index(spark, d, "trigram_index", "trgm", n_files=4)
+    assert out["ok"]
+    led = out["ledgers"]
+    assert led["ledger_rows_after"] < led["ledger_rows_before"]
+    assert len(glob.glob(os.path.join(stats_path, "*.parquet"))) == 1
+
+    # folded ledgers == postings ground truth
+    postings = spark.read.parquet(table_path(d, "trigram_index"))
+    true_df = {
+        r["trgm"]: r["c"]
+        for r in postings.groupBy("trgm").agg(F.count("*").alias("c")).collect()
+    }
+    ledger_df = {
+        r["trgm"]: int(r["df_inc"])
+        for r in spark.read.parquet(stats_path).collect()
+    }
+    assert ledger_df == true_df
+    m = spark.read.parquet(table_path(d, TRIGRAM_META)).collect()
+    assert len(m) == 1 and m[0]["n_parts_inc"] == part.count()
+
+    after = trigram_rank_maxdf(spark, d, TRGM_QUERY, TRGM_TOPK)
+    assert after[0] == before[0]  # identical decision and rows
+
+    # torn ledger: probe declines with a reason, never raises
+    shutil.rmtree(stats_path)
+    os.makedirs(stats_path)
+    rows, info = trigram_rank_maxdf(spark, d, TRGM_QUERY, TRGM_TOPK)
+    assert rows is None and "unreadable stats ledgers" in info["reason"]
