@@ -227,6 +227,11 @@ def append_documents_to_index(
     new_docs = new_docs.dropDuplicates(["doc_id"])
     with _index_lock(path):
         heal_interrupted_compaction(path)
+        # the doc ledger swaps during fulltext compaction too — heal it
+        # BEFORE the exists-check below, or a mid-swap crash would look
+        # like a pre-ledger snapshot and the postings backfill would lose
+        # every token-less doc's membership
+        heal_interrupted_compaction(ledger_path)
         if not os.path.exists(ledger_path):
             # pre-ledger snapshot (postings only, published before the
             # ledger existed): backfill it ONCE from the index's distinct
@@ -620,7 +625,54 @@ def compact_index(
             # concurrent append's ledger rows can't be dropped mid-fold
             with _index_lock(path, timeout=600.0):
                 out["ledgers"] = _compact_trigram_ledgers(spark, data_dir)
+        if index_name == FULLTEXT_INDEX:
+            # the doc ledger grows one file per append too; same
+            # digest-verified rewrite+swap, under the index lock (the
+            # ledger is docs-scale — orders smaller than the postings
+            # rewrite above — so holding the lock through it is cheap
+            # relative to the compaction itself). Unlike the probe-stat
+            # ledgers this one is a MEMBERSHIP AUTHORITY (token-less docs
+            # live only here), hence the full digest/swap/heal discipline
+            # rather than a lossy-tolerant overwrite.
+            with _index_lock(path, timeout=600.0):
+                out["ledger"] = _compact_fulltext_ledger(spark, data_dir, n_files)
     return out
+
+
+def _compact_fulltext_ledger(spark: SparkSession, data_dir: str, n_files: int) -> dict:
+    """Digest-verified rewrite of the fulltext doc ledger (caller holds the
+    index lock and the compaction flock). Crash between the swap's two
+    renames strands the ledger in `.precompact`; appenders and make_server
+    heal it exactly like the index (they must — a missing ledger would
+    otherwise trigger the postings backfill, which cannot represent
+    token-less documents)."""
+    import glob
+    import shutil
+
+    ledger_path = table_path(data_dir, FULLTEXT_DOCS)
+    heal_interrupted_compaction(ledger_path, clean_tmp=True)
+    if not os.path.isdir(ledger_path):
+        return {"ledger": "absent"}
+    files_before = len(glob.glob(os.path.join(ledger_path, "*.parquet")))
+    src = spark.read.parquet(ledger_path)
+    expected = _table_digest(src)
+    tmp = ledger_path.rstrip("/") + ".compacting"
+    src.repartition(max(1, n_files // 4)).write.mode("overwrite").parquet(tmp)
+    actual = _table_digest(spark.read.parquet(tmp))
+    if actual != expected:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"ledger compaction dropped data: wrote {expected}, read back {actual}"
+        )
+    old = ledger_path.rstrip("/") + ".precompact"
+    os.rename(ledger_path, old)
+    os.rename(tmp, ledger_path)
+    shutil.rmtree(old)
+    return {
+        "files_before": files_before,
+        "files_after": len(glob.glob(os.path.join(ledger_path, "*.parquet"))),
+        "rows": expected[0],
+    }
 
 
 def trigram_rank_from_index(
@@ -1045,7 +1097,7 @@ def make_server(spark: SparkSession, data_dir: str, port: int = 0) -> ThreadingH
     Startup first heals any compaction that died mid-swap (a missing live
     index directory with the data stranded in ``.precompact``) so probes
     never 500 against a half-swapped index."""
-    for idx in (FULLTEXT_INDEX, TRIGRAM_INDEX):
+    for idx in (FULLTEXT_INDEX, FULLTEXT_DOCS, TRIGRAM_INDEX):
         p = table_path(data_dir, idx)
         if os.path.exists(p) or os.path.exists(p.rstrip("/") + ".precompact"):
             try:

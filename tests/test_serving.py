@@ -1397,3 +1397,50 @@ def test_trigram_ledger_compaction_folds_and_preserves_probe(spark, tmp_path):
     os.makedirs(stats_path)
     rows, info = trigram_rank_maxdf(spark, d, TRGM_QUERY, TRGM_TOPK)
     assert rows is None and "unreadable stats ledgers" in info["reason"]
+
+
+def test_fulltext_ledger_compaction_and_midswap_heal(spark, tmp_path):
+    """Fulltext compaction must also compact the doc LEDGER (one file per
+    append otherwise) with the digest/swap discipline — and a crash between
+    the ledger swap's two renames must heal on the next append instead of
+    looking like a pre-ledger snapshot (whose postings backfill would lose
+    token-less docs' membership)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving.http_api import (
+        append_documents_to_index,
+        compact_index,
+    )
+    from australian_company_etl_spark.sources.registry import table_path
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    ledger_path = table_path(d, "fulltext_docs")
+    # a token-less doc: remembered ONLY in the ledger
+    empty = spark.createDataFrame([(60_000_000, "?!")], "doc_id bigint, text string")
+    append_documents_to_index(spark, empty, d)
+    append_documents_to_index(
+        spark, docs.filter(F.col("doc_id") % 4 == 1).select("doc_id", "text"), d
+    )
+    files_before = len(glob.glob(os.path.join(ledger_path, "*.parquet")))
+    assert files_before >= 3  # build + two appends
+    n_ledger = spark.read.parquet(ledger_path).count()
+
+    out = compact_index(spark, d, "fulltext_index", "tok", n_files=8)
+    assert out["ok"]
+    assert out["ledger"]["rows"] == n_ledger
+    assert out["ledger"]["files_after"] < files_before
+    assert spark.read.parquet(ledger_path).count() == n_ledger
+
+    # simulate the ledger mid-swap crash window: ledger renamed away
+    os.rename(ledger_path, ledger_path + ".precompact")
+    assert not os.path.exists(ledger_path)
+    # next append must HEAL (not backfill): the token-less doc stays
+    # remembered, so re-delivering it appends nothing
+    r = append_documents_to_index(spark, empty, d)
+    assert r["docs_appended"] == 0
+    assert os.path.exists(ledger_path)
+    assert not os.path.exists(ledger_path + ".precompact")
+    assert spark.read.parquet(ledger_path).count() == n_ledger
