@@ -192,6 +192,7 @@ def build_fulltext_index(
     ledger = docs.select("doc_id").distinct()
     ledger.write.mode("overwrite").parquet(table_path(out_dir, FULLTEXT_DOCS))
     n_docs = spark.read.parquet(table_path(out_dir, FULLTEXT_DOCS)).count()
+    _write_fulltext_stats(spark, spark.read.parquet(path), out_dir, mode="overwrite")
     return {"rows": spark.read.parquet(path).count(), "n_docs": n_docs}
 
 
@@ -252,10 +253,28 @@ def append_documents_to_index(
             # this probe, same semantics.
             in_postings = spark.read.parquet(path).select("doc_id").distinct()
             postings_new = _doc_postings(fresh.join(in_postings, "doc_id", "left_anti"))
-            if not postings_new.isEmpty():  # token-less docs append no postings
-                postings_new.repartitionByRange(2, "tok").sortWithinPartitions(
-                    "tok"
-                ).write.mode("append").parquet(path)
+            # local persist (maintenance job, not the query-scoped tracker):
+            # the batch postings feed up to two writes, and the stats ledger
+            # must describe the SAME rows as the postings append — and the
+            # postings append invalidates every cached plan that scans the
+            # index path, including this batch's anti-join.
+            postings_new = postings_new.persist()
+            try:
+                if not postings_new.isEmpty():  # token-less docs append no postings
+                    # probe-stat ledger maintained only for snapshots that
+                    # have one (older snapshots keep working; the max-df
+                    # probe just declines there). Written BEFORE the
+                    # postings: a crash in between leaves df/max_tf
+                    # inflated, which the probe's bound tolerates — the
+                    # reverse order could leave max_tf UNDER the indexed
+                    # max, breaking the exactness guard.
+                    if os.path.exists(table_path(data_dir, FULLTEXT_STATS)):
+                        _write_fulltext_stats(spark, postings_new, data_dir, mode="append")
+                    postings_new.repartitionByRange(2, "tok").sortWithinPartitions(
+                        "tok"
+                    ).write.mode("append").parquet(path)
+            finally:
+                postings_new.unpersist()
             fresh.select("doc_id").write.mode("append").parquet(ledger_path)
         manifest_path = os.path.join(data_dir, "_SNAPSHOT.json")
         with open(manifest_path) as f:
@@ -370,6 +389,18 @@ TRIGRAM_META = "trigram_meta"
 #: semi-join force-broadcasts the candidate keys, and ~500k bigint keys is
 #: a conservative executor-memory-safe broadcast at any cluster size.
 MAXDF_BROADCAST_CAP = 500_000
+
+#: full-text analog of TRIGRAM_STATS: append-only (tok, df_inc, max_tf)
+#: ledger beside the full-text index, written BEFORE each postings append
+#: (same soundness argument — a crash inflates df/max_tf, and the max-df
+#: probe's exactness bound only uses max_tf as an UPPER bound on any
+#: indexed tf, so inflation can only cause declines, never wrong rows).
+#: Unlike the doc ledger this is NO membership authority: every value in
+#: it is derivable from the postings, so compaction REBUILDS it wholesale
+#: from the compacted index instead of folding rows — which also heals
+#: every torn/absent state for free. Optional perf structure: absent or
+#: unreadable ⇒ the probe declines to the plain index plan.
+FULLTEXT_STATS = "fulltext_stats"
 
 
 def build_trigram_index(
@@ -636,6 +667,11 @@ def compact_index(
             # rather than a lossy-tolerant overwrite.
             with _index_lock(path, timeout=600.0):
                 out["ledger"] = _compact_fulltext_ledger(spark, data_dir, n_files)
+                # the probe-stat ledger is fully derivable from the postings,
+                # so compaction REBUILDS it from the compacted index — the
+                # fold and the heal in one move (crash-inflated df/max_tf
+                # from append windows converge back to exact counts here)
+                out["stats"] = _rebuild_fulltext_stats(spark, data_dir)
     return out
 
 
@@ -673,6 +709,200 @@ def _compact_fulltext_ledger(spark: SparkSession, data_dir: str, n_files: int) -
         "files_after": len(glob.glob(os.path.join(ledger_path, "*.parquet"))),
         "rows": expected[0],
     }
+
+
+def _write_fulltext_stats(
+    spark: SparkSession, postings: DataFrame, data_dir: str, mode: str
+) -> None:
+    """(tok, df_inc, max_tf) probe-stat ledger rows for a postings batch
+    (see FULLTEXT_STATS). df is the SUM of a token's rows, max_tf the MAX —
+    both merge-monotone, so append-only maintenance is exact modulo the
+    crash-inflation the probe's bound tolerates."""
+    stats = postings.groupBy("tok").agg(
+        F.count("*").alias("df_inc"), F.max("tf").alias("max_tf")
+    )
+    stats.coalesce(1).write.mode(mode).parquet(table_path(data_dir, FULLTEXT_STATS))
+
+
+def _rebuild_fulltext_stats(spark: SparkSession, data_dir: str) -> dict:
+    """Compaction-time wholesale rebuild of the fulltext probe-stat ledger
+    from the (just-compacted) postings index — every value in the ledger is
+    derivable from the postings, so rebuilding is both the fold AND the
+    heal: torn, absent, and crash-inflated states all converge to exact
+    counts here. Caller holds the index lock (no concurrent appender can
+    write ledger rows that the swap below would drop). Unlike the trigram
+    fold this aggregates Spark-side: the token vocabulary is corpus-sized,
+    not alphabet-bounded, so a driver collect would not scale. The swap is
+    rmtree + rename; a crash between them leaves the ledger ABSENT, which
+    the probe treats as decline and the next compaction rebuilds — and
+    appenders skip stats maintenance while it is absent, so a readable
+    ledger can never silently miss a batch (the soundness invariant:
+    ledger max_tf ≥ every indexed tf)."""
+    import shutil
+
+    stats_path = table_path(data_dir, FULLTEXT_STATS)
+    idx_path = table_path(data_dir, FULLTEXT_INDEX)
+    tmp = stats_path.rstrip("/") + ".rebuilding"
+    stats = spark.read.parquet(idx_path).groupBy("tok").agg(
+        F.count("*").alias("df_inc"), F.max("tf").alias("max_tf")
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    if os.path.exists(stats_path):
+        shutil.rmtree(stats_path)
+    os.rename(tmp, stats_path)
+    return {"rows": n}
+
+
+def fulltext_rank_maxdf(
+    spark: SparkSession,
+    data_dir: str,
+    terms: list[str],
+    topk: int,
+    n_docs: int,
+    max_df: float = 0.05,
+) -> tuple[list[dict] | None, dict]:
+    """Max-df skip for the fulltext probe — `/search`'s twin of
+    `trigram_rank_maxdf`: candidates come from the RARE query terms only,
+    so a stopword-grade term ('the' in a prose corpus) never drives the
+    shuffled per-doc aggregate. Hot terms' postings are semi-joined
+    (broadcast) against the rare candidate set BEFORE any shuffle, so the
+    exchanges carry O(|rare candidates|) rows however common the hot terms
+    are; the hot posting run is still scanned once map-side (sorted
+    layout, contiguous row groups) — the linear floor any exact answer
+    pays.
+
+    EXACTNESS PROOF (returns None — caller falls back — whenever any step
+    cannot be established). The fulltext score is pure integer math, so
+    the argument is cleaner than the trigram one (no rounding leg):
+    - Per-term idf is computed from the POSTINGS (each term's df counted
+      from its own matched rows — identical to `fulltext_rank_from_index`
+      and the D5 scan plan; the stats ledger only picks the hot/rare
+      split, which cannot affect exactness). For every candidate c found
+      via ≥1 rare term, score(c) = Σ_rare tf·idf + Σ_hot tf·idf with the
+      hot leg counted by the semi-join — the same integer the full plan
+      computes, term for term.
+    - A doc u missing from the candidate set matches ONLY hot terms, so
+      score(u) ≤ Σ_{t hot, df(t)>0} max_tf(t)·idf(t) =: bound, with
+      max_tf from the stats ledger (written before every postings append
+      and rebuilt exactly at compaction, so ledger max_tf ≥ any indexed
+      tf — crash paths only inflate it, growing the bound).
+    - Served ONLY if the rare-probe ranking has a full topk rows and the
+      k-th score_micro is STRICTLY greater than bound: every unseen doc
+      then ranks strictly below all served rows (strict > on the integer
+      score means the (score desc, doc_id asc) tie-order cannot be
+      violated either). The served topk is row-identical to the full
+      plan's.
+
+    Decline cost: the ledger read (footer-pruned to the query terms) plus
+    at worst one rare-candidate aggregate before the plain probe answers —
+    bounded by ~2× the plain probe, paid only when the corpus's rare terms
+    aren't discriminative. The forced broadcast is capped driver-side by
+    Σ ledger-df(rare) ≤ MAXDF_BROADCAST_CAP, so a corpus where "rare"
+    still means millions of postings takes the plain shuffle plan instead.
+
+    Returns (rows|None, info) — info carries the decision trail for tests
+    and the /search route's debugging."""
+    info: dict = {"used": False}
+    terms = list(dict.fromkeys(terms))  # set semantics, like isin() downstream
+    if not terms:
+        raise ValueError("query yields no terms")
+    stats_path = table_path(data_dir, FULLTEXT_STATS)
+    if not os.path.isdir(stats_path):
+        info["reason"] = "no stats ledger"
+        return None, info
+    try:
+        stat = {
+            r["tok"]: (int(r["df"]), int(r["mtf"]))
+            for r in spark.read.parquet(stats_path)
+            .filter(F.col("tok").isin(*terms))
+            .groupBy("tok")
+            .agg(F.sum("df_inc").alias("df"), F.max("max_tf").alias("mtf"))
+            .collect()
+        }
+    except Exception as exc:  # noqa: BLE001 — optional perf structure: a
+        # torn state (crash mid-rebuild) must degrade to the plain probe
+        info["reason"] = f"unreadable stats ledger: {exc}"
+        return None, info
+    hot = sorted(t for t in terms if stat.get(t, (0, 0))[0] > max_df * n_docs)
+    rare = sorted(t for t in terms if t not in set(hot))
+    info.update({"hot": hot, "n_docs": n_docs})
+    if not hot:
+        info["reason"] = "no hot terms"
+        return None, info
+    if not rare:
+        info["reason"] = "every query term is hot"
+        return None, info
+    cand_ub = sum(stat.get(t, (0, 0))[0] for t in rare)
+    if cand_ub > MAXDF_BROADCAST_CAP:
+        info["reason"] = f"candidate bound {cand_ub} > broadcast cap {MAXDF_BROADCAST_CAP}"
+        return None, info
+
+    idx = spark.read.parquet(table_path(data_dir, FULLTEXT_INDEX))
+    # exact per-term df from the postings — the same counts the plain index
+    # plan derives; ≤|terms| rows, footer-pruned scan, so collecting is free
+    dfreq = {
+        r["tok"]: int(r["c"])
+        for r in idx.filter(F.col("tok").isin(*terms))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    # exact integer idf, identical to the plans' decimal expression
+    # ((10⁶·N) div df): positive-int floor division commutes between
+    # Python // and SQL div
+    idf = {t: (1_000_000 * int(n_docs)) // dfreq[t] for t in terms if dfreq.get(t)}
+    bound = sum(stat[t][1] * idf[t] for t in hot if t in idf)
+    info["bound"] = bound
+    if not any(t in idf for t in rare):
+        info["reason"] = "no rare term matches any posting"
+        return None, info
+    # per-term idf as a string-valued literal map (exact: ints stringified),
+    # cast back to the plans' DECIMAL(38,0) intermediate per row — the
+    # contribution tf·idf is then the identical integer, and the split
+    # rare+hot sum carries the same decimal-38 overflow envelope (ANSI
+    # error, never silent wrap) as the plain plan's single sum
+    idf_map = F.create_map(*[F.lit(x) for t, v in sorted(idf.items()) for x in (t, str(v))])
+    contrib = F.sum(
+        F.col("tf").cast("decimal(38,0)")
+        * F.element_at(idf_map, F.col("tok")).cast("decimal(38,0)")
+    )
+    cand = (
+        idx.filter(F.col("tok").isin(*rare))
+        .groupBy("doc_id")
+        .agg(contrib.alias("r_score"), F.count("*").alias("r_hits"))
+    )
+    hot_hits = (
+        idx.filter(F.col("tok").isin(*hot))
+        .join(F.broadcast(cand.select("doc_id")), "doc_id")
+        .groupBy("doc_id")
+        .agg(contrib.alias("h_score"), F.count("*").alias("h_hits"))
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    rows = [
+        r.asDict()
+        for r in cand.join(hot_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("r_hits") + F.coalesce(F.col("h_hits"), F.lit(0)))
+            .cast("int")
+            .alias("n_terms_hit"),
+            (F.col("r_score") + F.coalesce(F.col("h_score"), zero))
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(topk)
+        .collect()
+    ]
+    if len(rows) < topk or not rows[-1]["score_micro"] > bound:
+        info["reason"] = (
+            f"guard: {len(rows)} rows, k-th score "
+            f"{rows[-1]['score_micro'] if rows else None} !> bound {bound}"
+        )
+        return None, info
+    info["used"] = True
+    return rows, info
 
 
 def trigram_rank_from_index(
@@ -1063,7 +1293,15 @@ class _Handler(BaseHTTPRequestHandler):
             if "scan" not in q and os.path.isdir(table_path(d, FULLTEXT_INDEX)):
                 with open(os.path.join(d, "_SNAPSHOT.json")) as f:
                     n_docs = json.load(f)[FULLTEXT_INDEX]["n_docs"]
-                out = _rows_payload(fulltext_rank_from_index(spark, d, terms, k, n_docs))
+                # max-df skip first (exact by its guard, or declines);
+                # ?maxdf=0 forces the plain probe
+                rows = None
+                if q.get("maxdf") != "0":
+                    rows, _info = fulltext_rank_maxdf(spark, d, terms, k, n_docs)
+                if rows is not None:
+                    out = {"n": len(rows), "rows": rows}
+                else:
+                    out = _rows_payload(fulltext_rank_from_index(spark, d, terms, k, n_docs))
             else:
                 out = _rows_payload(api_plans.api_fulltext_rank(spark, d, terms=terms, topk=k))
             self._send(200, out)

@@ -1444,3 +1444,218 @@ def test_fulltext_ledger_compaction_and_midswap_heal(spark, tmp_path):
     assert os.path.exists(ledger_path)
     assert not os.path.exists(ledger_path + ".precompact")
     assert spark.read.parquet(ledger_path).count() == n_ledger
+
+
+def _crafted_ft_corpus(spark, tmp_path):
+    """60-doc corpus with a deliberately hot token family: 40 'template'
+    docs share five boilerplate words (df ≈ 67%, far over the 5% max-df
+    line; 'golden' appears twice per doc so max_tf=2 exercises the bound)
+    plus a distinct uidNN word; 20 docs are unrelated word-soup. Returns
+    (corpus_dir, serving_dir)."""
+    import json
+    import os
+    import random
+
+    tmpl = [
+        (i, f"golden harvest premium quality assurance golden item uid{i:02d}")
+        for i in range(40)
+    ]
+    rng = random.Random(7)
+    soup = [
+        (
+            100 + j,
+            " ".join(
+                "".join(rng.choice("bcdfghjklmnpqrstvwxz") for _ in range(8))
+                for _ in range(10)
+            ),
+        )
+        for j in range(20)
+    ]
+    docs = spark.createDataFrame(tmpl + soup, "doc_id bigint, text string")
+    corpus = str(tmp_path / "ft_corpus")
+    docs.write.parquet(corpus + "/documents.parquet")
+    d = str(tmp_path / "ft_serving")
+    os.makedirs(d)
+    from australian_company_etl_spark.serving.http_api import build_fulltext_index
+
+    meta = build_fulltext_index(spark, corpus, d)
+    with open(os.path.join(d, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"fulltext_index": meta}, f)
+    return corpus, d
+
+
+def test_fulltext_maxdf_skip_fires_and_is_row_identical(spark, tmp_path):
+    """The /search max-df skip must actually FIRE on a hot-token corpus
+    (info trail proves it) and serve rows identical to the full index
+    probe — the integer exactness guard in `fulltext_rank_maxdf`'s
+    docstring, end to end."""
+    from australian_company_etl_spark.serving.http_api import (
+        fulltext_rank_from_index,
+        fulltext_rank_maxdf,
+    )
+
+    _corpus, d = _crafted_ft_corpus(spark, tmp_path)
+    n_docs = 60
+
+    rows, info = fulltext_rank_maxdf(spark, d, ["golden", "uid17"], 1, n_docs)
+    assert info["used"], info
+    assert info["hot"] == ["golden"]
+    full = [
+        r.asDict()
+        for r in fulltext_rank_from_index(spark, d, ["golden", "uid17"], 1, n_docs).collect()
+    ]
+    assert rows == full
+    assert rows[0]["doc_id"] == 17 and rows[0]["n_terms_hit"] == 2
+
+    # all-hot query: nothing rare to probe with -> decline
+    rows2, info2 = fulltext_rank_maxdf(spark, d, ["golden", "harvest"], 5, n_docs)
+    assert rows2 is None and "every query term is hot" in info2["reason"]
+
+    # no hot terms: the skip buys nothing -> decline, plain plan serves
+    rows3, info3 = fulltext_rank_maxdf(spark, d, ["uid17", "uid03"], 2, n_docs)
+    assert rows3 is None and info3["reason"] == "no hot terms"
+
+    # guard failure: k larger than the rare candidate set -> decline
+    rows4, info4 = fulltext_rank_maxdf(spark, d, ["golden", "uid17"], 30, n_docs)
+    assert rows4 is None and info4["reason"].startswith("guard")
+
+
+def test_fulltext_maxdf_declines_without_stats_ledger(spark, tmp_path):
+    """Pre-stats snapshots have no ledger: the probe must decline (never
+    guess) — and compaction must CREATE the ledger from the postings (the
+    migration path), after which the skip fires."""
+    import shutil
+
+    from australian_company_etl_spark.serving import http_api as api
+    from australian_company_etl_spark.sources.registry import table_path
+
+    _corpus, d = _crafted_ft_corpus(spark, tmp_path)
+    shutil.rmtree(table_path(d, api.FULLTEXT_STATS))
+    rows, info = api.fulltext_rank_maxdf(spark, d, ["golden", "uid17"], 1, 60)
+    assert rows is None and info["reason"] == "no stats ledger"
+
+    out = api.compact_index(spark, d, "fulltext_index", "tok", n_files=4)
+    assert out["ok"] and out["stats"]["rows"] > 0
+    rows, info = api.fulltext_rank_maxdf(spark, d, ["golden", "uid17"], 1, 60)
+    assert info["used"] and rows[0]["doc_id"] == 17
+
+
+def test_fulltext_maxdf_declines_over_broadcast_cap(spark, tmp_path, monkeypatch):
+    """The skip force-broadcasts the rare-candidate doc_ids; the driver-side
+    Σ ledger-df(rare) bound must decline rather than broadcast an unbounded
+    set — the 100×-scale guard."""
+    from australian_company_etl_spark.serving import http_api as api
+
+    _corpus, d = _crafted_ft_corpus(spark, tmp_path)
+    monkeypatch.setattr(api, "MAXDF_BROADCAST_CAP", 0)
+    rows, info = api.fulltext_rank_maxdf(spark, d, ["golden", "uid17"], 1, 60)
+    assert rows is None and "broadcast cap" in info["reason"]
+
+
+def test_fulltext_maxdf_survives_appends_and_compaction_rebuild(spark, tmp_path):
+    """Append-only stats maintenance must keep ledger df/max_tf at-or-above
+    the postings ground truth (exactly equal on clean appends; re-delivered
+    batches add nothing), the probe must stay row-identical to the full
+    plan across appends, and compaction must REBUILD the ledger to exact
+    single-file form. A torn ledger (emptied dir) must make the probe
+    decline, never 500."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving import http_api as api
+    from australian_company_etl_spark.sources.registry import table_path
+
+    corpus, d = _crafted_ft_corpus(spark, tmp_path)
+    docs = spark.read.parquet(corpus + "/documents.parquet")
+    # rebuild the serving dir from the even half, then append the odd half
+    shutil.rmtree(d)
+    half_dir = str(tmp_path / "ft_half")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(half_dir + "/documents.parquet")
+    os.makedirs(d)
+    meta = api.build_fulltext_index(spark, half_dir, d)
+    with open(os.path.join(d, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"fulltext_index": meta}, f)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    api.append_documents_to_index(spark, odd, d)
+    api.append_documents_to_index(spark, odd, d)  # re-delivery: no-op
+
+    stats_path = table_path(d, api.FULLTEXT_STATS)
+    files_before = len(glob.glob(os.path.join(stats_path, "*.parquet")))
+    assert files_before >= 2  # build + one effective append
+
+    postings = spark.read.parquet(table_path(d, api.FULLTEXT_INDEX))
+    truth = {
+        r["tok"]: (r["df"], r["mtf"])
+        for r in postings.groupBy("tok")
+        .agg(F.count("*").alias("df"), F.max("tf").alias("mtf"))
+        .collect()
+    }
+    ledger = {
+        r["tok"]: (int(r["df"]), int(r["mtf"]))
+        for r in spark.read.parquet(stats_path)
+        .groupBy("tok")
+        .agg(F.sum("df_inc").alias("df"), F.max("max_tf").alias("mtf"))
+        .collect()
+    }
+    assert ledger == truth
+
+    n_docs = json.load(open(os.path.join(d, "_SNAPSHOT.json")))["fulltext_index"]["n_docs"]
+    assert n_docs == 60
+    before, info = api.fulltext_rank_maxdf(spark, d, ["golden", "uid17"], 1, n_docs)
+    assert info["used"], info
+    full = [
+        r.asDict()
+        for r in api.fulltext_rank_from_index(spark, d, ["golden", "uid17"], 1, n_docs).collect()
+    ]
+    assert before == full
+
+    out = api.compact_index(spark, d, "fulltext_index", "tok", n_files=4)
+    assert out["ok"] and out["stats"]["rows"] == len(truth)
+    assert len(glob.glob(os.path.join(stats_path, "*.parquet"))) == 1
+    rebuilt = {
+        r["tok"]: (int(r["df_inc"]), int(r["max_tf"]))
+        for r in spark.read.parquet(stats_path).collect()
+    }
+    assert rebuilt == truth
+    after, info2 = api.fulltext_rank_maxdf(spark, d, ["golden", "uid17"], 1, n_docs)
+    assert info2["used"] and after == before
+
+    # torn ledger: probe declines with a reason, never raises
+    shutil.rmtree(stats_path)
+    os.makedirs(stats_path)
+    rows, info3 = api.fulltext_rank_maxdf(spark, d, ["golden", "uid17"], 1, n_docs)
+    assert rows is None and "unreadable stats ledger" in info3["reason"]
+
+
+def test_search_route_maxdf_matches_plain_and_scan(spark, tmp_path):
+    """/search must serve identical bodies through all three paths on the
+    crafted hot corpus: default (max-df first), ?maxdf=0 (plain probe),
+    ?scan=1 (corpus scan)."""
+    import json
+    import os
+
+    from australian_company_etl_spark.serving import http_api as api
+
+    corpus, d = _crafted_ft_corpus(spark, tmp_path)
+    # the scan path needs documents.parquet beside the index
+    spark.read.parquet(corpus + "/documents.parquet").write.parquet(
+        d + "/documents.parquet"
+    )
+    srv = api.make_server(spark, d)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    api.serve_in_thread(srv)
+    try:
+        q = "golden+uid17&k=1"
+        s1, b1 = _get(base, f"/search?q={q}")
+        s2, b2 = _get(base, f"/search?q={q}&maxdf=0")
+        s3, b3 = _get(base, f"/search?q={q}&scan=1")
+        assert s1 == s2 == s3 == 200
+        assert b1["rows"] == b2["rows"] == b3["rows"]
+        assert b1["rows"][0]["doc_id"] == 17
+    finally:
+        srv.shutdown()
+        srv.server_close()
