@@ -834,6 +834,14 @@ def fulltext_rank_maxdf(
         info["reason"] = "every query term is hot"
         return None, info
     cand_ub = sum(stat.get(t, (0, 0))[0] for t in rare)
+    if cand_ub == 0:
+        # ledger df only ever over-counts (stats precede every postings
+        # append), so ledger-df 0 PROVES no rare posting exists — the
+        # candidate set would be empty and the guard would decline anyway;
+        # deciding it here costs zero Spark jobs on this common path (a
+        # query term that simply isn't in the corpus)
+        info["reason"] = "no rare term has any ledger postings"
+        return None, info
     if cand_ub > MAXDF_BROADCAST_CAP:
         info["reason"] = f"candidate bound {cand_ub} > broadcast cap {MAXDF_BROADCAST_CAP}"
         return None, info
@@ -1041,6 +1049,11 @@ def trigram_rank_maxdf(
     # of postings should take the plain shuffle plan, which is built for
     # exactly that).
     cand_ub = sum(dfs.get(t, 0) for t in rare)
+    if cand_ub == 0:
+        # ledger df only ever over-counts, so 0 proves no rare posting
+        # exists — decline without spending a single Spark job
+        info["reason"] = "no rare trigram has any ledger postings"
+        return None, info
     if cand_ub > MAXDF_BROADCAST_CAP:
         info["reason"] = f"candidate bound {cand_ub} > broadcast cap {MAXDF_BROADCAST_CAP}"
         return None, info

@@ -1152,6 +1152,11 @@ def test_trigram_maxdf_skip_fires_and_is_row_identical(spark, tmp_path):
     rows3, info3 = trigram_rank_maxdf(spark, d, "golden uid17", 30)
     assert rows3 is None and info3["reason"].startswith("guard")
 
+    # rare trigrams absent from the corpus: ledger df 0 proves no posting
+    # exists, so the decline spends zero Spark jobs
+    rows4, info4 = trigram_rank_maxdf(spark, d, "golden yyyyy", 1)
+    assert rows4 is None and info4["reason"] == "no rare trigram has any ledger postings"
+
 
 def test_trigram_maxdf_declines_without_stats_ledgers(spark, tmp_path):
     """Old postings-only snapshots have no stats ledgers: the max-df probe
@@ -1518,6 +1523,12 @@ def test_fulltext_maxdf_skip_fires_and_is_row_identical(spark, tmp_path):
     # guard failure: k larger than the rare candidate set -> decline
     rows4, info4 = fulltext_rank_maxdf(spark, d, ["golden", "uid17"], 30, n_docs)
     assert rows4 is None and info4["reason"].startswith("guard")
+
+    # rare term absent from the corpus: ledger df 0 PROVES no posting
+    # exists (stats precede every append), so the decline spends zero
+    # Spark jobs — the common not-in-corpus query-term path
+    rows5, info5 = fulltext_rank_maxdf(spark, d, ["golden", "zzznotaword"], 1, n_docs)
+    assert rows5 is None and info5["reason"] == "no rare term has any ledger postings"
 
 
 def test_fulltext_maxdf_declines_without_stats_ledger(spark, tmp_path):
