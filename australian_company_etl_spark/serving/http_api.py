@@ -1245,6 +1245,28 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet by default; tests assert bodies
         pass
 
+    def _live_index(self, name: str) -> bool:
+        """True if the index directory is live — healing a compaction that
+        died mid-swap (live dir missing, data stranded in ``.precompact``)
+        first. make_server runs this heal at startup, but a compactor can
+        die mid-swap while the server is RUNNING, and without appenders
+        (a read-mostly box) nothing else would ever roll the window back:
+        probes would silently degrade to the corpus scan (or 500 on an
+        index-only snapshot) until the next maintenance run. Request-time
+        heal closes that. A LIVE compaction mid-swap holds the index lock,
+        so the short lock timeout distinguishes it from a dead one — on
+        timeout we just re-check and at worst this one request takes the
+        scan fallback while the swap completes. (The probe itself still
+        reads lock-free; the irreducible race of a swap landing between
+        this check and the scan is one transient failed request, not the
+        persistent outage this heals.)"""
+        p = table_path(self.data_dir, name)
+        if not os.path.isdir(p) and os.path.isdir(p.rstrip("/") + ".precompact"):
+            with contextlib.suppress(OSError, TimeoutError):
+                with _index_lock(p, timeout=5.0):
+                    heal_interrupted_compaction(p)
+        return os.path.isdir(p)
+
     def _send(self, code: int, payload: dict) -> None:
         body = json.dumps(payload, default=str).encode()
         self.send_response(code)
@@ -1303,7 +1325,7 @@ class _Handler(BaseHTTPRequestHandler):
             # serve from the published index (term-pruned probe) when the
             # snapshot has one; ?scan=1 forces the corpus-scan plan (the
             # two are proven row-identical in tests)
-            if "scan" not in q and os.path.isdir(table_path(d, FULLTEXT_INDEX)):
+            if "scan" not in q and self._live_index(FULLTEXT_INDEX):
                 with open(os.path.join(d, "_SNAPSHOT.json")) as f:
                     n_docs = json.load(f)[FULLTEXT_INDEX]["n_docs"]
                 # max-df skip first (exact by its guard, or declines);
@@ -1322,7 +1344,7 @@ class _Handler(BaseHTTPRequestHandler):
             k = min(_int_param(q, "k", api_plans.TRGM_TOPK), MAX_PAGE_SIZE)
             if not [w for w in q["q"].lower().split() if w]:
                 raise ValueError("q must contain at least one word")
-            if "scan" not in q and os.path.isdir(table_path(d, TRIGRAM_INDEX)):
+            if "scan" not in q and self._live_index(TRIGRAM_INDEX):
                 # max-df skip first (exact by its guard, or declines);
                 # ?maxdf=0 forces the plain probe
                 rows = None

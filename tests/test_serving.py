@@ -1670,3 +1670,50 @@ def test_search_route_maxdf_matches_plain_and_scan(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_routes_heal_midswap_crashed_compaction_at_request_time(spark, tmp_path):
+    """A compactor that dies between its swap's two renames while the
+    server is RUNNING leaves no live index directory; on a read-mostly box
+    (no appenders) nothing would ever heal it — probes would degrade to
+    the corpus scan or 500 until the next maintenance run. The routes must
+    roll the window back at request time and serve from the healed INDEX
+    (proven: the serving dirs here have no corpus tables, so a scan
+    fallback would 500)."""
+    import os
+
+    from australian_company_etl_spark.serving import http_api as api
+    from australian_company_etl_spark.sources.registry import table_path
+
+    _corpus, d = _crafted_ft_corpus(spark, tmp_path)
+    srv = api.make_server(spark, d)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    api.serve_in_thread(srv)
+    try:
+        s0, b0 = _get(base, "/search?q=golden+uid17&k=1")
+        assert s0 == 200 and b0["rows"][0]["doc_id"] == 17
+        idx = table_path(d, api.FULLTEXT_INDEX)
+        # the exact mid-swap crash state: first rename done, second never ran
+        os.rename(idx, idx + ".precompact")
+        s1, b1 = _get(base, "/search?q=golden+uid17&k=1")
+        assert s1 == 200 and b1["rows"] == b0["rows"]
+        assert os.path.isdir(idx) and not os.path.exists(idx + ".precompact")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    tcorpus, td = _crafted_trgm_corpus(spark, tmp_path)
+    srv = api.make_server(spark, td)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    api.serve_in_thread(srv)
+    try:
+        s0, b0 = _get(base, "/fuzzy?q=golden+uid17&k=1")
+        assert s0 == 200 and b0["rows"][0]["p_partkey"] == 17
+        idx = table_path(td, api.TRIGRAM_INDEX)
+        os.rename(idx, idx + ".precompact")
+        s1, b1 = _get(base, "/fuzzy?q=golden+uid17&k=1")
+        assert s1 == 200 and b1["rows"] == b0["rows"]
+        assert os.path.isdir(idx) and not os.path.exists(idx + ".precompact")
+    finally:
+        srv.shutdown()
+        srv.server_close()
