@@ -446,40 +446,51 @@ def _write_trigram_df_stats(spark: SparkSession, postings: DataFrame, data_dir: 
     stats.coalesce(1).write.mode(mode).parquet(table_path(data_dir, TRIGRAM_STATS))
 
 
-def _compact_trigram_ledgers(spark: SparkSession, data_dir: str) -> dict:
-    """Fold the append-only probe-stat ledgers back to their minimal form —
-    one (trgm, df) row per distinct trigram plus one meta row — reclaiming
-    the one-tiny-file-per-append growth (the ledger analog of
-    `compact_index`). Caller must hold the INDEX lock: appenders write
-    ledger rows under it, so folding under the same lock can never drop a
-    concurrent batch's rows. The fold runs DRIVER-SIDE (collect → rewrite):
-    the trigram alphabet bounds the stats ledger to ~50k rows at ANY corpus
-    size, and collecting first sidesteps both the read-while-overwriting
-    hazard and the cache-invalidation-by-write trap the appender hit. A
-    crash mid-overwrite leaves a torn ledger; the probe treats any
-    unreadable/empty ledger as "decline to the plain probe", so the window
-    is perf-only (the next compaction heals it wholesale)."""
-    stats_path = table_path(data_dir, TRIGRAM_STATS)
-    meta_path = table_path(data_dir, TRIGRAM_META)
-    if not (os.path.isdir(stats_path) and os.path.isdir(meta_path)):
-        return {"ledgers": "absent"}
-    stats_rows = spark.read.parquet(stats_path).collect()
-    folded: dict[str, int] = {}
-    for r in stats_rows:
-        folded[r["trgm"]] = folded.get(r["trgm"], 0) + int(r["df_inc"])
-    meta_rows = spark.read.parquet(meta_path).collect()
-    n_parts = sum(int(r["n_parts_inc"]) for r in meta_rows)
-    min_n = min(int(r["min_n_trgm"]) for r in meta_rows)
-    spark.createDataFrame(
-        sorted(folded.items()), "trgm string, df_inc bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(stats_path)
-    spark.createDataFrame(
-        [(n_parts, min_n)], "n_parts_inc bigint, min_n_trgm bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
-    return {
-        "ledger_rows_before": len(stats_rows) + len(meta_rows),
-        "ledger_rows_after": len(folded) + 1,
-    }
+def _rebuild_trigram_stats(spark: SparkSession, data_dir: str) -> dict:
+    """Compaction-time wholesale REBUILD of the trigram probe-stat ledgers
+    from the (just-compacted) postings index — every ledger value is
+    derivable from the postings (df = count per trgm, n_parts = distinct
+    parts, min_n_trgm = min over the stored per-part counts), so the
+    rebuild is both the fold and the heal: torn, absent, and
+    crash-inflated ledger states all converge to EXACT values here, and
+    pre-stats snapshots gain the ledgers at their first compaction (the
+    migration path), exactly like `_rebuild_fulltext_stats`. Caller holds
+    the index lock (no concurrent appender can write ledger rows the swap
+    below would drop). The per-ledger swap is write-tmp + rmtree + rename:
+    a crash between them leaves that ledger ABSENT, which the probe treats
+    as decline and appenders skip — so a READABLE ledger can never
+    silently miss a batch. (The previous driver-side fold rewrote the
+    ledgers IN PLACE with mode-overwrite, whose crash window leaves a
+    present-but-torn dir that later appends keep feeding: min_n_trgm would
+    then read as the minimum over post-crash batches only — ABOVE the true
+    corpus minimum — silently breaking the max-df guard's soundness. It
+    also raised TypeError on the NULL min_n_trgm a zero-trigram batch's
+    meta row carries. Rebuilding from the index eliminates both.)"""
+    import shutil
+
+    idx = spark.read.parquet(table_path(data_dir, TRIGRAM_INDEX))
+    parts = idx.select("p_partkey", "n_trgm").distinct()
+    frames = (
+        (TRIGRAM_STATS, idx.groupBy("trgm").agg(F.count("*").alias("df_inc"))),
+        (
+            TRIGRAM_META,
+            parts.agg(
+                F.count("*").alias("n_parts_inc"),
+                F.min("n_trgm").alias("min_n_trgm"),
+            ),
+        ),
+    )
+    out = {}
+    for name, df in frames:
+        path = table_path(data_dir, name)
+        tmp = path.rstrip("/") + ".rebuilding"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        out[name] = n
+    return out
 
 
 def _write_trigram_stats(spark: SparkSession, postings: DataFrame, data_dir: str, mode: str) -> None:
@@ -525,27 +536,34 @@ def append_parts_to_trigram_index(
             # postings append
             trg = trg.persist()
             try:
-                # probe-stat ledgers are maintained only for snapshots that
-                # have them (older postings-only snapshots keep working; the
-                # max-df probe just falls back there). BOTH ledgers are
-                # written BEFORE the postings: (a) soundness — a crash then
-                # leaves min_n_trgm ≤ the true min and df/n_parts inflated,
-                # and neither inflated value can break exactness (the df
-                # split only picks WHICH trigrams probe; the guard uses
-                # min_n) — and (b) mechanics — appending to the postings
-                # path invalidates every cached plan that scans it,
-                # including this batch (its anti-join reads the index), so
-                # a ledger write issued afterwards would recompute against
-                # the post-append index and see an empty batch.
-                has_stats = os.path.exists(
-                    table_path(data_dir, TRIGRAM_STATS)
-                ) and os.path.exists(table_path(data_dir, TRIGRAM_META))
-                if has_stats:
-                    _write_trigram_meta(spark, trg, data_dir, mode="append")
-                    _write_trigram_df_stats(spark, trg, data_dir, mode="append")
-                trg.repartitionByRange(2, "trgm").sortWithinPartitions(
-                    "trgm"
-                ).write.mode("append").parquet(path)
+                # a batch can yield ZERO postings (every fresh name empty of
+                # alphanumerics): such parts never enter the index, and the
+                # ledger writes must be skipped with the postings — a
+                # zero-row batch's meta agg still emits one (0, NULL) row,
+                # and NULL min_n_trgm rows poison every later ledger read
+                if not trg.isEmpty():
+                    # probe-stat ledgers are maintained only for snapshots
+                    # that have them (older postings-only snapshots keep
+                    # working; the max-df probe just falls back there). BOTH
+                    # ledgers are written BEFORE the postings: (a) soundness
+                    # — a crash then leaves min_n_trgm ≤ the true min and
+                    # df/n_parts inflated, and neither inflated value can
+                    # break exactness (the df split only picks WHICH
+                    # trigrams probe; the guard uses min_n) — and (b)
+                    # mechanics — appending to the postings path invalidates
+                    # every cached plan that scans it, including this batch
+                    # (its anti-join reads the index), so a ledger write
+                    # issued afterwards would recompute against the
+                    # post-append index and see an empty batch.
+                    has_stats = os.path.exists(
+                        table_path(data_dir, TRIGRAM_STATS)
+                    ) and os.path.exists(table_path(data_dir, TRIGRAM_META))
+                    if has_stats:
+                        _write_trigram_meta(spark, trg, data_dir, mode="append")
+                        _write_trigram_df_stats(spark, trg, data_dir, mode="append")
+                    trg.repartitionByRange(2, "trgm").sortWithinPartitions(
+                        "trgm"
+                    ).write.mode("append").parquet(path)
             finally:
                 trg.unpersist()
         manifest_path = os.path.join(data_dir, "_SNAPSHOT.json")
@@ -651,11 +669,12 @@ def compact_index(
             "ok": True,
         }
         if index_name == TRIGRAM_INDEX:
-            # fold the probe-stat ledgers too (one tiny file per append
-            # otherwise accumulates forever); under the index lock so a
-            # concurrent append's ledger rows can't be dropped mid-fold
+            # the probe-stat ledgers grow one tiny file per append and are
+            # fully derivable from the postings — rebuild them from the
+            # compacted index (fold + heal + migration in one move); under
+            # the index lock so a concurrent append can't interleave
             with _index_lock(path, timeout=600.0):
-                out["ledgers"] = _compact_trigram_ledgers(spark, data_dir)
+                out["ledgers"] = _rebuild_trigram_stats(spark, data_dir)
         if index_name == FULLTEXT_INDEX:
             # the doc ledger grows one file per append too; same
             # digest-verified rewrite+swap, under the index lock (the
@@ -875,34 +894,41 @@ def fulltext_rank_maxdf(
         F.col("tf").cast("decimal(38,0)")
         * F.element_at(idf_map, F.col("tok")).cast("decimal(38,0)")
     )
+    # persist: the candidate aggregate feeds BOTH the broadcast key set and
+    # the final join — Spark does not dedupe common subtrees, so without
+    # this the rare-postings scan+aggregate would run twice per request
     cand = (
         idx.filter(F.col("tok").isin(*rare))
         .groupBy("doc_id")
         .agg(contrib.alias("r_score"), F.count("*").alias("r_hits"))
+        .persist()
     )
-    hot_hits = (
-        idx.filter(F.col("tok").isin(*hot))
-        .join(F.broadcast(cand.select("doc_id")), "doc_id")
-        .groupBy("doc_id")
-        .agg(contrib.alias("h_score"), F.count("*").alias("h_hits"))
-    )
-    zero = F.lit(0).cast("decimal(38,0)")
-    rows = [
-        r.asDict()
-        for r in cand.join(hot_hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            (F.col("r_hits") + F.coalesce(F.col("h_hits"), F.lit(0)))
-            .cast("int")
-            .alias("n_terms_hit"),
-            (F.col("r_score") + F.coalesce(F.col("h_score"), zero))
-            .cast("long")
-            .alias("score_micro"),
+    try:
+        hot_hits = (
+            idx.filter(F.col("tok").isin(*hot))
+            .join(F.broadcast(cand.select("doc_id")), "doc_id")
+            .groupBy("doc_id")
+            .agg(contrib.alias("h_score"), F.count("*").alias("h_hits"))
         )
-        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
-        .limit(topk)
-        .collect()
-    ]
+        zero = F.lit(0).cast("decimal(38,0)")
+        rows = [
+            r.asDict()
+            for r in cand.join(hot_hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("r_hits") + F.coalesce(F.col("h_hits"), F.lit(0)))
+                .cast("int")
+                .alias("n_terms_hit"),
+                (F.col("r_score") + F.coalesce(F.col("h_score"), zero))
+                .cast("long")
+                .alias("score_micro"),
+            )
+            .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+            .limit(topk)
+            .collect()
+        ]
+    finally:
+        cand.unpersist()
     if len(rows) < topk or not rows[-1]["score_micro"] > bound:
         info["reason"] = (
             f"guard: {len(rows)} rows, k-th score "
@@ -940,6 +966,27 @@ def trigram_rank_from_index(
         .orderBy(F.desc("sim"), F.asc("p_partkey"))
         .limit(topk)
         .select("p_partkey", "p_name", "sim")
+    )
+
+
+def _ceil_6dp(num: int, den: int) -> float:
+    """num/den rounded UP to 6 decimal places — the sound direction for the
+    trigram guard's unseen-sim bound. Python round() is half-EVEN while the
+    plans round sims with Spark F.round (half-UP), so a bound landing
+    exactly on a half (e.g. 1/128 = 0.0078125) would come out 1e-6 LOW and
+    the guard could falsely pass against an unseen part whose rounded sim
+    ties the k-th row. Ceiling ≥ half-up of the true value, and also
+    absorbs the plans' double-division error (≤1 ulp ≈ 1e-16, while a
+    nonzero true-value-to-grid distance is ≥ 1/(10⁶·union) — far larger
+    for any real trigram count), so every unseen ROUNDED sim is ≤ this
+    bound; the cost is at most one extra decline per exact boundary hit.
+    Exact rational via Decimal — no float on the way in."""
+    from decimal import ROUND_CEILING, Decimal
+
+    return float(
+        (Decimal(num) / Decimal(den)).quantize(
+            Decimal("0.000001"), rounding=ROUND_CEILING
+        )
     )
 
 
@@ -1039,7 +1086,7 @@ def trigram_rank_maxdf(
         info["reason"] = "every query trigram is hot"
         return None, info
     s = len(hot)
-    bound = round(s / (min_n + len(q) - s), 6)
+    bound = _ceil_6dp(s, min_n + len(q) - s)
     info["bound"] = bound
     # scale bound on the forced broadcast below: the candidate set is at
     # most Σ df(rare) keys (each rare posting contributes one candidate at
@@ -1059,32 +1106,39 @@ def trigram_rank_maxdf(
         return None, info
 
     idx = spark.read.parquet(table_path(data_dir, TRIGRAM_INDEX))
+    # persist: the candidate aggregate feeds BOTH the broadcast key set and
+    # the final join — Spark does not dedupe common subtrees, so without
+    # this the rare-postings scan+aggregate would run twice per request
     cand = (
         idx.filter(F.col("trgm").isin(*rare))
         .groupBy("p_partkey", "p_name", "n_trgm")
         .agg(F.count("*").alias("r"))
+        .persist()
     )
-    hot_hits = (
-        idx.filter(F.col("trgm").isin(*hot))
-        .join(F.broadcast(cand.select("p_partkey")), "p_partkey")
-        .groupBy("p_partkey")
-        .agg(F.count("*").alias("h"))
-    )
-    inter = F.col("r") + F.coalesce(F.col("h"), F.lit(0))
-    union = F.col("n_trgm") + F.lit(len(q)) - inter
-    rows = [
-        r.asDict()
-        for r in cand.join(hot_hits, "p_partkey", "left")
-        .select(
-            "p_partkey",
-            "p_name",
-            F.round(inter.cast("double") / union, 6).alias("sim"),
+    try:
+        hot_hits = (
+            idx.filter(F.col("trgm").isin(*hot))
+            .join(F.broadcast(cand.select("p_partkey")), "p_partkey")
+            .groupBy("p_partkey")
+            .agg(F.count("*").alias("h"))
         )
-        .filter(F.col("sim") > 0)
-        .orderBy(F.desc("sim"), F.asc("p_partkey"))
-        .limit(topk)
-        .collect()
-    ]
+        inter = F.col("r") + F.coalesce(F.col("h"), F.lit(0))
+        union = F.col("n_trgm") + F.lit(len(q)) - inter
+        rows = [
+            r.asDict()
+            for r in cand.join(hot_hits, "p_partkey", "left")
+            .select(
+                "p_partkey",
+                "p_name",
+                F.round(inter.cast("double") / union, 6).alias("sim"),
+            )
+            .filter(F.col("sim") > 0)
+            .orderBy(F.desc("sim"), F.asc("p_partkey"))
+            .limit(topk)
+            .collect()
+        ]
+    finally:
+        cand.unpersist()
     if len(rows) < topk or not rows[-1]["sim"] > bound:
         info["reason"] = (
             f"guard: {len(rows)} rows, k-th sim "
@@ -1193,6 +1247,21 @@ def _int_param(q: dict[str, str], name: str, default: int, lo: int | None = 1) -
     v = int(raw)
     if lo is not None and v < lo:
         raise ValueError(f"{name} must be >= {lo}, got {v}")
+    return v
+
+
+def _maxdf_param(q: dict[str, str]) -> float:
+    """Parse the optional ``?maxdf=`` skip control: absent → the 0.05
+    default; 0 (any numeric spelling) → skip disabled, plain probe;
+    (0, 1] → the hot-term df threshold; anything else → ValueError → 400,
+    like every other parameter. (Previously only the literal string '0'
+    was honored and e.g. ?maxdf=0.02 was silently ignored.)"""
+    raw = q.get("maxdf")
+    if raw is None:
+        return 0.05
+    v = float(raw)
+    if not 0 <= v <= 1:
+        raise ValueError(f"maxdf must be in [0, 1], got {v}")
     return v
 
 
@@ -1322,17 +1391,22 @@ class _Handler(BaseHTTPRequestHandler):
             if not terms:
                 raise ValueError("q must contain at least one term")
             k = min(_int_param(q, "k", api_plans.FT_TOPK), MAX_PAGE_SIZE)
+            # parsed up front: a malformed ?maxdf= is a 400 whatever the
+            # snapshot layout (0 forces the plain probe, (0,1] sets the
+            # hot-term threshold)
+            max_df = _maxdf_param(q)
             # serve from the published index (term-pruned probe) when the
             # snapshot has one; ?scan=1 forces the corpus-scan plan (the
             # two are proven row-identical in tests)
             if "scan" not in q and self._live_index(FULLTEXT_INDEX):
                 with open(os.path.join(d, "_SNAPSHOT.json")) as f:
                     n_docs = json.load(f)[FULLTEXT_INDEX]["n_docs"]
-                # max-df skip first (exact by its guard, or declines);
-                # ?maxdf=0 forces the plain probe
+                # max-df skip first (exact by its guard, or declines)
                 rows = None
-                if q.get("maxdf") != "0":
-                    rows, _info = fulltext_rank_maxdf(spark, d, terms, k, n_docs)
+                if max_df > 0:
+                    rows, _info = fulltext_rank_maxdf(
+                        spark, d, terms, k, n_docs, max_df=max_df
+                    )
                 if rows is not None:
                     out = {"n": len(rows), "rows": rows}
                 else:
@@ -1344,12 +1418,12 @@ class _Handler(BaseHTTPRequestHandler):
             k = min(_int_param(q, "k", api_plans.TRGM_TOPK), MAX_PAGE_SIZE)
             if not [w for w in q["q"].lower().split() if w]:
                 raise ValueError("q must contain at least one word")
+            max_df = _maxdf_param(q)  # up front: malformed values 400
             if "scan" not in q and self._live_index(TRIGRAM_INDEX):
-                # max-df skip first (exact by its guard, or declines);
-                # ?maxdf=0 forces the plain probe
+                # max-df skip first (exact by its guard, or declines)
                 rows = None
-                if q.get("maxdf") != "0":
-                    rows, _info = trigram_rank_maxdf(spark, d, q["q"], k)
+                if max_df > 0:
+                    rows, _info = trigram_rank_maxdf(spark, d, q["q"], k, max_df=max_df)
                 if rows is not None:
                     out = {"n": len(rows), "rows": rows}
                 else:
@@ -1370,13 +1444,23 @@ def make_server(spark: SparkSession, data_dir: str, port: int = 0) -> ThreadingH
     Startup first heals any compaction that died mid-swap (a missing live
     index directory with the data stranded in ``.precompact``) so probes
     never 500 against a half-swapped index."""
-    for idx in (FULLTEXT_INDEX, FULLTEXT_DOCS, TRIGRAM_INDEX):
+    # each healed path is guarded by the lock its SWAPPER holds: the doc
+    # ledger is swapped by _compact_fulltext_ledger under the fulltext
+    # INDEX lock, so healing it under a fulltext_docs lock of its own
+    # would let this startup heal roll back a LIVE ledger compaction
+    # between its two renames (the live compactor holds only the index
+    # lock, which a ledger-path lock would not contend with)
+    for idx, lock_owner in (
+        (FULLTEXT_INDEX, FULLTEXT_INDEX),
+        (FULLTEXT_DOCS, FULLTEXT_INDEX),
+        (TRIGRAM_INDEX, TRIGRAM_INDEX),
+    ):
         p = table_path(data_dir, idx)
         if os.path.exists(p) or os.path.exists(p.rstrip("/") + ".precompact"):
             try:
                 # under the lock: a live compaction mid-swap must not see
                 # its .precompact rolled back between its two renames
-                with _index_lock(p):
+                with _index_lock(table_path(data_dir, lock_owner)):
                     heal_interrupted_compaction(p)
             except OSError as exc:
                 # read-only snapshot mount: the lock file cannot be created

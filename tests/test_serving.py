@@ -1332,11 +1332,11 @@ def test_fuzzy_punctuated_query_ranks_like_clean_query(server):
 
 def test_trigram_ledger_compaction_folds_and_preserves_probe(spark, tmp_path):
     """Appends grow the probe-stat ledgers one tiny file per batch;
-    trigram-index compaction must fold them back to one row per distinct
-    trigram plus one meta row, with df sums / n_parts / min_n_trgm exactly
-    preserved — and the max-df probe must behave identically before and
-    after the fold. A torn ledger (simulated by emptying the stats dir)
-    must make the probe DECLINE, never 500."""
+    trigram-index compaction must REBUILD them from the postings to one
+    row per distinct trigram plus one meta row, with df / n_parts /
+    min_n_trgm exactly equal to ground truth — and the max-df probe must
+    behave identically before and after. A torn ledger (simulated by
+    emptying the stats dir) must make the probe DECLINE, never 500."""
     import glob
     import json
     import os
@@ -1377,7 +1377,7 @@ def test_trigram_ledger_compaction_folds_and_preserves_probe(spark, tmp_path):
     out = compact_index(spark, d, "trigram_index", "trgm", n_files=4)
     assert out["ok"]
     led = out["ledgers"]
-    assert led["ledger_rows_after"] < led["ledger_rows_before"]
+    assert led["trigram_meta"] == 1 and led["trigram_stats"] > 0
     assert len(glob.glob(os.path.join(stats_path, "*.parquet"))) == 1
 
     # folded ledgers == postings ground truth
@@ -1714,6 +1714,126 @@ def test_routes_heal_midswap_crashed_compaction_at_request_time(spark, tmp_path)
         s1, b1 = _get(base, "/fuzzy?q=golden+uid17&k=1")
         assert s1 == 200 and b1["rows"] == b0["rows"]
         assert os.path.isdir(idx) and not os.path.exists(idx + ".precompact")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_trigram_rebuild_heals_corrupted_ledger_and_empty_batches(spark, tmp_path):
+    """Review findings: (a) a corrupted/stale stats ledger (the old
+    in-place fold's torn-overwrite window could leave min_n_trgm reading
+    ABOVE the true corpus minimum — an unsound bound) must converge back
+    to exact values at compaction, because the rebuild derives everything
+    from the postings; (b) an append batch yielding ZERO trigrams (names
+    with no alphanumerics) must not write a (0, NULL) meta row — NULL
+    min_n_trgm rows used to crash the old fold with TypeError."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving import http_api as api
+    from australian_company_etl_spark.sources.registry import table_path
+
+    _corpus, d = _crafted_trgm_corpus(spark, tmp_path)
+    meta_path = table_path(d, api.TRIGRAM_META)
+    with open(os.path.join(d, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"trigram_index": {"rows": 1}}, f)
+
+    # (b) zero-trigram batch: no ledger rows, no postings, no crash
+    meta_files = len(glob.glob(os.path.join(meta_path, "*.parquet")))
+    junk = spark.createDataFrame(
+        [(9001, "???"), (9002, "!!")], "p_partkey bigint, p_name string"
+    )
+    api.append_parts_to_trigram_index(spark, junk, d)
+    assert len(glob.glob(os.path.join(meta_path, "*.parquet"))) == meta_files
+    assert (
+        spark.read.parquet(meta_path).filter(F.col("min_n_trgm").isNull()).count() == 0
+    )
+
+    # (a) corrupt the meta ledger the way a torn fold + later appends
+    # could: min_n_trgm far ABOVE the true minimum (unsound direction)
+    spark.createDataFrame(
+        [(60, 999_999)], "n_parts_inc bigint, min_n_trgm bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    out = api.compact_index(spark, d, "trigram_index", "trgm", n_files=4)
+    assert out["ok"] and out["ledgers"]["trigram_meta"] == 1
+    postings = spark.read.parquet(table_path(d, api.TRIGRAM_INDEX))
+    true_min = (
+        postings.select("p_partkey", "n_trgm").distinct().agg(F.min("n_trgm")).collect()[0][0]
+    )
+    true_parts = postings.select("p_partkey").distinct().count()
+    m = spark.read.parquet(meta_path).collect()
+    assert len(m) == 1
+    assert m[0]["min_n_trgm"] == true_min and m[0]["n_parts_inc"] == true_parts
+
+    # the probe still fires exactly after the heal
+    rows, info = api.trigram_rank_maxdf(spark, d, "golden uid17", 1)
+    assert info["used"] and rows[0]["p_partkey"] == 17
+
+
+def test_trigram_bound_rounds_up_like_spark_not_half_even(spark):
+    """The guard bound must round UP (≥ Spark F.round's HALF_UP of the
+    true value); Python round() is half-even and computes 1/128 one
+    millionth LOW — the exactness hole the review found."""
+    from australian_company_etl_spark.serving.http_api import _ceil_6dp
+
+    assert round(1 / 128, 6) == 0.007812  # the buggy value
+    assert _ceil_6dp(1, 128) == 0.007813  # == Spark HALF_UP, sound
+    assert _ceil_6dp(1, 3) == 0.333334  # strict ceiling on non-terminating
+    assert _ceil_6dp(1, 2) == 0.5  # exact grid values stay exact
+
+
+def test_make_server_heals_ledger_under_index_lock(spark, tmp_path):
+    """The fulltext doc ledger is swapped under the fulltext INDEX lock
+    (_compact_fulltext_ledger); the startup heal must take that same lock
+    — a ledger-path lock of its own would not contend with a live ledger
+    compaction and could roll back its mid-swap state (review finding)."""
+    import os
+
+    from australian_company_etl_spark.serving import http_api as api
+    from australian_company_etl_spark.sources.registry import table_path
+
+    docs, d = _build_half_corpus_index(spark, tmp_path)
+    ledger = table_path(d, api.FULLTEXT_DOCS)
+    n = spark.read.parquet(ledger).count()
+    os.rename(ledger, ledger + ".precompact")
+    # drop any lock files so the assertion below sees only make_server's
+    for p in (ledger + ".lock", table_path(d, api.FULLTEXT_INDEX) + ".lock"):
+        if os.path.exists(p):
+            os.unlink(p)
+    srv = api.make_server(spark, d)
+    srv.server_close()
+    assert os.path.isdir(ledger) and not os.path.exists(ledger + ".precompact")
+    assert spark.read.parquet(ledger).count() == n
+    # healed under the INDEX lock, not a ledger-path lock of its own
+    assert os.path.exists(table_path(d, api.FULLTEXT_INDEX) + ".lock")
+    assert not os.path.exists(ledger + ".lock")
+
+
+def test_maxdf_param_parsed_and_bounded(spark, tmp_path):
+    """?maxdf must behave like every other parameter: a custom threshold
+    takes effect (0.999 classifies nothing hot -> decline -> plain rows),
+    non-numeric and out-of-range values 400 (previously anything but the
+    literal '0' was silently ignored)."""
+    from australian_company_etl_spark.serving import http_api as api
+
+    _corpus, d = _crafted_ft_corpus(spark, tmp_path)
+    srv = api.make_server(spark, d)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    api.serve_in_thread(srv)
+    try:
+        q = "golden+uid17&k=1"
+        s1, b1 = _get(base, f"/search?q={q}")
+        s2, b2 = _get(base, f"/search?q={q}&maxdf=0.999")  # nothing is hot
+        s3, b3 = _get(base, f"/search?q={q}&maxdf=0.0")  # numeric opt-out
+        assert s1 == s2 == s3 == 200
+        assert b1["rows"] == b2["rows"] == b3["rows"]
+        s4, _ = _get(base, f"/search?q={q}&maxdf=abc")
+        s5, _ = _get(base, f"/search?q={q}&maxdf=2")
+        assert s4 == 400 and s5 == 400
+        s6, _ = _get(base, f"/fuzzy?q={q}&maxdf=-1")
+        assert s6 == 400
     finally:
         srv.shutdown()
         srv.server_close()
