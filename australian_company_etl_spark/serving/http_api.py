@@ -894,41 +894,43 @@ def fulltext_rank_maxdf(
         F.col("tf").cast("decimal(38,0)")
         * F.element_at(idf_map, F.col("tok")).cast("decimal(38,0)")
     )
-    # persist: the candidate aggregate feeds BOTH the broadcast key set and
-    # the final join — Spark does not dedupe common subtrees, so without
-    # this the rare-postings scan+aggregate would run twice per request
+    # the candidate aggregate feeds BOTH the broadcast key set and the
+    # final join, so Spark computes the rare subtree twice — DELIBERATELY
+    # left unpersisted: the subtree is two map-side scans of ledger-capped
+    # posting runs (tiny by construction — the broadcast cap bounds it),
+    # while persisting it MEASURED 2× slower end-to-end on the 1M-doc demo
+    # corpus (cache materialization defeats column pruning into the
+    # broadcast branch, which only needs doc_id, and pins the pre-AQE
+    # shuffle layout; spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    # is false by default)
     cand = (
         idx.filter(F.col("tok").isin(*rare))
         .groupBy("doc_id")
         .agg(contrib.alias("r_score"), F.count("*").alias("r_hits"))
-        .persist()
     )
-    try:
-        hot_hits = (
-            idx.filter(F.col("tok").isin(*hot))
-            .join(F.broadcast(cand.select("doc_id")), "doc_id")
-            .groupBy("doc_id")
-            .agg(contrib.alias("h_score"), F.count("*").alias("h_hits"))
+    hot_hits = (
+        idx.filter(F.col("tok").isin(*hot))
+        .join(F.broadcast(cand.select("doc_id")), "doc_id")
+        .groupBy("doc_id")
+        .agg(contrib.alias("h_score"), F.count("*").alias("h_hits"))
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    rows = [
+        r.asDict()
+        for r in cand.join(hot_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("r_hits") + F.coalesce(F.col("h_hits"), F.lit(0)))
+            .cast("int")
+            .alias("n_terms_hit"),
+            (F.col("r_score") + F.coalesce(F.col("h_score"), zero))
+            .cast("long")
+            .alias("score_micro"),
         )
-        zero = F.lit(0).cast("decimal(38,0)")
-        rows = [
-            r.asDict()
-            for r in cand.join(hot_hits, "doc_id", "left")
-            .select(
-                "doc_id",
-                (F.col("r_hits") + F.coalesce(F.col("h_hits"), F.lit(0)))
-                .cast("int")
-                .alias("n_terms_hit"),
-                (F.col("r_score") + F.coalesce(F.col("h_score"), zero))
-                .cast("long")
-                .alias("score_micro"),
-            )
-            .orderBy(F.desc("score_micro"), F.asc("doc_id"))
-            .limit(topk)
-            .collect()
-        ]
-    finally:
-        cand.unpersist()
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(topk)
+        .collect()
+    ]
     if len(rows) < topk or not rows[-1]["score_micro"] > bound:
         info["reason"] = (
             f"guard: {len(rows)} rows, k-th score "
@@ -1106,39 +1108,35 @@ def trigram_rank_maxdf(
         return None, info
 
     idx = spark.read.parquet(table_path(data_dir, TRIGRAM_INDEX))
-    # persist: the candidate aggregate feeds BOTH the broadcast key set and
-    # the final join — Spark does not dedupe common subtrees, so without
-    # this the rare-postings scan+aggregate would run twice per request
+    # computed twice (broadcast keys + final join), deliberately
+    # unpersisted — see fulltext_rank_maxdf: the rare subtree is
+    # ledger-capped and map-side cheap; persisting it measured 2× slower
     cand = (
         idx.filter(F.col("trgm").isin(*rare))
         .groupBy("p_partkey", "p_name", "n_trgm")
         .agg(F.count("*").alias("r"))
-        .persist()
     )
-    try:
-        hot_hits = (
-            idx.filter(F.col("trgm").isin(*hot))
-            .join(F.broadcast(cand.select("p_partkey")), "p_partkey")
-            .groupBy("p_partkey")
-            .agg(F.count("*").alias("h"))
+    hot_hits = (
+        idx.filter(F.col("trgm").isin(*hot))
+        .join(F.broadcast(cand.select("p_partkey")), "p_partkey")
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("h"))
+    )
+    inter = F.col("r") + F.coalesce(F.col("h"), F.lit(0))
+    union = F.col("n_trgm") + F.lit(len(q)) - inter
+    rows = [
+        r.asDict()
+        for r in cand.join(hot_hits, "p_partkey", "left")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(inter.cast("double") / union, 6).alias("sim"),
         )
-        inter = F.col("r") + F.coalesce(F.col("h"), F.lit(0))
-        union = F.col("n_trgm") + F.lit(len(q)) - inter
-        rows = [
-            r.asDict()
-            for r in cand.join(hot_hits, "p_partkey", "left")
-            .select(
-                "p_partkey",
-                "p_name",
-                F.round(inter.cast("double") / union, 6).alias("sim"),
-            )
-            .filter(F.col("sim") > 0)
-            .orderBy(F.desc("sim"), F.asc("p_partkey"))
-            .limit(topk)
-            .collect()
-        ]
-    finally:
-        cand.unpersist()
+        .filter(F.col("sim") > 0)
+        .orderBy(F.desc("sim"), F.asc("p_partkey"))
+        .limit(topk)
+        .collect()
+    ]
     if len(rows) < topk or not rows[-1]["sim"] > bound:
         info["reason"] = (
             f"guard: {len(rows)} rows, k-th sim "
