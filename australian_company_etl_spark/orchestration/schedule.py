@@ -76,12 +76,20 @@ def due_runs(
     interval_days: int = 1,
 ) -> list[date]:
     """Logical dates that should run at ``now``: closed, not yet complete.
-    ``catchup=False`` (the reference's setting) considers only the most
-    recently closed interval — missed older intervals never backfill,
-    exactly Airflow's semantics on a freshly-enabled DAG."""
+    ``catchup=False`` (the reference's setting) considers the most recently
+    closed interval — missed older intervals never backfill, exactly
+    Airflow's semantics on a freshly-enabled DAG — PLUS any older interval
+    whose run already STARTED (its dated out_dir exists; run_dag creates it
+    on entry) but is incomplete: Airflow's catchup=False skips intervals
+    that never ran, it does not abandon a started-then-failed run, and
+    without this a single mid-run crash would strand that run
+    half-complete forever once the next interval closed (contradicting
+    the module contract that a half-finished run stays due and resumes)."""
     closed = closed_intervals(start, now, interval_days)
     if not catchup:
-        closed = closed[-1:]
+        closed = [
+            d for d in closed[:-1] if os.path.isdir(run_dir_for(base_out_dir, d))
+        ] + closed[-1:]
     return [d for d in closed if not run_is_complete(tasks, base_out_dir, d)]
 
 

@@ -58,6 +58,8 @@ def _partition_stats(df: DataFrame, partition_by: list[str]) -> dict:
     # in NAME order (a re-read moves partition columns to the end, so
     # positional order is not stable), independent of partition layout and
     # task scheduling
+    import json
+
     row_hash = F.crc32(
         F.concat_ws("\x1f", *[F.col(c).cast("string") for c in sorted(df.columns)])
     )
@@ -66,8 +68,13 @@ def _partition_stats(df: DataFrame, partition_by: list[str]) -> dict:
         .agg(F.count("*").alias("rows"), F.sum(row_hash).alias("content_hash"))
         .collect()
     )
+    # manifest keys are canonical JSON arrays of the partition values: a
+    # joined-string key is ambiguous the moment a value contains the
+    # separator (('x','y|z') and ('x|y','z') collided under '|', silently
+    # overwriting one partition's stats; compaction's key.split also broke
+    # on any value containing the separator)
     return {
-        "|".join(str(r[c]) for c in partition_by): {
+        json.dumps([str(r[c]) for c in partition_by]): {
             "rows": r["rows"],
             "content_hash": int(r["content_hash"]),
         }
@@ -139,6 +146,18 @@ def compact_dataset(spark, path: str, target_bytes: int = 128 << 20) -> dict:
 
     from pyspark.sql import functions as F
 
+    # heal a compaction that died between the swap's two renames below
+    # (no dataset at `path`, the good data stranded in `.precompact`) —
+    # without this, every reader and this function's own manifest read
+    # fail with FileNotFoundError forever. Same protocol as the serving
+    # index heal (serving/http_api.py:heal_interrupted_compaction).
+    old = path.rstrip("/") + ".precompact"
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            os.rename(old, path)
+        else:  # crashed after the second rename, before cleanup
+            shutil.rmtree(old)
+
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
     part_cols = manifest["partition_by"]
@@ -150,8 +169,9 @@ def compact_dataset(spark, path: str, target_bytes: int = 128 << 20) -> dict:
     rows_per_file = max(1, int(target_bytes / bytes_per_row))
 
     # exact per-partition target file counts from the manifest row counts
+    # (keys are canonical JSON arrays — see _partition_stats)
     plan_rows = [
-        (*key.split("|"), -(-stats["rows"] // rows_per_file))
+        (*json.loads(key), -(-stats["rows"] // rows_per_file))
         for key, stats in manifest["partitions"].items()
     ]
     plan = spark.createDataFrame(
@@ -285,7 +305,7 @@ def export_webdataset(
 
         tar = None
         cur = None
-        n = 0
+        counts: dict[int, int] = {}
         for r in rows:
             sid = r["_shard"]
             if sid != cur:  # rows arrive shard-grouped (sorted within partition)
@@ -301,17 +321,21 @@ def export_webdataset(
                 import io
 
                 tar.addfile(info, io.BytesIO(data))
-            n += 1
+            counts[sid] = counts.get(sid, 0) + 1
         if tar is not None:
             tar.close()
-        yield n
+        # per-shard counts come from the writers themselves — re-reading
+        # and untarring the whole published dataset through the driver just
+        # to count samples would double the export's I/O and serialize it
+        yield from counts.items()
 
-    counts = routed.rdd.mapPartitions(_write_partition).collect()
-    manifest = {"n_shards": n_shards, "samples": int(sum(counts)), "members": exts}
-    per_shard = {}
-    for key, grp in iter_webdataset(path):
-        per_shard[grp["_shard_file"]] = per_shard.get(grp["_shard_file"], 0) + 1
-    manifest["per_shard"] = per_shard
+    pairs = routed.rdd.mapPartitions(_write_partition).collect()
+    manifest = {
+        "n_shards": n_shards,
+        "samples": int(sum(n for _, n in pairs)),
+        "members": exts,
+        "per_shard": {f"shard-{int(sid):05d}.tar": int(n) for sid, n in pairs},
+    }
     with open(os.path.join(path, "_WDS_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest

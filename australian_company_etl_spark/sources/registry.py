@@ -46,7 +46,9 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
-    for n in names or TABLES:
+    # `is None` test, NOT truthiness: an explicitly-empty list means "load
+    # nothing", not "load all ten tables"
+    for n in TABLES if names is None else names:
         df = spark.read.parquet(table_path(sf_dir, n))
         ts_type = dict(df.dtypes).get("ts")
         if n == "events" and ts_type == "bigint":

@@ -48,19 +48,35 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(path):
         path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
-    t = pq.read_schema(path).field("ts").type
-    return getattr(t, "unit", None) == "ns"
+    pf = pq.ParquetFile(path)
+    t = pf.schema_arrow.field("ts").type
+    if getattr(t, "unit", None) != "ns":
+        return False
+    # INT96 (Spark's own default outputTimestampType) ALSO surfaces as
+    # arrow ns — but Spark reads it natively as TimestampType; only the
+    # INT64 TIMESTAMP(NANOS) logical type needs the epoch-nanos long path
+    idx = next(i for i in range(len(pf.schema)) if pf.schema.column(i).name == "ts")
+    return pf.schema.column(idx).physical_type != "INT96"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts → timestamp)."""
+    """File-source stream over the events parquet (ts → timestamp).
+
+    Handles BOTH corpus layouts the footer sniffer supports: a single
+    ``events.parquet`` file beside the other tables (glob-filtered out of
+    the shared dir) and an ``events.parquet/`` DIRECTORY of part files —
+    the glob filter alone matched no leaf file in the directory layout
+    (parts are named part-*.parquet) and the stream was silently EMPTY."""
+    import os
+
     nanos = _events_ts_is_nanos(sf_dir)
     schema = EVENTS_SCHEMA.format(ts_type="bigint" if nanos else "timestamp")
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        raw = reader.parquet(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw
@@ -99,6 +115,20 @@ USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 _STATE_SCHEMA = "n bigint, total_cents bigint"  # exact integer-cent state
 
 
+def _cents(x: float) -> int:
+    """Exact cent count of ONE money double, bit-matching the batch twin's
+    `exactmath.cents` (Spark F.round(x*100)): Spark rounds a double via
+    BigDecimal.valueOf — the SHORTEST decimal repr, which Python's repr()
+    also produces — then setScale(0, HALF_UP), half away from zero.
+    numpy .round() / Python round() are half-EVEN and diverge by one cent
+    on exact-half inputs (0.125 → 12 where the batch plans compute 13),
+    which would fail the stream==batch parity on any corpus whose values
+    aren't strictly 2-dp."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x * 100)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
 def _update_user_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -108,8 +138,8 @@ def _update_user_totals(
         n += len(pdf)
         # 2-dp values accumulate as exact integer cents: the running state
         # cannot drift however many micro-batches it survives (the batch
-        # twins keep the same exactmath discipline)
-        cents += int((pdf["value"] * 100).round().sum())
+        # twins keep the same exactmath discipline, per-value HALF_UP)
+        cents += sum(_cents(float(v)) for v in pdf["value"])
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "total_value": [round(cents / 100, 2)]}
@@ -161,7 +191,7 @@ def _sessionize_update(
             sid += 1
             start, n, cents = us, 0, 0
         n += 1
-        cents += int(round(float(value) * 100))
+        cents += _cents(float(value))  # HALF_UP, matching the batch twin
         last_ts = us
     if n:
         out.append((user_id, sid, start, last_ts, n, round(cents / 100, 2)))
@@ -323,13 +353,26 @@ def run_upsert_stream_to_parquet(
     processed-file ledger (extract_commoncrawl.py:89-93) for free. Returns
     the number of micro-batches this run actually processed."""
     import os
+    import shutil
 
     n_batches = 0
+    preswap = target + ".preswap"
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
         sp = batch.sparkSession
+        # heal a merge that died between the swap's two renames (target
+        # missing, previous contents stranded in .preswap): restore the
+        # pre-crash target, then let the replayed batch re-merge onto it —
+        # the anti-join makes the replay idempotent. Without this, the
+        # checkpoint replays ONLY the crashed batch (earlier source files
+        # are never re-read), so the old non-atomic overwrite silently
+        # dropped every previously merged batch on exactly this crash.
+        if not os.path.isdir(target) and os.path.isdir(preswap):
+            os.rename(preswap, target)
+        elif os.path.isdir(preswap):  # crashed after rename 2: orphan copy
+            shutil.rmtree(preswap)
         batch = batch.dropDuplicates([key])
         if os.path.isdir(target):
             cur = sp.read.parquet(target)
@@ -337,12 +380,18 @@ def run_upsert_stream_to_parquet(
             merged = cur.unionByName(fresh)
         else:
             merged = batch
-        # rewrite via a staging suffix: a plain overwrite would truncate the
-        # directory being read within this same batch
+        # rewrite via a staging suffix (a plain overwrite would truncate the
+        # directory being read within this same batch), then swap with two
+        # renames — the same protocol as the serving-index compaction: a
+        # crash before the swap leaves target intact (replay re-merges), a
+        # crash between the renames is healed above on replay
         staging = target + ".staging"
         merged.write.mode("overwrite").parquet(staging)
-        final = sp.read.parquet(staging)
-        final.write.mode("overwrite").parquet(target)
+        if os.path.isdir(target):
+            os.rename(target, preswap)
+        os.rename(staging, target)
+        if os.path.isdir(preswap):
+            shutil.rmtree(preswap)
 
     writer = (
         spark.readStream.schema(schema)

@@ -134,3 +134,34 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_json_quarantine_catches_allnull_parse(spark, tmp_path):
+    """The renamed-upstream-field hazard (CONFIRMED review finding): a
+    record that parses 'successfully' to all-null schema fields must land
+    in the quarantine WITH its raw line, not flood `good` with null rows
+    while the monitoring count stays zero."""
+    from australian_company_etl_spark.sources.ingest import read_json_quarantine
+
+    path = str(tmp_path / "feed.jsonl")
+    lines = [
+        '{"id": 1, "name": "acme"}',
+        '{"other": 99}',
+        '{"id": null, "name": null}',
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    good, bad = read_json_quarantine(spark, path, "id bigint, name string")
+    assert [(r.id, r.name) for r in good.collect()] == [(1, "acme")]
+    assert sorted(r.raw_line for r in bad.collect()) == [
+        '{"id": null, "name": null}',
+        '{"other": 99}',
+    ]
+
+
+def test_load_tables_empty_list_loads_nothing(spark, sf_dir):
+    """An explicitly-empty table list means 'load nothing' — the falsy-[]
+    branch used to load all ten tables (review finding)."""
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    assert load_tables(spark, sf_dir, []) == {}

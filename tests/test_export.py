@@ -314,3 +314,57 @@ def test_webdataset_struct_members_are_json_and_dup_keys_rejected(spark, sf_dir,
         export.export_webdataset(
             dup, str(tmp_path / "wds_dup"), "doc_id", {"txt": "text"}, n_shards=2
         )
+
+
+def test_compact_dataset_heals_midswap_crash(spark, sf_dir, tmp_path):
+    """A compaction that dies between the swap's two renames leaves no
+    dataset at `path` (data stranded in .precompact): every reader and a
+    rerun of compact_dataset failed with FileNotFoundError forever (review
+    finding). The rerun must heal the window and compact normally."""
+    import os
+
+    from australian_company_etl_spark.sources.export import (
+        compact_dataset,
+        export_with_manifest,
+        verify_manifest,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    path = str(tmp_path / "docs_release")
+    export_with_manifest(docs.repartition(6), path, ["source"])
+    # the exact crash state: first rename done, second never ran
+    os.rename(path, path + ".precompact")
+    res = compact_dataset(spark, path, target_bytes=128 << 20)
+    assert res["ok"]
+    assert not os.path.exists(path + ".precompact")
+    assert verify_manifest(spark, path)["ok"]
+    assert spark.read.parquet(path).count() == docs.count()
+
+
+def test_manifest_keys_survive_separator_values(spark, tmp_path):
+    """Partition values containing the old '|' separator (review finding):
+    ('x','y|z') and ('x|y','z') collided to one manifest key, silently
+    overwriting one partition's stats, and compaction's key.split broke on
+    any value with a '|'. JSON-array keys must keep them distinct through
+    publish, verify, AND compaction."""
+    from australian_company_etl_spark.sources.export import (
+        compact_dataset,
+        export_with_manifest,
+        verify_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "y|z"), (2, "x|y", "z"), (3, "x", "y|z"), (4, "AU|NZ", "w")],
+        "id bigint, country string, region string",
+    )
+    path = str(tmp_path / "piped")
+    manifest = export_with_manifest(df, path, ["country", "region"])
+    assert len(manifest["partitions"]) == 3  # no key collision
+    assert verify_manifest(spark, path)["ok"]
+    res = compact_dataset(spark, path, target_bytes=128 << 20)
+    assert res["ok"]
+    back = spark.read.parquet(path)
+    assert back.count() == 4
+    assert {(r.country, r.region) for r in back.collect()} == {
+        ("x", "y|z"), ("x|y", "z"), ("AU|NZ", "w"),
+    }

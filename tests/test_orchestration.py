@@ -331,3 +331,28 @@ def test_closed_intervals_properties():
             assert got[-1] + timedelta(days=2 * delta) > now or len(got) * delta <= span
 
     check()
+
+
+def test_no_catchup_still_resumes_started_half_finished_run(tmp_path):
+    """catchup=False skips intervals that never ran, but a run that already
+    STARTED (its dated out_dir exists — run_dag creates it on entry) and
+    failed partway must stay due after newer intervals close: Airflow
+    re-schedules a failed run regardless of catchup, and abandoning it
+    would strand the half-complete run forever (review finding)."""
+    import os
+    from datetime import date
+
+    from australian_company_etl_spark.orchestration.schedule import (
+        due_runs,
+        run_dir_for,
+    )
+
+    t = [Task("a", lambda s, i: None, retries=0)]
+    base = str(tmp_path / "sched")
+    start = date(2025, 6, 28)
+    # June 28's run started but never committed a task; June 29 never ran
+    os.makedirs(run_dir_for(base, date(2025, 6, 28)))
+    assert due_runs(t, base, start, date(2025, 7, 1), catchup=False) == [
+        date(2025, 6, 28),
+        date(2025, 6, 30),
+    ]

@@ -426,3 +426,85 @@ def test_stream_stream_join_state_bounded_by_watermark(spark, tmp_path):
     assert state_totals, "no state-operator progress captured"
     assert state_totals[-1] < 8, f"join state accumulated the whole stream: {state_totals}"
     assert state_totals[-1] <= 4, f"watermark-passed rows must be evicted: {state_totals}"
+
+
+def test_events_stream_reads_directory_layout(spark, sf_dir, tmp_path):
+    """events.parquet as a DIRECTORY of part files (the layout the footer
+    sniffer explicitly supports) must stream — the glob-filter-only reader
+    matched no part-*.parquet leaf and returned a silently EMPTY stream
+    (CONFIRMED review finding)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    d = str(tmp_path / "corpus")
+    ev.repartition(3).write.parquet(d + "/events.parquet")
+    stream_res = run_tumbling_to_memory(spark, d, name="t_dir_tumbling")
+    assert stream_res.count() > 0, "directory-layout stream was empty"
+    assert _rows(stream_res) == _rows(events_tumbling_agg(spark, d))
+
+
+def test_stateful_cents_round_half_up_like_batch(spark, tmp_path):
+    """Exact-half money values must round like the batch twins (Spark
+    F.round = HALF_UP): numpy/Python round are half-EVEN and computed
+    0.125 as 12 cents where every batch plan computes 13 (review finding),
+    diverging stream==batch parity on any corpus with non-2-dp values."""
+    from australian_company_etl_spark.functions.exactmath import sum_cents
+    from australian_company_etl_spark.streaming.pipeline import _cents
+
+    assert _cents(0.125) == 13 and _cents(-0.125) == -13  # half away from zero
+
+    rows = [(i, f"2025-01-01 0{i}:00:00", 1, "click", 0.125, "{}") for i in range(3)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "halfup")
+    ev.coalesce(1).write.parquet(d + "/events.parquet")
+    stream_res = run_user_totals_to_memory(spark, d, name="t_halfup")
+    got = {r.user_id: (r.n_events, r.total_value) for r in stream_res.collect()}
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"), sum_cents("value").alias("t")
+    ).collect()
+    assert got == {r.user_id: (r.n, r.t) for r in batch}
+    assert got[1] == (3, 0.39)  # 3 × 13 HALF_UP cents, not 3 × 12
+
+
+def test_upsert_heals_midswap_crash_and_keeps_merged_history(spark, sf_dir, tmp_path):
+    """A merge that dies between the swap's two renames strands the target
+    in .preswap; the checkpoint replays ONLY the crashed batch (earlier
+    source files are never re-read), so without the heal every previously
+    merged batch is silently lost (review finding). The next run must
+    restore the stranded target and merge the new file onto it."""
+    import glob
+    import os
+    import shutil
+
+    from australian_company_etl_spark.streaming.pipeline import (
+        run_upsert_stream_to_parquet,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
+    early = docs.filter(F.col("doc_id") < 400)
+    late = docs.filter(F.col("doc_id") >= 400)
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    early.repartition(2).write.mode("overwrite").parquet(src)
+    run_upsert_stream_to_parquet(
+        spark, src, "doc_id bigint, text string", target, checkpoint=ckpt
+    )
+    assert spark.read.parquet(target).count() == early.count()
+
+    # the exact mid-swap crash state: first rename done, second never ran
+    os.rename(target, target + ".preswap")
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "late"))
+    shutil.copy(
+        sorted(glob.glob(str(tmp_path / "late") + "/part-*.parquet"))[0],
+        src + "/zz-late.parquet",
+    )
+    n2 = run_upsert_stream_to_parquet(
+        spark, src, "doc_id bigint, text string", target, checkpoint=ckpt
+    )
+    assert n2 == 1  # only the new file replayed — history came from the heal
+    out = spark.read.parquet(target)
+    assert out.count() == docs.count(), "previously merged batches were lost"
+    assert not os.path.exists(target + ".preswap")
