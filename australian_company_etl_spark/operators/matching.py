@@ -54,8 +54,19 @@ def best_fuzzy_match(
         score = lev_ratio_spark(F.col(left_name), F.col(right_name))
     spread = spread_if_narrow(left)
     scored = spread.crossJoin(F.broadcast(right)).withColumn("score", score)
-    w = Window.partitionBy(left_key).orderBy(F.desc("score"), F.asc(right_key))
-    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    # min_by aggregate, NOT a window: a window shuffles the entire N×M
+    # scored cross product through its Exchange before picking one row per
+    # left key; the aggregate partial-combines map-side, so each partition
+    # ships at most one candidate per key. The ordering struct (−score,
+    # right_key) minimized ≡ (score desc, right_key asc) — score is always
+    # numeric, and right keys are unique within the candidate dim, so the
+    # order is total and the pick deterministic.
+    ord_ = F.struct((-F.col("score")).alias("s"), F.col(right_key).alias("k"))
+    return (
+        scored.groupBy(left_key)
+        .agg(F.min_by(F.struct(*[scored[c] for c in scored.columns]), ord_).alias("best"))
+        .select("best.*")
+    )
 
 
 def blocked_fuzzy_pairs(

@@ -265,6 +265,10 @@ def video_frame_sample_features(mm: DataFrame, stride: int = 2) -> DataFrame:
                 ],
             )
 
+        # select BEFORE the Arrow boundary (the module contract): only the
+    # key + payload cross into the Python worker, whatever width the
+    # caller's frame carries
+    mm = mm.select("doc_id", "payload")
     return mm.mapInPandas(_features, schema=VIDEO_FEATURES_SCHEMA)
 
 
@@ -330,11 +334,20 @@ def wav_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
 
 def text_to_samples(text: str) -> "np.ndarray":
     """Deterministic PCM synth from text: one int16 sample per char,
-    (codepoint − 64) · 256 — ASCII maps into a safe int16 range, and the
-    SQL oracle can reproduce the exact samples from the characters."""
+    (codepoint − 64) · 256. Non-ASCII characters are replaced with '?'
+    (codepoint 63) BEFORE the synth — the same normalization as
+    text_to_pixels, mirrored in the SQL oracles with a >127→63 clamp —
+    because an unsanitized codepoint ≥ 192 overflows int16: numpy 1.x
+    silently wrapped it ('é' → −22272 instead of 43264) and numpy ≥ 2
+    raises OverflowError, either way diverging from the oracle's exact
+    character model. After the replace every sample is in
+    [−16384, 16128], safely representable."""
     import numpy as np
 
-    return np.array([(ord(c) - 64) * 256 for c in text], dtype=np.int16)
+    b = text.encode("ascii", errors="replace")
+    return ((np.frombuffer(b, dtype=np.uint8).astype(np.int16) - 64) * 256).astype(
+        np.int16
+    )
 
 
 def attach_wav_payload(docs: DataFrame) -> DataFrame:
@@ -362,12 +375,10 @@ def bmp_encode(gray: "np.ndarray", width: int = BMP_WIDTH) -> bytes:
 
     grid = to_grid(gray, width)
     height = grid.shape[0]
-    row_bytes = width * 3
-    pad = (-row_bytes) % 4
-    body = b"".join(
-        np.repeat(grid[r], 3).astype(np.uint8).tobytes() + b"\x00" * pad
-        for r in range(height - 1, -1, -1)  # bottom-up row order
-    )
+    # same padded bottom-up 24bpp body the AVI DIB frames use — one
+    # implementation, so the two containers cannot drift on padding or
+    # channel order
+    body = _dib_body(grid.reshape(-1), width, height)
     pixel_offset = 14 + 40
     file_size = pixel_offset + len(body)
     file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
@@ -628,6 +639,10 @@ def image_features(mm: DataFrame) -> DataFrame:
                 columns=["doc_id", "width", "height", "n_px", "sum_px", "max_px", "mean_e4"],
             )
 
+        # select BEFORE the Arrow boundary (the module contract): only the
+    # key + payload cross into the Python worker, whatever width the
+    # caller's frame carries
+    mm = mm.select("doc_id", "payload")
     return mm.mapInPandas(_features, schema=IMAGE_FEATURES_SCHEMA)
 
 
@@ -673,6 +688,10 @@ def audio_features(mm: DataFrame, decimate: int = 1) -> DataFrame:
                 ],
             )
 
+        # select BEFORE the Arrow boundary (the module contract): only the
+    # key + payload cross into the Python worker, whatever width the
+    # caller's frame carries
+    mm = mm.select("doc_id", "payload")
     return mm.mapInPandas(_features, schema=AUDIO_FEATURES_SCHEMA)
 
 
@@ -706,6 +725,10 @@ def decode_meta(
                 rows, columns=["doc_id", "byte_len", "width", "height", "channels", "mean_byte"]
             )
 
+        # select BEFORE the Arrow boundary (the module contract): only the
+    # key + payload cross into the Python worker, whatever width the
+    # caller's frame carries
+    mm = mm.select("doc_id", "payload")
     return mm.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
@@ -725,4 +748,8 @@ def sample_frames(mm: DataFrame, stride: int = 1024, max_frames: int = 4) -> Dat
                     rows.append((doc_id, i, b[i * stride : (i + 1) * stride]))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
 
+        # select BEFORE the Arrow boundary (the module contract): only the
+    # key + payload cross into the Python worker, whatever width the
+    # caller's frame carries
+    mm = mm.select("doc_id", "payload")
     return mm.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -30,10 +30,21 @@ def null_empty_counts(named: list[tuple[str, DataFrame, str]]) -> DataFrame:
     for table, df, col in named:
         parts.append(
             df.agg(
-                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_null"),
-                F.sum(
-                    F.when(F.col(col).isNotNull() & (F.trim(F.col(col).cast("string")) == ""), 1)
-                    .otherwise(0)
+                # coalesce: sum() over ZERO rows is NULL, and an empty table
+                # (a zero-row landed batch) must report 0 like the psql
+                # reference check, not a NULL that falsifies `n_null == 0`
+                F.coalesce(
+                    F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)), F.lit(0)
+                ).alias("n_null"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(col).isNotNull()
+                            & (F.trim(F.col(col).cast("string")) == ""),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("n_empty"),
             ).select(
                 F.lit(table).alias("table_name"),

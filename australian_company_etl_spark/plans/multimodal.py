@@ -104,7 +104,14 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(attach_bmp_payload(docs))
 
 
-_IMAGE_SQL = """
+# the encoders synthesize from text.encode('ascii', errors='replace'):
+# every non-ASCII character becomes '?' (63). The oracles model that with
+# an explicit >127→63 clamp, so parity is exact for ANY unicode text, not
+# just the ASCII corpus (an unclamped codepoint ≥192 would also overflow
+# the WAV path's int16 on the Spark side).
+_PX = "CASE WHEN ascii(substring(text, i, 1)) > 127 THEN 63 ELSE ascii(substring(text, i, 1)) END"
+
+_IMAGE_SQL = f"""
 SELECT doc_id,
        16 AS width,
        CAST(greatest((length(text) + 15) // 16, 1) AS INT) AS height,
@@ -117,17 +124,17 @@ SELECT doc_id,
                  ELSE 0 END AS BIGINT) AS mean_e4
 FROM (SELECT doc_id, text,
              list_transform(range(1, length(text) + 1),
-                            i -> ascii(substring(text, i, 1))) AS px
+                            i -> {_PX}) AS px
       FROM documents)
 """
 
 
 def _audio_sql(step: int) -> str:
-    # samples from characters: (codepoint − 64) · 256, 1-based index with
-    # stride `step` — identical to the decoded PCM by construction
+    # samples from characters: (clamped codepoint − 64) · 256, 1-based index
+    # with stride `step` — identical to the decoded PCM by construction
     samples = (
         f"list_transform(range(1, length(text) + 1, {step}), "
-        f"i -> CAST((ascii(substring(text, i, 1)) - 64) * 256 AS BIGINT))"
+        f"i -> CAST((({_PX}) - 64) * 256 AS BIGINT))"
     )
     return f"""
 SELECT doc_id,
@@ -163,13 +170,13 @@ def mm_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frames 0,2,4,… — i.e. chars whose 0-based frame index is even. The zero
 # padding adds nothing to sum/max, so the oracle reproduces every feature
 # from the characters alone.
-_VIDEO_SQL = """
+_VIDEO_SQL = f"""
 WITH base AS (
   SELECT doc_id,
          greatest((length(text) + 31) // 32, 1) AS n_frames,
          list_transform(range(1, length(text) + 1),
                         i -> CASE WHEN ((i - 1) // 32) % 2 = 0
-                                  THEN ascii(substring(text, i, 1)) END) AS px0
+                                  THEN {_PX} END) AS px0
   FROM documents
 ),
 s AS (

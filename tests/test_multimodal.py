@@ -461,3 +461,45 @@ def test_mjpeg_avi_roundtrip_and_header_fields():
 
     with pytest.raises(ValueError, match="not MJPG"):
         avi_decode(bytes(tampered))
+
+
+def test_nonascii_text_exact_oracle_parity(spark, tmp_path):
+    """CONFIRMED review finding: a codepoint ≥ 192 overflowed the int16 PCM
+    synth — numpy 1.x silently wrapped ('é' → −22272), numpy ≥ 2 raises.
+    The encoders now ASCII-replace ('?' = 63) and the SQL oracles clamp
+    >127→63, so multimodal parity is exact for ANY unicode text."""
+    import duckdb
+    import numpy as np
+
+    from australian_company_etl_spark.operators.multimodal import (
+        text_to_pixels,
+        text_to_samples,
+    )
+
+    s = text_to_samples("Café")  # é → '?': (63 − 64) · 256 = −256
+    assert s.dtype == np.int16
+    assert list(s) == [(ord(c) - 64) * 256 for c in "Caf"] + [-256]
+    assert list(text_to_pixels("Café")) == [ord(c) for c in "Caf"] + [63]
+
+    docs = spark.createDataFrame(
+        [(1, "Café Pty Ltd — ünïcode ☃"), (2, "plain ascii co"), (3, "é" * 40)],
+        "doc_id bigint, text string",
+    )
+    d = str(tmp_path / "nonascii")
+    docs.write.parquet(d + "/documents.parquet")
+    from australian_company_etl_spark.plans import multimodal as mmplans
+    from tests.oracle_compare import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/**/*.parquet')"
+    )
+    for key in (
+        "mm_audio_features",
+        "mm_audio_resample",
+        "mm_image_features",
+        "mm_video_framesample",
+    ):
+        res = compare(mmplans.QUERIES[key](spark, d), con, mmplans.ORACLES[key])
+        assert res["ok"], (key, res)

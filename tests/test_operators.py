@@ -1036,3 +1036,37 @@ def test_multitable_lsh_recall_dominates_single_table(spark, sf_dir):
         assert mt3[q_id] >= lsh[q_id], f"q{q_id}: mt3 lost a neighbor table 0 found"
     if data_dir == uplift_dir:
         assert sum(mt3.values()) > sum(lsh.values()), "extra tables found nothing"
+
+
+def test_null_empty_counts_zero_not_null_on_empty_table(spark):
+    """Review finding: sum(when(...)) over ZERO rows is NULL — an empty
+    landed batch reported n_null=NULL, falsifying any `n_null == 0` check
+    where the psql reference prints 0."""
+    from australian_company_etl_spark.operators.quality import null_empty_counts
+
+    empty = spark.createDataFrame([], "c string")
+    row = null_empty_counts([("t0", empty, "c")]).collect()[0]
+    assert (row.n_null, row.n_empty) == (0, 0)
+
+
+def test_best_fuzzy_match_aggregates_without_window_shuffle(spark):
+    """Review finding: the window form shuffled the entire N×M scored cross
+    product through Exchange hashpartitioning before keeping one row per
+    key; the min_by aggregate partial-combines map-side. Pin the plan shape
+    (no row_number window) and the extractOne tie semantics (best score,
+    then lowest right key)."""
+    from australian_company_etl_spark.operators.matching import best_fuzzy_match
+
+    left = spark.createDataFrame(
+        [(1, "acme pty"), (2, "widget co")], "lk bigint, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "acme pty"), (11, "acme pty"), (12, "widget co ltd")],
+        "rk bigint, rname string",
+    )
+    out = best_fuzzy_match(left, right, "lk", "lname", "rk", "rname")
+    rows = {r.lk: (r.rk, r.score) for r in out.collect()}
+    assert rows[1][0] == 10  # perfect-score tie (10 vs 11) breaks LOW
+    assert rows[2][0] == 12
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan and "min_by" in plan
