@@ -37,7 +37,12 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id_b").alias("doc_id"))
         .distinct()
     )
-    return qual.join(F.broadcast(kill), "doc_id", "left_anti").select(
+    # kill-list join UNHINTED: near-dup density is data-dependent (web
+    # crawls run 30-50% near-duplicates — the very condition this
+    # pipeline exists for), so the kill list is O(corpus) in the worst
+    # case and a mandatory broadcast would OOM the driver exactly when
+    # dedup matters most; AQE broadcasts it whenever it actually fits
+    return qual.join(kill, "doc_id", "left_anti").select(
         "doc_id", "n_tokens", "quality"
     )
 

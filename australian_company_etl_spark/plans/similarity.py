@@ -36,6 +36,13 @@ TOP_K = 5
 N_PLANES = 8
 EMB_DIM = 64  # testdata embedding dimensionality
 CENTROID_STRIDE = 50  # vec_id % 50 == 0 → coarse centroids
+#: absolute cap on the IVF coarse-centroid count (the KMEANS_K/PQ_K
+#: fixed-cardinality discipline): stride alone makes the quantizer
+#: O(N), which turns the assignment join quadratic (N·N/50 cosine
+#: folds) and the "broadcast dim" unbounded — at N=1e9 that is 2e16
+#: dot products and a 2e7-vector broadcast. With the cap, assignment
+#: is O(N·K) and the broadcast is constant-size at any corpus scale.
+IVF_MAX_CENTROIDS = 64
 N_PROBE = 2
 
 
@@ -210,9 +217,10 @@ scored AS (
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 — IVF coarse-quantized search, probing the 2 nearest cells."""
     base = _base(spark, sf_dir)
-    cents = base.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
-    )
+    cents = base.filter(
+        (F.col("vec_id") % CENTROID_STRIDE == 0)
+        & (F.col("vec_id") < CENTROID_STRIDE * IVF_MAX_CENTROIDS)
+    ).select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"))
     # assign every vector to its nearest centroid (broadcast centroids)
     scored = base.join(F.broadcast(cents)).select(
         "vec_id",
@@ -251,7 +259,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_sql() -> str:
     return f"""
 WITH {_BASE_SQL},
-cents AS (SELECT vec_id AS c_id, e AS ce FROM base WHERE vec_id % {CENTROID_STRIDE} = 0),
+cents AS (SELECT vec_id AS c_id, e AS ce FROM base
+          WHERE vec_id % {CENTROID_STRIDE} = 0
+            AND vec_id < {CENTROID_STRIDE} * {IVF_MAX_CENTROIDS}),
 cscored AS (
   SELECT base.vec_id, base.e, cents.c_id,
          round({_cos_sql('base.e', 'cents.ce')}, 6) AS cscore,

@@ -239,12 +239,15 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("c").alias("n_est"), F.max("n_key").alias("n_exact"))
     )
-    total = ev.count()  # stream size; at scale this is a 1-row agg, not a collect of data
-    return probed.select(
+    # stream size folds in as a broadcast 1-row aggregate (the sibling
+    # plans' idiom) — the previous eager ev.count() ran a full extra
+    # scan of events as a blocking driver action at plan-BUILD time
+    total = ev.agg(F.count("*").alias("total"))
+    return probed.crossJoin(F.broadcast(total)).select(
         "user_id",
         "n_exact",
         "n_est",
-        (F.col("n_est") * CMS_HEAVY_FRAC >= F.lit(total)).alias("is_heavy"),
+        (F.col("n_est") * CMS_HEAVY_FRAC >= F.col("total")).alias("is_heavy"),
     )
 
 

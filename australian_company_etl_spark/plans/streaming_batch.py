@@ -269,7 +269,10 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conv = (
         rows.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(fs), "user_id")
+        # one row per USER scales with the population (billions on a
+        # 100 TB log) — unhinted: the user_id equi-join reuses the
+        # aggregate's shuffle partitioning; AQE broadcasts while it fits
+        .join(fs, "user_id")
         .filter(F.col("us") >= F.col("signup_us"))
         .groupBy("user_id")
         .agg(F.min("us").alias("purchase_us"))
@@ -828,14 +831,15 @@ def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         e.filter(F.col("event_type") == FUNNEL3_STEPS[1])
-        .join(F.broadcast(s1), "user_id")
+        # per-user frames scale with the population — unhinted (see J6)
+        .join(s1, "user_id")
         .filter(F.col("us") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
     )
     s3 = (
         e.filter(F.col("event_type") == FUNNEL3_STEPS[2])
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .filter(F.col("us") >= F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("us").alias("t3"), F.min("t1").alias("t1"))

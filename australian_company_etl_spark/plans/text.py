@@ -566,8 +566,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lp_fix"),
     )
+    # vocab join UNHINTED: |V| grows with the corpus (Heaps' law — 1e8+
+    # distinct tokens on web scale), so a mandatory broadcast would OOM
+    # the driver; tok already rides the vocab aggregate's partitioning,
+    # and AQE still broadcasts lp at any SF where it actually fits
     per_doc = (
-        toks.join(F.broadcast(lp), "tok")
+        toks.join(lp, "tok")
         .groupBy("doc_id")
         .agg(F.sum("lp_fix").alias("s"), F.count("*").alias("n_tokens"))
     )

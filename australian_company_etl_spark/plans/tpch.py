@@ -133,7 +133,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # segment-filtered customer is ~20% of ALL customers — it scales with
+        # SF, so a mandatory broadcast would die collecting it instead of
+        # degrading to the shuffle join the module header promises; unhinted,
+        # AQE still broadcasts it at any SF where it fits
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_money(F.sum(_rev_e4().cast(_D38)), 4).alias("revenue"))
         .select(
@@ -616,13 +620,18 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("support"))
     )
+    # part_cnt joins are UNHINTED: one row per distinct part scales with
+    # the fact table (~2e10 at SF1e5), so a mandatory broadcast would OOM
+    # the driver at exactly the scale the lift envelope below plans for —
+    # AQE still picks a broadcast join at any SF where the side actually
+    # fits. Only the 1-row n_orders aggregate is broadcast by right.
     return (
         pairs.join(
-            F.broadcast(part_cnt.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_a"))),
+            part_cnt.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_a")),
             "pa",
         )
         .join(
-            F.broadcast(part_cnt.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_b"))),
+            part_cnt.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_b")),
             "pb",
         )
         .crossJoin(F.broadcast(n_orders))

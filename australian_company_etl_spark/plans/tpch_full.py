@@ -49,7 +49,7 @@ from australian_company_etl_spark.sources.registry import load_tables
 PS_SQL = """ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
          min((CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)
-             // CAST(l_quantity AS BIGINT))            AS ps_supplycost_micro,
+             // CAST(round(l_quantity) AS BIGINT))     AS ps_supplycost_micro,
          round(sum(l_quantity), 2)                     AS ps_availqty
   FROM lineitem GROUP BY 1, 2
 )"""
@@ -59,14 +59,20 @@ def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unit cost in integer micro-units: extendedprice is 2-dp money, so
     round(x*100) is an exact cent count; (cents * 10000) div qty is exact
-    integer arithmetic — deterministic across engines by construction."""
+    integer arithmetic — deterministic across engines by construction.
+    round() BEFORE the bigint cast (the q1/q9/q11/q18 discipline): a bare
+    CAST truncates in Spark but rounds-to-nearest in DuckDB, so a
+    non-integral quantity (2.7) would silently diverge the two engines —
+    and one in (0, 0.5) would truncate to 0 and raise DIVIDE_BY_ZERO under
+    ANSI mode — invisibly at every tested SF, whose quantities are all
+    integral."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(
         F.expr(
             "min((CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)"
-            " div CAST(l_quantity AS BIGINT))"
+            " div CAST(round(l_quantity) AS BIGINT))"
         ).alias("ps_supplycost_micro"),
         F.round(F.sum("l_quantity"), 2).alias("ps_availqty"),
     )
@@ -89,7 +95,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         _ps(spark, sf_dir)
         .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("ps_suppkey") == F.col("s_suppkey"))
+        # supplier scales with SF — unhinted, AQE broadcasts while it fits
+        .join(t["supplier"], F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
@@ -153,7 +160,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier scales with SF — unhinted, AQE broadcasts while it fits
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -211,7 +219,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
     return (
@@ -272,7 +280,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(_money(F.sum(amount_e6.cast(_D38)), 6).alias("sum_profit"))
@@ -321,7 +329,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nat = persist_tracked(
         _ps(spark, sf_dir)
-        .join(F.broadcast(t["supplier"]), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("ps_partkey", v.alias("v"))
     )
@@ -418,7 +426,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))  # SF-scaled: unhinted
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -462,7 +470,7 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _ps(spark, sf_dir)
         .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(bad, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")  # ~10% of suppliers: unhinted
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -495,13 +503,24 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     part = t["part"].filter((F.col("p_brand") == Q17_BRAND) & (F.col("p_size") == Q17_SIZE))
     li = t["lineitem"].join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    # semi-join BEFORE the correlated avg (the Q20 shape): only the
+    # brand/size-filtered parts' lineitems feed the per-part average —
+    # aggregating all of lineitem and force-broadcasting one row per
+    # distinct part would do ~1250× the aggregate work and then OOM the
+    # driver at scale (avg_qty cardinality grows with the fact table).
+    # The avg join stays UNHINTED: AQE broadcasts it while it fits.
     avg_qty = (
         t["lineitem"]
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
         .groupBy(F.col("l_partkey").alias("a_partkey"))
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
     )
     return (
-        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        li.join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
@@ -640,7 +659,7 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber")
-        .join(F.broadcast(supp.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))  # SF-scaled: unhinted
         .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
     l2 = t["lineitem"].select(
