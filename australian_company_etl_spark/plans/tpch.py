@@ -518,6 +518,52 @@ SELECT o_custkey, 'churned' FROM (
 """
 
 
+def _global_rank(df: DataFrame, order_cols: list, rank_name: str, n_parts: int = 32) -> DataFrame:
+    """Exact DISTRIBUTED global rank over a total order (the order_cols end
+    in a unique key, so range partitioning splits cleanly — no tie can
+    straddle a boundary). Two-phase: range-partition on the full sort key,
+    row_number WITHIN each partition, then add the cumulative count of the
+    preceding partitions (a ≤n_parts-row broadcast; the range exchange is
+    shared between the rank branch and the count branch via ReusedExchange).
+    Replaces the unpartitioned Window.orderBy(...) global sort, which moves
+    the ENTIRE frame through one task — per-customer/per-supplier frames
+    scale with SF (~1.5e10 rows at SF1e5), so the single-task sort is the
+    100×-scale straggler this avoids. n_parts is the local-mode setting;
+    at cluster scale size it like any shuffle."""
+    from pyspark.sql import Window as W
+
+    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("__pid").agg(F.count("*").alias("__c"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = counts.select(
+        "__pid", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = W.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(offs), "__pid")
+        .withColumn(rank_name, F.row_number().over(w_in) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
+def _ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL-standard NTILE(k) computed from an exact global rank and the
+    total row count: the first n%k buckets hold ceil(n/k) rows, the rest
+    floor(n/k) — bit-identical to Spark/DuckDB ntile over the same total
+    order (CASE short-circuits, so the q=0 small-n edge never divides by
+    zero: rank ≤ n = m·(q+1) keeps every row in the first branch)."""
+    q = (n / k).cast("bigint")  # floor for non-negative
+    m = n % k
+    head = m * (q + 1)
+    return (
+        F.when(rank <= head, ((rank - 1) / (q + 1)).cast("bigint") + 1)
+        .otherwise(m + ((rank - head - 1) / q).cast("bigint") + 1)
+        .cast("int")
+    )
+
+
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E26 — RFM customer segmentation: recency (days behind the dataset's
     last order), frequency (order count), monetary (lifetime spend), each
@@ -527,11 +573,11 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the anchor is the data's own max date, so the result is a pure
     function of the corpus.
 
-    Scale: one groupBy on the customer key; the three ntile windows are
-    unpartitioned global sorts over ONE row per customer (already
-    aggregated — tiny), not over orders."""
-    from pyspark.sql import Window as W
-
+    Scale: one groupBy on the customer key; each quintile is then an
+    exact ntile derived from a DISTRIBUTED global rank (`_global_rank` —
+    range-partitioned two-phase ranking, the full key is a total order) —
+    NOT an unpartitioned ntile window: the per-customer frame scales with
+    SF, and a global-sort window funnels all of it through one task."""
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
@@ -545,17 +591,28 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    r_w = W.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
-    f_w = W.orderBy(F.asc("frequency"), F.asc("o_custkey"))
-    m_w = W.orderBy(F.asc("monetary"), F.asc("o_custkey"))
-    scored = base.select(
+    n_cust = per_cust.agg(F.count("*").alias("__n"))
+    # three INDEPENDENT rank branches joined back on the key — chaining
+    # _global_rank calls would make each level recompute the previous
+    # (the rank helper references its input twice), compounding 2× per
+    # level; as parallel branches each pays its own range shuffle once
+    # and the custkey joins reuse one partitioning
+    scored = base
+    for rank_name, cols in (
+        ("__r_rank", [F.desc("recency_days"), F.asc("o_custkey")]),
+        ("__f_rank", [F.asc("frequency"), F.asc("o_custkey")]),
+        ("__m_rank", [F.asc("monetary"), F.asc("o_custkey")]),
+    ):
+        branch = _global_rank(base, cols, rank_name).select("o_custkey", rank_name)
+        scored = scored.join(branch, "o_custkey")
+    scored = scored.crossJoin(F.broadcast(n_cust)).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+        _ntile_from_rank(F.col("__r_rank"), F.col("__n"), 5).alias("r_score"),
+        _ntile_from_rank(F.col("__f_rank"), F.col("__n"), 5).alias("f_score"),
+        _ntile_from_rank(F.col("__m_rank"), F.col("__n"), 5).alias("m_score"),
     )
     return scored.withColumn(
         "segment",
@@ -691,15 +748,35 @@ def suppliers_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         F.sum(_rev_e4().cast(_D38)).alias("rev_e4")
     )
-    w = Window.orderBy(F.desc("rev_e4"), F.asc("l_suppkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    # DISTRIBUTED exact prefix sum (the _global_rank two-phase shape): the
+    # per-supplier frame scales with SF, so the previous unpartitioned
+    # running-sum window (and the whole-frame `total` window beside it)
+    # funneled all of it through ONE task. Range-partition on the total
+    # order, run the running sum within each partition, and add the
+    # preceding partitions' sums (≤32-row broadcast; decimal addition is
+    # exact, so the split-and-offset sum is the identical integer). The
+    # grand total folds in as a broadcast 1-row aggregate.
+    order_cols = [F.desc("rev_e4"), F.asc("l_suppkey")]
+    part = rev.repartitionByRange(32, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    wall = Window.partitionBy()
-    bound = rev.select(
-        "l_suppkey",
-        "rev_e4",
-        F.sum("rev_e4").over(w).alias("cum"),
-        F.sum("rev_e4").over(wall).alias("total"),
+    psums = part.groupBy("__pid").agg(F.sum("rev_e4").alias("__s"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = psums.select(
+        "__pid",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0).cast(_D38)).alias("__soff"),
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = rev.agg(F.sum("rev_e4").alias("total"))
+    bound = (
+        part.join(F.broadcast(offs), "__pid")
+        .withColumn("cum", F.sum("rev_e4").over(w_in) + F.col("__soff"))
+        .crossJoin(F.broadcast(total))
+        .drop("__pid", "__soff")
     )
     abc = (
         F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")

@@ -39,6 +39,7 @@ NESTED_LOOP_OK = {
     "mix_corpus_temperature",  # 1-row min-count aggregate broadcast as a scalar
     "events_freshness",  # 1-row high-water-mark aggregate broadcast as a scalar
     "sketch_cms_heavy_hitters",  # 1-row stream-size aggregate broadcast as a scalar
+    "suppliers_pareto_abc",  # 1-row grand-total aggregate broadcast as a scalar
     "orders_rfm_segments",  # 1-row max-date aggregate broadcast as a scalar
     "cluster_kmeans_embed",  # K-row centroid dim broadcast over the corpus per iteration
     "dedup_semantic_kmeans",  # inherits the k-means broadcast centroid cross join
