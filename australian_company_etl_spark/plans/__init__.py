@@ -13,25 +13,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # Registration order is the driver's verification order (it checks the first
-# 50 registered queries per round). Round-7 rotation (VERDICT r06 task 1):
-# semantics-touched-first, then oldest-green. First the 8 queries whose
-# plans changed this round — dedup_ngram_jaccard (bigint size-ratio prune,
-# ADVICE r06) and the 7 queries from the proactive 100 TB overflow sweep
-# whose exact-ratio intermediates moved to DECIMAL(38,0) (same values at
-# every testable SF, new expressions; the driver must re-gate them) — then
-# the 8 rows whose latest driver check is still ROUND 3 (the r6 window's
-# leftovers), then the oldest round-4 rows to fill the 50 slots. Deferred
-# to round 8: the 4 declared no-oracle rows (embed_top_eigenvector,
-# quality_table_health, text_bpe_vocab, text_bpe_tokenize — the driver's
-# rows-only check adds nothing over their python-reference pytest gates),
-# 5 trivial point plans (api_lookup_by_key, api_page_keyset,
-# quality_row_counts, quality_null_counts, norm_names), and 4 r4 rows
-# displaced by the overflow-sweep promotions (mix_curriculum_stages,
-# events_attribution_last_touch, events_funnel_3step,
-# events_peak_concurrency). After this round no sql-gated query's latest
-# driver row is older than r4. The registry stays FROZEN at 155 keys.
+# 50 registered queries per round). Round-7 rotation, RESTAGED at round end:
+# semantics-touched-first, then oldest-green. The round's late review sweep
+# changed many more plans than the original staging anticipated (ADVICE
+# bigint prune + DECIMAL(38,0) overflow sweep + the operator/plans review
+# fixes: multimodal ASCII clamp, min_by extractOne, derived-partsupp
+# round-before-cast, data-scaled broadcast unhints, IVF centroid cap, CMS
+# lazy total, distributed RFM/Pareto windows) — ALL code-changed queries
+# lead the window (35), then the 8 rows whose latest driver check is still
+# ROUND 3, then the oldest round-4 rows to fill 50. Every changed query was
+# already replayed green at sf0.01 AND the replicated sf1 by
+# scripts/verify_parity.py this round; the driver row makes it official.
+# Rolls to round 8: the 4 declared no-oracle rows, the remaining r4 rows
+# (match_exact_key, match_keyword_jaccard, match_blocked_fuzzy,
+# unify_entities, quality_dup_keys/conf/column/constraint, privacy_*,
+# quality_drift_psi, quality_snapshot_diff, api_search_ilike, api_by_state,
+# api_search_trigram, q1, q5, q6, ann_lsh_multiprobe, text_inverted_index,
+# sketch_bottomk_daily_merge, sketch_hll_sliding_window) and the 5 trivial
+# point plans. The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- plan changed this round (8) --------------------------------------
+    # ---- plan/operator/oracle changed this round (35) ----------------------
     "dedup_ngram_jaccard",
     "text_collocations_pmi",
     "text_tfidf_topterms",
@@ -40,6 +41,33 @@ _VERIFY_FIRST = [
     "match_phonetic_block",
     "q11_important_stock",
     "rank_neardup_pagerank",
+    "mm_audio_features",
+    "mm_audio_resample",
+    "mm_image_features",
+    "mm_video_framesample",
+    "match_fuzzy_levenshtein",
+    "match_multi_scorer",
+    "quality_null_counts",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q20_surplus_suppliers",
+    "q21_last_shipper",
+    "text_unigram_logprob",
+    "events_funnel_steps",
+    "events_funnel_3step",
+    "curate_corpus",
+    "etl_dag_end_to_end",
+    "sketch_cms_heavy_hitters",
+    "ann_ivf_topk",
+    "ann_recall_report",
+    "orders_rfm_segments",
+    "suppliers_pareto_abc",
     # ---- latest driver row = round 3 (8) ----------------------------------
     "curate_keep_best",
     "events_cdc_snapshot",
@@ -57,33 +85,6 @@ _VERIFY_FIRST = [
     "extract_xml_fields",
     "extract_title_company",
     "filter_valid_names",
-    "match_exact_key",
-    "match_fuzzy_levenshtein",
-    "match_multi_scorer",
-    "match_keyword_jaccard",
-    "match_blocked_fuzzy",
-    "unify_entities",
-    "quality_dup_keys",
-    "quality_conf_distribution",
-    "quality_column_profile",
-    "quality_constraint_checks",
-    "privacy_pseudonymize",
-    "privacy_k_anonymity",
-    "quality_drift_psi",
-    "quality_snapshot_diff",
-    "api_search_ilike",
-    "api_by_state",
-    "api_search_trigram",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "suppliers_pareto_abc",
-    "ann_recall_report",
-    "ann_lsh_multiprobe",
-    "text_inverted_index",
-    "sketch_bottomk_daily_merge",
-    "sketch_hll_sliding_window",
 ]
 
 
