@@ -57,11 +57,19 @@ def best_fuzzy_match(
     # min_by aggregate, NOT a window: a window shuffles the entire N×M
     # scored cross product through its Exchange before picking one row per
     # left key; the aggregate partial-combines map-side, so each partition
-    # ships at most one candidate per key. The ordering struct (−score,
-    # right_key) minimized ≡ (score desc, right_key asc) — score is always
-    # numeric, and right keys are unique within the candidate dim, so the
-    # order is total and the pick deterministic.
-    ord_ = F.struct((-F.col("score")).alias("s"), F.col(right_key).alias("k"))
+    # ships at most one candidate per key. The ordering struct (null-flag,
+    # −score, right_key) minimized ≡ (score desc NULLS LAST, right_key asc)
+    # — struct comparison sorts a NULL field FIRST, so without the explicit
+    # isNull flag a NULL-scored candidate (any null name: the normalizers
+    # propagate nulls) would beat every real score, diverging from both the
+    # window form this replaced and the DuckDB oracle's NULLS-LAST default.
+    # Right keys are unique within the candidate dim, so the order is total
+    # and the pick deterministic.
+    ord_ = F.struct(
+        F.col("score").isNull().cast("int").alias("nl"),
+        (-F.col("score")).alias("s"),
+        F.col(right_key).alias("k"),
+    )
     return (
         scored.groupBy(left_key)
         .agg(F.min_by(F.struct(*[scored[c] for c in scored.columns]), ord_).alias("best"))

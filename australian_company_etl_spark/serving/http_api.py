@@ -154,6 +154,30 @@ def _doc_postings(docs: DataFrame) -> DataFrame:
     return toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
 
 
+def _drop_ledgers_before_rebuild(data_dir: str, names: tuple[str, ...]) -> None:
+    """Rename-away + delete derived ledger directories BEFORE a build
+    overwrites the postings they describe (ADVICE r7). The build paths used
+    to write the probe-stat ledgers AFTER the postings overwrite, so a
+    crash in between left a stale-but-READABLE ledger whose min_n_trgm
+    could exceed (or max_tf undercut) the new corpus's values — exactly
+    the soundness violation the append path's write-stats-first ordering
+    and the compaction's absent-on-crash swap exclude. Dropping them first
+    makes every crash state ABSENT (probe declines, appenders skip,
+    compaction rebuilds) instead of stale. The rename is atomic; a crash
+    mid-rmtree leaves only the ignored `.stale` orphan, reclaimed on the
+    next build."""
+    import shutil
+
+    for name in names:
+        path = table_path(data_dir, name)
+        stale = path.rstrip("/") + ".stale"
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        if os.path.exists(path):
+            os.rename(path, stale)
+            shutil.rmtree(stale)
+
+
 def build_fulltext_index(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8
 ) -> dict:
@@ -186,6 +210,13 @@ def build_fulltext_index(
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     tf = _doc_postings(docs)
     path = table_path(out_dir, FULLTEXT_INDEX)
+    # stats first ABSENT, then postings, then stats rewritten: a crash
+    # anywhere leaves no stale ledger describing the wrong corpus. The doc
+    # ledger is dropped too — absent reads as a pre-ledger snapshot and the
+    # append path backfills it once from the index's distinct doc_ids,
+    # which is strictly better than a stale ledger asserting membership
+    # for documents the new postings no longer contain.
+    _drop_ledgers_before_rebuild(out_dir, (FULLTEXT_STATS, FULLTEXT_DOCS))
     tf.repartitionByRange(n_files, "tok").sortWithinPartitions("tok").write.mode(
         "overwrite"
     ).parquet(path)
@@ -420,6 +451,10 @@ def build_trigram_index(
         F.explode(F.expr(_TRGM_EXPR.format(c="p_name"))).alias("trgm"),
     ).withColumn("n_trgm", F.count("*").over(Window.partitionBy("p_partkey")))
     path = table_path(out_dir, TRIGRAM_INDEX)
+    # drop the probe-stat ledgers BEFORE overwriting the postings they
+    # describe — a crash then leaves them absent (probe declines), never
+    # stale over the new corpus (see _drop_ledgers_before_rebuild)
+    _drop_ledgers_before_rebuild(out_dir, (TRIGRAM_STATS, TRIGRAM_META))
     (
         trg.repartitionByRange(n_files, "trgm")
         .sortWithinPartitions("trgm")

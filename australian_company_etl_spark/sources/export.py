@@ -82,6 +82,26 @@ def _partition_stats(df: DataFrame, partition_by: list[str]) -> dict:
     }
 
 
+def _parse_manifest_key(key: str, n_cols: int) -> list[str]:
+    """Decode one manifest partition key to its value list. Keys are
+    canonical JSON arrays; manifests written before that change used
+    '|'-joined strings, and without a fallback every pre-change dataset
+    becomes unverifiable/uncompactable (json.loads raises on 'x|y').
+    Legacy fallback: anything that is not a JSON list of the right arity
+    splits on '|' — values containing '|' were already ambiguous under
+    the old scheme, so the fallback is exactly as good as the data it
+    reads; the next export_with_manifest rewrites the keys canonically."""
+    import json
+
+    try:
+        vals = json.loads(key)
+        if isinstance(vals, list) and len(vals) == n_cols:
+            return [str(v) for v in vals]
+    except ValueError:
+        pass
+    return key.split("|")
+
+
 def export_with_manifest(df: DataFrame, path: str, partition_by: list[str]) -> dict:
     """Write partitioned parquet + a `_MANIFEST.json` of per-partition row
     counts and content hashes. Returns the manifest dict."""
@@ -109,8 +129,14 @@ def verify_manifest(spark, path: str) -> dict:
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
     back = spark.read.parquet(path)
-    actual = _partition_stats(back, manifest["partition_by"])
-    expected = manifest["partitions"]
+    part_cols = manifest["partition_by"]
+    actual = _partition_stats(back, part_cols)
+    # normalize stored keys through the legacy decoder so a pre-JSON-keys
+    # manifest ('|'-joined) still verifies against the canonical recompute
+    expected = {
+        json.dumps(_parse_manifest_key(k, len(part_cols))): v
+        for k, v in manifest["partitions"].items()
+    }
     mismatches = sorted(
         k
         for k in set(expected) | set(actual)
@@ -169,9 +195,10 @@ def compact_dataset(spark, path: str, target_bytes: int = 128 << 20) -> dict:
     rows_per_file = max(1, int(target_bytes / bytes_per_row))
 
     # exact per-partition target file counts from the manifest row counts
-    # (keys are canonical JSON arrays — see _partition_stats)
+    # (keys are canonical JSON arrays, with the '|'-joined legacy fallback
+    # — see _parse_manifest_key)
     plan_rows = [
-        (*json.loads(key), -(-stats["rows"] // rows_per_file))
+        (*_parse_manifest_key(key, len(part_cols)), -(-stats["rows"] // rows_per_file))
         for key, stats in manifest["partitions"].items()
     ]
     plan = spark.createDataFrame(

@@ -368,3 +368,43 @@ def test_manifest_keys_survive_separator_values(spark, tmp_path):
     assert {(r.country, r.region) for r in back.collect()} == {
         ("x", "y|z"), ("x|y", "z"), ("AU|NZ", "w"),
     }
+
+
+def test_legacy_pipe_joined_manifest_still_verifies_and_compacts(spark, tmp_path):
+    """ADVICE r7 (low): the JSON-array key change must not strand datasets
+    published under the old '|'-joined key scheme — json.loads raised on
+    them, making every existing manifest unverifiable and uncompactable.
+    A manifest rewritten to legacy keys must still verify ok and compact."""
+    import json
+    import os
+
+    from australian_company_etl_spark.sources.export import (
+        MANIFEST_NAME,
+        compact_dataset,
+        export_with_manifest,
+        verify_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "AU", "nsw"), (2, "AU", "vic"), (3, "NZ", "akl"), (4, "AU", "nsw")],
+        "id bigint, country string, state string",
+    )
+    path = str(tmp_path / "legacy")
+    export_with_manifest(df, path, ["country", "state"])
+    mpath = os.path.join(path, MANIFEST_NAME)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    # rewrite keys to the pre-change '|'-joined form
+    manifest["partitions"] = {
+        "|".join(json.loads(k)): v for k, v in manifest["partitions"].items()
+    }
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    assert verify_manifest(spark, path)["ok"]
+    res = compact_dataset(spark, path, target_bytes=128 << 20)
+    assert res["ok"]
+    back = spark.read.parquet(path)
+    assert back.count() == 4
+    assert {(r.country, r.state) for r in back.collect()} == {
+        ("AU", "nsw"), ("AU", "vic"), ("NZ", "akl"),
+    }

@@ -73,6 +73,27 @@ def test_best_fuzzy_match_extractone(spark):
     assert out[0].rk == 10 and out[0].score == 100
 
 
+def test_best_fuzzy_match_null_scores_rank_last(spark):
+    """ADVICE r7 (high): min_by's ordering struct sorts a NULL field FIRST,
+    so without the explicit null flag a NULL-scored candidate (null name →
+    the normalizers propagate null into the score) wins every left key.
+    NULL scores must rank LAST — the window form this replaced and the
+    DuckDB oracle both order score DESC NULLS LAST."""
+    left = spark.createDataFrame([(1, "ACME LIMITED")], "lk int, lname string")
+    right = spark.createDataFrame(
+        [(10, None), (11, "ACME LIMITED"), (12, "ZZZZ")], "rk int, rname string"
+    )
+    out = best_fuzzy_match(left, right, "lk", "lname", "rk", "rname").collect()
+    assert len(out) == 1
+    assert out[0].rk == 11 and out[0].score == 100
+    # all-NULL candidate set: the lowest right key wins (total order intact)
+    all_null = spark.createDataFrame(
+        [(10, None), (12, None)], "rk int, rname string"
+    )
+    out2 = best_fuzzy_match(left, all_null, "lk", "lname", "rk", "rname").collect()
+    assert len(out2) == 1 and out2[0].rk == 10 and out2[0].score is None
+
+
 def test_multi_scorer_token_sort_beats_ratio(spark):
     """entity_matching.py:405-418 — word-swapped names score 100 under
     token_sort/token_set while plain ratio stays low; subset names (extra

@@ -1837,3 +1837,60 @@ def test_maxdf_param_parsed_and_bounded(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_rebuild_crash_leaves_stat_ledgers_absent_not_stale(spark, tmp_path, monkeypatch):
+    """ADVICE r7 (low): the build paths used to write the probe-stat
+    ledgers AFTER overwriting the postings, so a crash in between during a
+    rebuild over an existing snapshot left a stale-but-READABLE ledger
+    whose min_n_trgm can exceed (or max_tf undercut) the new corpus's
+    values — the soundness violation every other path excludes. The fix
+    drops the ledgers BEFORE the postings overwrite: the crash window now
+    leaves them ABSENT (probe declines), never stale."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.serving import http_api as api
+    from australian_company_etl_spark.serving.http_api import table_path
+
+    # trigram side: first build over the full part table, then a crashed
+    # rebuild over one part (simulated by failing the stats write — the
+    # exact post-postings crash point)
+    d = str(tmp_path / "snap")
+    os.makedirs(d)
+    api.build_trigram_index(spark, SF_DIR, d)
+    assert os.path.exists(table_path(d, api.TRIGRAM_STATS))
+    assert os.path.exists(table_path(d, api.TRIGRAM_META))
+
+    small_dir = str(tmp_path / "small")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    part.filter(F.col("p_partkey") <= 5).write.parquet(small_dir + "/part.parquet")
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before stats write")
+
+    monkeypatch.setattr(api, "_write_trigram_stats", boom)
+    with pytest.raises(RuntimeError):
+        api.build_trigram_index(spark, small_dir, d)
+    monkeypatch.undo()
+    # postings overwritten, ledgers ABSENT — not the old corpus's values
+    assert not os.path.exists(table_path(d, api.TRIGRAM_STATS))
+    assert not os.path.exists(table_path(d, api.TRIGRAM_META))
+    # and the probe declines instead of mis-skipping
+    hits, info = api.trigram_rank_maxdf(spark, d, "promo burnished", 5)
+    assert hits is None and "no stats" in info["reason"]
+
+    # fulltext side: same window, same invariant (stats + doc ledger)
+    ft = str(tmp_path / "ft")
+    os.makedirs(ft)
+    api.build_fulltext_index(spark, SF_DIR, ft)
+    assert os.path.exists(table_path(ft, api.FULLTEXT_STATS))
+    docs_dir = str(tmp_path / "docs_small")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.filter(F.col("doc_id") <= 5).write.parquet(docs_dir + "/documents.parquet")
+    monkeypatch.setattr(api, "_write_fulltext_stats", boom)
+    with pytest.raises(RuntimeError):
+        api.build_fulltext_index(spark, docs_dir, ft)
+    monkeypatch.undo()
+    assert not os.path.exists(table_path(ft, api.FULLTEXT_STATS))
