@@ -1,0 +1,98 @@
+"""Distributed exact ranking — the replacement for unpartitioned windows.
+
+`Window.orderBy(...)` with no partition key plans `Exchange SinglePartition`:
+the ENTIRE frame moves through one task's sort (Spark itself warns "Moving
+all data to a single partition"). Fine at sf0.01; the one plan that cannot
+ship against a 100 TB corpus. The two-phase form here is exact and fully
+distributed:
+
+1. range-partition the frame on the complete sort key (the key ends in a
+   unique id, so it is a TOTAL order — no tie can straddle a partition
+   boundary);
+2. `row_number` WITHIN each range partition (each task sorts only its
+   slice);
+3. add the cumulative row count of the preceding partitions — a
+   ≤ n_parts×|segments|-row aggregate, broadcast back onto the slices.
+
+`segmented_rank` generalizes the same shape to per-segment ranking
+(PARTITION BY seg ORDER BY ...): the range partitioning runs on
+(seg_cols ++ order_cols) so one segment may span several partitions (no
+partition ever needs to hold a whole segment — the straggler a 5-value
+`partitionBy` creates at scale), and the offsets are tracked per
+(partition, segment). `global_rank` is the zero-segment special case.
+
+The only SinglePartition exchange left in these plans carries the
+offsets aggregate — O(n_parts × segments) rows by construction, never
+corpus-scaled. `ntile_from_rank` then derives SQL-standard NTILE(k)
+arithmetically from (rank, segment size), bit-identical to the window
+function over the same total order.
+
+First proven on the RFM/Pareto rewrites (plans/tpch.py, round 7 —
+tie-identical to ntile on the tie-dense replicated sf1 corpus); shared
+here so the curriculum and decile plans use the same audited machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def segmented_rank(
+    df: DataFrame,
+    seg_cols: list[str],
+    order_cols: list,
+    rank_name: str,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact distributed `row_number() OVER (PARTITION BY seg_cols ORDER BY
+    order_cols)`. ``order_cols`` must end in a unique key so the combined
+    (seg, order) sort is total. ``seg_cols`` may be empty (global rank).
+    ``n_parts`` is the local-mode setting; at cluster scale size it like
+    any shuffle (the range exchange is shared between the rank branch and
+    the offsets branch via ReusedExchange)."""
+    segs = [F.col(c) for c in seg_cols]
+    part = df.repartitionByRange(n_parts, *segs, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("__pid", *seg_cols).agg(F.count("*").alias("__c"))
+    w_off = (
+        Window.partitionBy(*seg_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "__pid",
+        *seg_cols,
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__pid", *seg_cols).orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(offs), ["__pid", *seg_cols])
+        .withColumn(rank_name, F.row_number().over(w_in) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
+def global_rank(
+    df: DataFrame, order_cols: list, rank_name: str, n_parts: int = 32
+) -> DataFrame:
+    """Exact DISTRIBUTED global rank over a total order — the drop-in for
+    `row_number() OVER (ORDER BY ...)` (see module docstring)."""
+    return segmented_rank(df, [], order_cols, rank_name, n_parts)
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL-standard NTILE(k) computed from an exact rank and the frame's
+    total row count: the first n%k buckets hold ceil(n/k) rows, the rest
+    floor(n/k) — bit-identical to Spark/DuckDB ntile over the same total
+    order (CASE short-circuits, so the q=0 small-n edge never divides by
+    zero: rank ≤ n = m·(q+1) keeps every row in the first branch)."""
+    q = (n / k).cast("bigint")  # floor for non-negative
+    m = n % k
+    head = m * (q + 1)
+    return (
+        F.when(rank <= head, ((rank - 1) / (q + 1)).cast("bigint") + 1)
+        .otherwise(m + ((rank - head - 1) / q).cast("bigint") + 1)
+        .cast("int")
+    )

@@ -386,18 +386,34 @@ def mix_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard addressing within each stage; re-running on the same corpus
     reproduces the identical order).
 
-    Scale: one global sort for ntile over (proxy, doc_id) — at 100 TB
-    the drop-in is range-partitioned bucketing on precomputed proxy
-    quantiles (M2's sketch), same assignments; shard choice is the N6
+    Scale: the stage boundary is an equal-depth split of the corpus-wide
+    (n_chars, doc_id) total order — but `ntile` over an unpartitioned
+    window is a SINGLE-TASK sort of the entire corpus (`Exchange
+    SinglePartition`; Spark warns "Moving all data to a single
+    partition"), the one plan that cannot ship against 100 TB. Instead
+    the rank is the two-phase DISTRIBUTED `global_rank` (range partition
+    on the total order, within-partition row_number, ≤32-row broadcast
+    prefix offsets — functions/ranks.py, proven tie-identical to ntile
+    on the replicated sf1 corpus for RFM), and the stage is derived
+    arithmetically from (rank, corpus count) via `ntile_from_rank` —
+    bit-identical bucket boundaries. Shard choice stays the N6
     shuffle-free hash."""
+    from australian_company_etl_spark.functions.ranks import (
+        global_rank,
+        ntile_from_rank,
+    )
+
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
-    stage = F.ntile(CURRICULUM_STAGES).over(w)
+    base = docs.select("doc_id", "n_chars")
+    ranked = global_rank(base, [F.asc("n_chars"), F.asc("doc_id")], "__rnk")
+    n_docs = base.agg(F.count("*").alias("__n"))
     shard = phash_spark(F.col("doc_id").cast("string")) % CURRICULUM_SHARDS
-    return docs.select(
+    return ranked.crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
         F.col("n_chars").alias("difficulty"),
-        stage.cast("int").alias("stage"),
+        ntile_from_rank(F.col("__rnk"), F.col("__n"), CURRICULUM_STAGES).alias(
+            "stage"
+        ),
         shard.cast("int").alias("shard"),
     )
 

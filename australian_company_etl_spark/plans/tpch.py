@@ -456,19 +456,38 @@ def window_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the data in both engines — ntile's uneven-bucket boundary
     placement follows the same deterministic row order.
 
-    Scale: one shuffle on the partition key; all three functions share a
-    single sort, which Catalyst plans as one Window operator."""
-    from pyspark.sql import Window as W
-
+    Scale: `partitionBy(c_mktsegment)` would hash SF-scaled customers into
+    ≤5 effective tasks (the segment dim has 5 values), each sorting N/5
+    rows — a guaranteed straggler at 100×. Instead the rank is two-phase
+    per segment (`_segmented_rank`: range partition on the full
+    (segment, acctbal, custkey) total order, so ONE segment spans MANY
+    partitions; within-partition row_number + broadcast per-(partition,
+    segment) offsets), and all three distribution functions are then
+    arithmetic on (rank, per-segment count): the order key ends in the
+    unique c_custkey, so there are no peers — percent_rank =
+    (rank−1)/(n_seg−1) (0 for a 1-row segment, the SQL definition),
+    cume_dist = rank/n_seg, ntile via `_ntile_from_rank`. Exactly the
+    same doubles the window functions produce over the same total order.
+    The per-segment counts are a |segments|-row broadcast aggregate."""
     c = load_tables(spark, sf_dir, ["customer"])["customer"]
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    base = c.select("c_custkey", "c_mktsegment", "c_acctbal")
+    ranked = _segmented_rank(
+        base,
+        ["c_mktsegment"],
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        "__rnk",
+    )
+    seg_n = base.groupBy("c_mktsegment").agg(F.count("*").alias("__n"))
+    rnk, n = F.col("__rnk"), F.col("__n")
+    return ranked.join(F.broadcast(seg_n), "c_mktsegment").select(
         "c_custkey",
         "c_mktsegment",
         F.round("c_acctbal", 2).alias("c_acctbal"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
-        F.ntile(10).over(w).alias("decile"),
+        F.round(
+            F.when(n > 1, (rnk - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
+        F.round(rnk / n, 6).alias("cume_dist"),
+        _ntile_from_rank(rnk, n, 10).alias("decile"),
     )
 
 
@@ -518,50 +537,15 @@ SELECT o_custkey, 'churned' FROM (
 """
 
 
-def _global_rank(df: DataFrame, order_cols: list, rank_name: str, n_parts: int = 32) -> DataFrame:
-    """Exact DISTRIBUTED global rank over a total order (the order_cols end
-    in a unique key, so range partitioning splits cleanly — no tie can
-    straddle a boundary). Two-phase: range-partition on the full sort key,
-    row_number WITHIN each partition, then add the cumulative count of the
-    preceding partitions (a ≤n_parts-row broadcast; the range exchange is
-    shared between the rank branch and the count branch via ReusedExchange).
-    Replaces the unpartitioned Window.orderBy(...) global sort, which moves
-    the ENTIRE frame through one task — per-customer/per-supplier frames
-    scale with SF (~1.5e10 rows at SF1e5), so the single-task sort is the
-    100×-scale straggler this avoids. n_parts is the local-mode setting;
-    at cluster scale size it like any shuffle."""
-    from pyspark.sql import Window as W
-
-    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    counts = part.groupBy("__pid").agg(F.count("*").alias("__c"))
-    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-    offs = counts.select(
-        "__pid", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
-    )
-    w_in = W.partitionBy("__pid").orderBy(*order_cols)
-    return (
-        part.join(F.broadcast(offs), "__pid")
-        .withColumn(rank_name, F.row_number().over(w_in) + F.col("__off"))
-        .drop("__pid", "__off")
-    )
-
-
-def _ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
-    """SQL-standard NTILE(k) computed from an exact global rank and the
-    total row count: the first n%k buckets hold ceil(n/k) rows, the rest
-    floor(n/k) — bit-identical to Spark/DuckDB ntile over the same total
-    order (CASE short-circuits, so the q=0 small-n edge never divides by
-    zero: rank ≤ n = m·(q+1) keeps every row in the first branch)."""
-    q = (n / k).cast("bigint")  # floor for non-negative
-    m = n % k
-    head = m * (q + 1)
-    return (
-        F.when(rank <= head, ((rank - 1) / (q + 1)).cast("bigint") + 1)
-        .otherwise(m + ((rank - head - 1) / q).cast("bigint") + 1)
-        .cast("int")
-    )
+# the two-phase distributed rank machinery (range-partition on the total
+# order, within-partition row_number, broadcast prefix offsets) proven here
+# on RFM/Pareto in round 7 now lives in functions/ranks.py, shared with the
+# curriculum (N9) and decile (E24) plans — same audited implementation.
+from australian_company_etl_spark.functions.ranks import (  # noqa: E402
+    global_rank as _global_rank,
+    ntile_from_rank as _ntile_from_rank,
+    segmented_rank as _segmented_rank,
+)
 
 
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

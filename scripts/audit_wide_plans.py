@@ -9,7 +9,9 @@ corpus whose `documents`/`embeddings` tables are multi-file and at least
 as wide as the session's parallelism (the 100 TB scan shape, where
 `spread_if_narrow` passes through), and reports any plan where an
 Exchange's subtree contains a Generate with no Aggregate or Join between
-them — the raw-exploded-rows-cross-a-shuffle signature, for ANY hash key.
+them — the raw-exploded-rows-cross-a-shuffle signature, for ANY hash key —
+or where an `Exchange SinglePartition` funnels unaggregated leaf-scan rows
+into one task (the single-task global-sort signature, VERDICT r07).
 
 Usage: python scripts/audit_wide_plans.py [sf_dir]   (default sf0.001)
 Exit code 1 if any offender is found.
@@ -52,7 +54,9 @@ def audit(spark, wide_dir: str) -> dict[str, list[str]]:
         except Exception as exc:  # noqa: BLE001 — audit sweep, report and move on
             offenders[name] = [f"PLAN BUILD FAILED: {exc}"][:1]
             continue
-        bad = _generate_to_exchange_chains(plan)
+        bad = _generate_to_exchange_chains(plan) + _single_partition_carries_raw_rows(
+            plan
+        )
         if bad:
             offenders[name] = bad
     return offenders
@@ -101,6 +105,56 @@ def _generate_to_exchange_chains(plan: str, key: str = "") -> list[str]:
     return bad
 
 
+#: plan nodes that bound the row count crossing an exchange: aggregates
+#: reduce to O(groups), WindowGroupLimit to O(groups·k), limits to O(k).
+_BOUNDING_NODES = ("Aggregate", "WindowGroupLimit", "Limit", "TakeOrdered")
+
+
+def _single_partition_carries_raw_rows(plan: str) -> list[str]:
+    """The single-task-sort detector (VERDICT r07 What's-wrong #1/#2),
+    shared by the full-registry sweep and tests/test_scale_plan.py: every
+    `Exchange SinglePartition` whose subtree reaches a leaf scan (FileScan
+    / LocalTableScan / Scan) with NO bounding node between them — i.e.
+    data-scaled raw rows funneling into one task. A SinglePartition
+    exchange above an Aggregate (a 1-row global count, the ≤n_parts-row
+    prefix-offsets frame of the distributed rank) is bounded by
+    construction and allowed; `Window.orderBy` over a raw corpus is the
+    shape this flags (Spark's own "Moving all data to a single partition"
+    warning, made a mechanical gate)."""
+    import re
+
+    def depth(line: str) -> int:
+        return len(re.match(r"^[\s:+\-]*", line).group(0))
+
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = depth(ln)
+        offending = False
+        for j in range(i + 1, len(lines)):
+            dj = depth(lines[j])
+            if dj <= d:
+                break  # left the exchange's subtree
+            if re.search(r"\b(FileScan|LocalTableScan|Scan \w)", lines[j]):
+                cur = dj
+                ok = False
+                for k in range(j - 1, i, -1):
+                    dk = depth(lines[k])
+                    if dk < cur:
+                        cur = dk
+                        if any(b in lines[k] for b in _BOUNDING_NODES):
+                            ok = True
+                            break
+                if not ok:
+                    offending = True
+                    break
+        if offending:
+            bad.append(ln.strip()[:160])
+    return bad
+
+
 def main() -> None:
     from australian_company_etl_spark.session import get_spark
 
@@ -113,12 +167,18 @@ def main() -> None:
     finally:
         shutil.rmtree(wide, ignore_errors=True)
     if offenders:
-        print(f"{len(offenders)} plans shuffle raw generated rows on a wide input:")
+        print(
+            f"{len(offenders)} plans shuffle raw generated rows or funnel raw "
+            "rows through a SinglePartition exchange on a wide input:"
+        )
         for name, chains in sorted(offenders.items()):
             for c in chains:
                 print(f"  {name}: {c}")
         sys.exit(1)
-    print("OK: no registry plan shuffles raw generated rows on a wide input")
+    print(
+        "OK: no registry plan shuffles raw generated rows or single-task-sorts "
+        "raw rows on a wide input"
+    )
 
 
 if __name__ == "__main__":

@@ -41,6 +41,7 @@ NESTED_LOOP_OK = {
     "sketch_cms_heavy_hitters",  # 1-row stream-size aggregate broadcast as a scalar
     "suppliers_pareto_abc",  # 1-row grand-total aggregate broadcast as a scalar
     "orders_rfm_segments",  # 1-row max-date aggregate broadcast as a scalar
+    "mix_curriculum_stages",  # 1-row corpus-count aggregate broadcast as a scalar
     "cluster_kmeans_embed",  # K-row centroid dim broadcast over the corpus per iteration
     "dedup_semantic_kmeans",  # inherits the k-means broadcast centroid cross join
     "sketch_theta_setops",  # |types|-row sketch metas paired via broadcast `<` join
@@ -489,7 +490,81 @@ def test_spread_if_narrow_spreads_a_one_partition_input(spark, sf_dir):
 # diverge between them.
 from scripts.audit_wide_plans import (  # noqa: E402
     _generate_to_exchange_chains as _exploded_rows_cross_an_exchange,
+    _single_partition_carries_raw_rows,
 )
+
+
+def test_curriculum_and_deciles_sorts_are_distributed(spark, sf_dir):
+    """VERDICT r07 tasks 1-2: the last two single-task sort windows.
+    mix_curriculum_stages' global ntile planned `Exchange SinglePartition`
+    over the ENTIRE documents corpus; window_value_deciles partitioned all
+    three distribution functions by the 5-value c_mktsegment (≤5 effective
+    tasks, each sorting N/5 rows). Both must now rank via the two-phase
+    range-partitioned form: (a) no SinglePartition exchange carries
+    unaggregated corpus rows, (b) the sort runs over a rangepartitioning
+    exchange, and (c) the heavy row_number window rides the (__pid[, seg])
+    hash partition — never the bare segment key or no key at all."""
+    import re
+
+    for name in ("mix_curriculum_stages", "window_value_deciles"):
+        plan = _executed_plan(QUERIES[name](spark, sf_dir))
+        assert _single_partition_carries_raw_rows(plan) == [], (
+            f"{name} funnels raw rows through a SinglePartition exchange"
+        )
+        assert "Exchange rangepartitioning" in plan, (
+            f"{name} lost its range-partitioned two-phase rank"
+        )
+        # every row_number window's input exchange partitions on __pid
+        for m in re.finditer(r"Window \[row_number\(\) windowspecdefinition\(([^,]+),", plan):
+            assert "__pid" in m.group(1), (
+                f"{name}: row_number window partitioned on {m.group(1)}, not __pid"
+            )
+
+
+def test_single_partition_walker_flags_raw_and_allows_aggregated():
+    """The walker must flag a raw corpus scan under a SinglePartition
+    exchange (the global-ntile shape) and allow a bounded aggregate (the
+    distributed rank's offsets frame, a global count) — and a
+    WindowGroupLimit-pruned window (pmi's top-k) is bounded too."""
+    raw = "\n".join([
+        "Window [ntile(4)]",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- Project [doc_id#1L, n_chars#2L]",
+        "      +- FileScan parquet [doc_id#1L,n_chars#2L]",
+    ])
+    assert len(_single_partition_carries_raw_rows(raw)) == 1
+
+    aggregated = "\n".join([
+        "Window [sum(__c#3L)]",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- HashAggregate(keys=[__pid#4], functions=[count(1)])",
+        "      +- Exchange hashpartitioning(__pid#4, 32)",
+        "         +- HashAggregate(keys=[__pid#4], functions=[partial_count(1)])",
+        "            +- FileScan parquet [doc_id#1L]",
+    ])
+    assert _single_partition_carries_raw_rows(aggregated) == []
+
+    group_limited = "\n".join([
+        "Window [row_number()]",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- WindowGroupLimit [rnk#5], 50, Partial",
+        "      +- FileScan parquet [tok#6]",
+    ])
+    assert _single_partition_carries_raw_rows(group_limited) == []
+
+
+def test_no_registry_plan_single_task_sorts_raw_rows(spark, sf_dir):
+    """Registry-wide closure of the single-task-sort class (SURVEY §5's
+    'last single-task global sorts were replaced' claim, made mechanical):
+    NO query may plan an Exchange SinglePartition whose subtree reaches a
+    leaf scan without a bounding Aggregate/WindowGroupLimit/Limit."""
+    offenders = {}
+    for name in sorted(QUERIES):
+        plan = _executed_plan(QUERIES[name](spark, sf_dir))
+        bad = _single_partition_carries_raw_rows(plan)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}
 
 
 # every registry query whose plan explodes per-token rows keyed by doc_id —
