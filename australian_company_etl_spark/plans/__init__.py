@@ -13,78 +13,80 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # Registration order is the driver's verification order (it checks the first
-# 50 registered queries per round). Round-7 rotation, RESTAGED at round end:
-# semantics-touched-first, then oldest-green. The round's late review sweep
-# changed many more plans than the original staging anticipated (ADVICE
-# bigint prune + DECIMAL(38,0) overflow sweep + the operator/plans review
-# fixes: multimodal ASCII clamp, min_by extractOne, derived-partsupp
-# round-before-cast, data-scaled broadcast unhints, IVF centroid cap, CMS
-# lazy total, distributed RFM/Pareto windows) — ALL code-changed queries
-# lead the window (35), then the 8 rows whose latest driver check is still
-# ROUND 3, then the oldest round-4 rows to fill 50. Every changed query was
-# already replayed green at sf0.01 AND the replicated sf1 by
-# scripts/verify_parity.py this round; the driver row makes it official.
-# Rolls to round 8: the 4 declared no-oracle rows, the remaining r4 rows
-# (match_exact_key, match_keyword_jaccard, match_blocked_fuzzy,
-# unify_entities, quality_dup_keys/conf/column/constraint, privacy_*,
-# quality_drift_psi, quality_snapshot_diff, api_search_ilike, api_by_state,
-# api_search_trigram, q1, q5, q6, ann_lsh_multiprobe, text_inverted_index,
-# sketch_bottomk_daily_merge, sketch_hll_sliding_window) and the 5 trivial
-# point plans. The registry stays FROZEN at 155 keys.
+# 50 registered queries per round). Round-8 rotation (VERDICT r07 task 3):
+# code-changed-first, then oldest-green. Changed this round (5): the two
+# distributed-window rewrites (mix_curriculum_stages' global ntile and
+# window_value_deciles' per-segment trio, now the shared two-phase
+# functions/ranks.py machinery), the two extractOne consumers of the
+# NULLS-LAST min_by ordering fix (match_fuzzy_levenshtein, unify_entities),
+# and orders_rfm_segments (its rank helpers moved to the shared module).
+# Then every row whose latest driver check is still ROUND 4 (27), the 4
+# declared no-oracle rows (rows-only driver check), and the oldest round-5
+# rows to fill 50. Every changed query was already replayed green at sf0.01
+# AND the replicated sf1 by scripts/verify_parity.py this round; the driver
+# row makes it official. Rolls to round 9: the remaining r5 rows (q4, q12,
+# q13, q14, q18, q19, q22, dedup_embedding_cosine, dedup_cluster_cc,
+# ann_lsh_topk, text_quality_score/token_count/pii_scrub/idf_vocab/
+# contamination/gopher_filters, range_join_close_pairs, rollup_events_hourly,
+# cube_orders_priority, join_skew_salted, rolling_window_24h,
+# quantiles_event_value, sketch_bloom_membership, sample_stratified_hash,
+# split_train_holdout, pack_sequences, mix_corpus_weighted, chunk_documents).
+# The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- plan/operator/oracle changed this round (35) ----------------------
-    "dedup_ngram_jaccard",
-    "text_collocations_pmi",
-    "text_tfidf_topterms",
-    "api_fulltext_rank",
-    "orders_market_basket",
-    "match_phonetic_block",
-    "q11_important_stock",
-    "rank_neardup_pagerank",
-    "mm_audio_features",
-    "mm_audio_resample",
-    "mm_image_features",
-    "mm_video_framesample",
+    # ---- plan/operator changed this round (5) ------------------------------
+    "mix_curriculum_stages",
+    "window_value_deciles",
     "match_fuzzy_levenshtein",
-    "match_multi_scorer",
-    "quality_null_counts",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    "q20_surplus_suppliers",
-    "q21_last_shipper",
-    "text_unigram_logprob",
-    "events_funnel_steps",
-    "events_funnel_3step",
-    "curate_corpus",
-    "etl_dag_end_to_end",
-    "sketch_cms_heavy_hitters",
-    "ann_ivf_topk",
-    "ann_recall_report",
+    "unify_entities",
     "orders_rfm_segments",
-    "suppliers_pareto_abc",
-    # ---- latest driver row = round 3 (8) ----------------------------------
-    "curate_keep_best",
-    "events_cdc_snapshot",
-    "events_watermark_lag_audit",
-    "knn_graph_lsh",
-    "mix_corpus_temperature",
-    "sample_weighted_priority",
-    "sketch_hll_daily_merge",
-    "sketch_theta_setops",
-    # ---- oldest round-4 rows (fill to the 50-query window) ----------------
-    "extract_regex_fields",
-    "extract_url_filter",
-    "extract_json_props",
-    "extract_first_wins_upsert",
-    "extract_xml_fields",
-    "extract_title_company",
-    "filter_valid_names",
+    # ---- latest driver row = round 4 (27) ----------------------------------
+    "match_exact_key",
+    "match_keyword_jaccard",
+    "match_blocked_fuzzy",
+    "quality_dup_keys",
+    "quality_conf_distribution",
+    "quality_column_profile",
+    "quality_constraint_checks",
+    "privacy_pseudonymize",
+    "privacy_k_anonymity",
+    "quality_drift_psi",
+    "quality_snapshot_diff",
+    "api_search_ilike",
+    "api_by_state",
+    "api_search_trigram",
+    "api_lookup_by_key",
+    "api_page_keyset",
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "ann_lsh_multiprobe",
+    "text_inverted_index",
+    "sketch_bottomk_daily_merge",
+    "sketch_hll_sliding_window",
+    "norm_names",
+    "quality_row_counts",
+    "events_attribution_last_touch",
+    "events_peak_concurrency",
+    # ---- the 4 declared no-oracle rows (rows-only driver check) ------------
+    "embed_top_eigenvector",
+    "quality_table_health",
+    "text_bpe_vocab",
+    "text_bpe_tokenize",
+    # ---- oldest round-5 rows (fill to the 50-query window) -----------------
+    "q10_returned_items",
+    "window_top_orders_per_cust",
+    "q4_order_priority",
+    "dedup_exact",
+    "ann_brute_topk",
+    "text_langid",
+    "asof_join_last_error",
+    "sketch_kmv_distinct",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q12_priority_shipping",
+    "dedup_embedding_cosine",
+    "text_quality_score",
+    "range_join_close_pairs",
 ]
 
 
