@@ -108,6 +108,22 @@ def _index_lock(path: str, timeout: float = 60.0):
         os.close(fd)
 
 
+def _write_manifest(manifest_path: str, manifest: dict) -> None:
+    """Atomic manifest publish: write a sibling tmp file, then os.replace.
+    The previous in-place `open(path, "w")` + json.dump TRUNCATED the live
+    manifest before writing — a crash between the truncate and the dump
+    (found by the crash-point fuzz suite) left an empty `_SNAPSHOT.json`
+    that every later append, probe, and /health read died on FOREVER
+    (json.load raises, and nothing can rebuild the non-derivable table
+    digests the manifest carries). rename/replace is atomic on POSIX, so
+    every crash point now leaves either the old or the new manifest —
+    never a torn one."""
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest_path)
+
+
 def heal_interrupted_compaction(path: str, clean_tmp: bool = False) -> str | None:
     """Recover an index directory from a compaction that died mid-swap.
 
@@ -312,8 +328,7 @@ def append_documents_to_index(
             manifest = json.load(f)
         manifest[FULLTEXT_INDEX]["n_docs"] = spark.read.parquet(ledger_path).count()
         manifest[FULLTEXT_INDEX]["rows"] = spark.read.parquet(path).count()
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
+        _write_manifest(manifest_path, manifest)
     return {"docs_appended": n_new, "n_docs": manifest[FULLTEXT_INDEX]["n_docs"]}
 
 
@@ -605,8 +620,7 @@ def append_parts_to_trigram_index(
         with open(manifest_path) as f:
             manifest = json.load(f)
         manifest[TRIGRAM_INDEX]["rows"] = spark.read.parquet(path).count()
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
+        _write_manifest(manifest_path, manifest)
     return {"parts_appended": n_new}
 
 
@@ -1260,8 +1274,7 @@ def snapshot_tables(
         manifest[FULLTEXT_INDEX] = build_fulltext_index(spark, sf_dir, out_dir)
     if "part" in manifest:
         manifest[TRIGRAM_INDEX] = {"rows": build_trigram_index(spark, sf_dir, out_dir)}
-    with open(os.path.join(out_dir, "_SNAPSHOT.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _write_manifest(os.path.join(out_dir, "_SNAPSHOT.json"), manifest)
     return manifest
 
 
