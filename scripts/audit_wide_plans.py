@@ -54,12 +54,87 @@ def audit(spark, wide_dir: str) -> dict[str, list[str]]:
         except Exception as exc:  # noqa: BLE001 — audit sweep, report and move on
             offenders[name] = [f"PLAN BUILD FAILED: {exc}"][:1]
             continue
-        bad = _generate_to_exchange_chains(plan) + _single_partition_carries_raw_rows(
-            plan
-        )
+        bad = [f"generate: {c}" for c in _generate_to_exchange_chains(plan)] + [
+            f"single_partition: {c}"
+            for c in _single_partition_carries_raw_rows(plan)
+        ]
         if bad:
             offenders[name] = bad
     return offenders
+
+
+#: the two adjudicated Generate-detector allowances (SURVEY §4 / VERDICT
+#: r05-r07): dedup_lines shuffles DISJOINT segment rows (they tile the
+#: document — ~1x corpus bytes, the minimum a global segment dedup pays)
+#: and join_skew_salted's (key, salt) exchange carries the deliberately
+#: salt-replicated small side. Applied to the generate detector ONLY, in
+#: main(): before this, the script's healthy steady state exited 1 with
+#: these two lines, so the exit code carried no signal (review finding).
+ALLOWED_GENERATE = {"dedup_lines", "join_skew_salted"}
+
+
+def apply_allowances(offenders: dict[str, list[str]]) -> dict[str, list[str]]:
+    """Drop the adjudicated generate-tagged lines; anything else —
+    including a SinglePartition finding on an allowed query — survives."""
+    out = {}
+    for name, chains in offenders.items():
+        rest = (
+            [c for c in chains if not c.startswith("generate: ")]
+            if name in ALLOWED_GENERATE
+            else chains
+        )
+        if rest:
+            out[name] = rest
+    return out
+
+
+def _exchange_subtree_offenders(
+    plan: str,
+    exchange_marker: str,
+    target_re: str,
+    bounding: tuple[str, ...],
+) -> list[str]:
+    """ONE plan-tree walker behind both detectors (a review pass found the
+    two had copy-pasted the depth/subtree/ancestor logic, so a fix to one
+    could silently miss the other): every exchange line containing
+    ``exchange_marker`` whose subtree contains a line matching
+    ``target_re`` with no ``bounding`` node on the ancestor path between
+    them. All targets in the subtree are examined, not just the first
+    printed — a join subtree can hold a protected target in one branch and
+    a raw one in another. ``bounding`` entries are SUBSTRING patterns
+    against plan lines, not exact node names."""
+    import re
+
+    def depth(line: str) -> int:
+        return len(re.match(r"^[\s:+\-]*", line).group(0))
+
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if exchange_marker not in ln:
+            continue
+        d = depth(ln)
+        offending = False
+        for j in range(i + 1, len(lines)):
+            dj = depth(lines[j])
+            if dj <= d:
+                break  # left the exchange's subtree
+            if re.search(target_re, lines[j]):
+                cur = dj
+                ok = False
+                for k in range(j - 1, i, -1):
+                    dk = depth(lines[k])
+                    if dk < cur:
+                        cur = dk
+                        if any(b in lines[k] for b in bounding):
+                            ok = True
+                            break
+                if not ok:
+                    offending = True
+                    break
+        if offending:
+            bad.append(ln.strip()[:160])
+    return bad
 
 
 def _generate_to_exchange_chains(plan: str, key: str = "") -> list[str]:
@@ -67,92 +142,45 @@ def _generate_to_exchange_chains(plan: str, key: str = "") -> list[str]:
     full-registry sweep here and tests/test_scale_plan.py: every
     `Exchange hashpartitioning(<key>…)` whose subtree contains ANY
     `Generate` with no Aggregate/Join ancestor between them — i.e. raw
-    generated (exploded) rows crossing a shuffle. All Generates in the
-    subtree are examined, not just the first printed: a join subtree can
-    hold a protected Generate in one branch and a raw one in another.
-    ``key`` narrows to exchanges on one column ("" = any key)."""
-    import re
-
-    def depth(line: str) -> int:
-        return len(re.match(r"^[\s:+\-]*", line).group(0))
-
-    lines = plan.splitlines()
-    bad = []
-    for i, ln in enumerate(lines):
-        if f"Exchange hashpartitioning({key}" not in ln:
-            continue
-        d = depth(ln)
-        offending = False
-        for j in range(i + 1, len(lines)):
-            dj = depth(lines[j])
-            if dj <= d:
-                break  # left the exchange's subtree
-            if "Generate " in lines[j]:
-                cur = dj
-                ok = False
-                for k in range(j - 1, i, -1):
-                    dk = depth(lines[k])
-                    if dk < cur:
-                        cur = dk
-                        if "Aggregate" in lines[k] or "Join" in lines[k]:
-                            ok = True
-                            break
-                if not ok:
-                    offending = True
-                    break
-        if offending:
-            bad.append(ln.strip()[:160])
-    return bad
+    generated (exploded) rows crossing a shuffle. ``key`` narrows to
+    exchanges on one column ("" = any key)."""
+    return _exchange_subtree_offenders(
+        plan,
+        f"Exchange hashpartitioning({key}",
+        r"Generate ",
+        ("Aggregate", "Join"),
+    )
 
 
 #: plan nodes that bound the row count crossing an exchange: aggregates
-#: reduce to O(groups), WindowGroupLimit to O(groups·k), limits to O(k).
-_BOUNDING_NODES = ("Aggregate", "WindowGroupLimit", "Limit", "TakeOrdered")
+#: reduce to O(groups), limits to O(k). SUBSTRING patterns — "Limit" also
+#: matches WindowGroupLimit (O(groups·k)), GlobalLimit, LocalLimit.
+_BOUNDING_NODES = ("Aggregate", "Limit", "TakeOrdered")
+
+#: data-scaled leaf producers: parquet/table scans, literal frames, DSv2
+#: BatchScan, the Range generator, and ReusedExchange — a reused shuffle
+#: emits exactly as many rows as the original exchange, so a
+#: SinglePartition directly over one is the same corpus funnel a direct
+#: scan would be (review finding: the first version matched only *Scan
+#: leaves, so any plan that fed the single partition through exchange
+#: reuse passed the audit silently).
+_LEAF_RE = r"\b(FileScan|LocalTableScan|Scan \w|BatchScan|ReusedExchange|Range \()"
 
 
 def _single_partition_carries_raw_rows(plan: str) -> list[str]:
     """The single-task-sort detector (VERDICT r07 What's-wrong #1/#2),
     shared by the full-registry sweep and tests/test_scale_plan.py: every
-    `Exchange SinglePartition` whose subtree reaches a leaf scan (FileScan
-    / LocalTableScan / Scan) with NO bounding node between them — i.e.
-    data-scaled raw rows funneling into one task. A SinglePartition
-    exchange above an Aggregate (a 1-row global count, the ≤n_parts-row
-    prefix-offsets frame of the distributed rank) is bounded by
-    construction and allowed; `Window.orderBy` over a raw corpus is the
-    shape this flags (Spark's own "Moving all data to a single partition"
-    warning, made a mechanical gate)."""
-    import re
-
-    def depth(line: str) -> int:
-        return len(re.match(r"^[\s:+\-]*", line).group(0))
-
-    lines = plan.splitlines()
-    bad = []
-    for i, ln in enumerate(lines):
-        if "Exchange SinglePartition" not in ln:
-            continue
-        d = depth(ln)
-        offending = False
-        for j in range(i + 1, len(lines)):
-            dj = depth(lines[j])
-            if dj <= d:
-                break  # left the exchange's subtree
-            if re.search(r"\b(FileScan|LocalTableScan|Scan \w)", lines[j]):
-                cur = dj
-                ok = False
-                for k in range(j - 1, i, -1):
-                    dk = depth(lines[k])
-                    if dk < cur:
-                        cur = dk
-                        if any(b in lines[k] for b in _BOUNDING_NODES):
-                            ok = True
-                            break
-                if not ok:
-                    offending = True
-                    break
-        if offending:
-            bad.append(ln.strip()[:160])
-    return bad
+    `Exchange SinglePartition` whose subtree reaches a data-scaled leaf
+    (see _LEAF_RE) with NO bounding node between them — i.e. raw rows
+    funneling into one task. A SinglePartition exchange above an
+    Aggregate (a 1-row global count, the ≤n_parts-row prefix-offsets
+    frame of the distributed rank) is bounded by construction and
+    allowed; `Window.orderBy` over a raw corpus is the shape this flags
+    (Spark's own "Moving all data to a single partition" warning, made a
+    mechanical gate)."""
+    return _exchange_subtree_offenders(
+        plan, "Exchange SinglePartition", _LEAF_RE, _BOUNDING_NODES
+    )
 
 
 def main() -> None:
@@ -163,7 +191,7 @@ def main() -> None:
     wide = tempfile.mkdtemp(prefix="wide_audit_")
     try:
         build_wide_dir(spark, sf_dir, wide)
-        offenders = audit(spark, wide)
+        offenders = apply_allowances(audit(spark, wide))
     finally:
         shutil.rmtree(wide, ignore_errors=True)
     if offenders:

@@ -552,6 +552,24 @@ def test_single_partition_walker_flags_raw_and_allows_aggregated():
     ])
     assert _single_partition_carries_raw_rows(group_limited) == []
 
+    # a reused shuffle emits as many rows as the original exchange — a
+    # SinglePartition directly over a ReusedExchange is the same corpus
+    # funnel as one over a scan (review finding: the first leaf regex
+    # matched only *Scan nodes, so exchange reuse dodged the audit)
+    reused_raw = "\n".join([
+        "Window [ntile(4)]",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- ReusedExchange [doc_id#1L], Exchange hashpartitioning(doc_id#1L, 32)",
+    ])
+    assert len(_single_partition_carries_raw_rows(reused_raw)) == 1
+    reused_bounded = "\n".join([
+        "Window [sum(__c#3L)]",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- HashAggregate(keys=[__pid#4], functions=[count(1)])",
+        "      +- ReusedExchange [doc_id#1L], Exchange hashpartitioning(doc_id#1L, 32)",
+    ])
+    assert _single_partition_carries_raw_rows(reused_bounded) == []
+
 
 def test_no_registry_plan_single_task_sorts_raw_rows(spark, sf_dir):
     """Registry-wide closure of the single-task-sort class (SURVEY §5's
