@@ -175,8 +175,22 @@ def run_dag(
     history = []
     if os.path.exists(ledger_path):
         with open(ledger_path) as f:
-            history = json.load(f)
+            try:
+                history = json.load(f)
+            except ValueError:
+                # a ledger torn by a pre-atomic-write crash must not brick
+                # every subsequent run of this out_dir: completion truth
+                # lives in the _SUCCESS markers, the ledger is reporting
+                # history — start a fresh history rather than failing the
+                # (already finished) run forever
+                history = []
     history.append({name: r.as_dict() for name, r in results.items()})
-    with open(ledger_path, "w") as f:
+    # atomic publish (write-tmp + rename): the previous in-place "w" open
+    # TRUNCATED the live ledger before dumping, so a crash in that window
+    # left a torn JSON that every later run_dag call died on at json.load —
+    # the same torn-manifest class the serving crash-point fuzz exposed
+    tmp = ledger_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(history, f, indent=1, sort_keys=True)
+    os.replace(tmp, ledger_path)
     return results

@@ -82,6 +82,20 @@ def _partition_stats(df: DataFrame, partition_by: list[str]) -> dict:
     }
 
 
+def _dump_json_atomic(path: str, obj: dict) -> None:
+    """write-tmp + os.replace: a crash can leave the old file or the new
+    one, never a truncated-but-unparseable manifest (the torn-write class
+    the serving crash-point fuzz exposed in _SNAPSHOT.json — an in-place
+    `open(path, "w")` truncates BEFORE json.dump writes)."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def _parse_manifest_key(key: str, n_cols: int) -> list[str]:
     """Decode one manifest partition key to its value list. Keys are
     canonical JSON arrays; manifests written before that change used
@@ -114,8 +128,7 @@ def export_with_manifest(df: DataFrame, path: str, partition_by: list[str]) -> d
         "columns": sorted(df.columns),
         "partitions": _partition_stats(df, partition_by),
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _dump_json_atomic(os.path.join(path, MANIFEST_NAME), manifest)
     return manifest
 
 
@@ -363,8 +376,7 @@ def export_webdataset(
         "members": exts,
         "per_shard": {f"shard-{int(sid):05d}.tar": int(n) for sid, n in pairs},
     }
-    with open(os.path.join(path, "_WDS_MANIFEST.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _dump_json_atomic(os.path.join(path, "_WDS_MANIFEST.json"), manifest)
     return manifest
 
 

@@ -72,8 +72,12 @@ def _replica(spark: SparkSession, name: str, i: int, offs: dict[str, int]):
 
 
 def is_ready(out_dir: str = OUT_DIR) -> bool:
+    # a table dir counts only with its _SUCCESS marker: a generation killed
+    # mid-write leaves the directory present but torn, and existence alone
+    # would silently bench/verify against the corrupt table forever
     return all(
-        os.path.exists(os.path.join(out_dir, f"{t}.parquet")) for t in SCALED + COPIED
+        os.path.exists(os.path.join(out_dir, f"{t}.parquet", "_SUCCESS"))
+        for t in SCALED + COPIED
     )
 
 

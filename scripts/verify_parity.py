@@ -38,6 +38,14 @@ def main() -> int:
     if first_n:
         names = names[:first_n]
     elif wanted:
+        # fail loudly on names that are not sql-gated registry queries — a
+        # typo in a targeted replay used to be silently dropped, printing
+        # "0/0 ok" and exiting 0 (a vacuous pass where the caller believed
+        # the changed query was replayed)
+        unknown = sorted(set(wanted) - set(names))
+        if unknown:
+            print(f"unknown or oracle-less query names: {unknown}", file=sys.stderr)
+            return 2
         names = [n for n in names if n in wanted]
 
     failures = []

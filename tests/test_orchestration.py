@@ -128,6 +128,31 @@ def test_ledger_records_run_history(spark, sf_dir, tmp_path):
     assert history[1]["entity_matching"] == {"status": "skipped", "attempts": 0, "wave": 1}
 
 
+def test_torn_run_ledger_does_not_brick_reruns(spark, sf_dir, tmp_path):
+    """Review finding (the serving fuzz's torn-manifest class): the run
+    ledger was written with an in-place truncating open — a crash between
+    truncate and dump left a torn _RUN_LEDGER.json that every later
+    run_dag call died on at json.load. A rerun over a torn ledger must
+    succeed (completion truth is the _SUCCESS markers, the ledger is
+    history), start a fresh history, and publish it atomically."""
+    import json
+    import os
+
+    from australian_company_etl_spark.orchestration.runner import LEDGER_NAME
+
+    out = str(tmp_path / "run")
+    run_dag(spark, reference_dag(sf_dir), out)
+    ledger = os.path.join(out, LEDGER_NAME)
+    with open(ledger, "w") as f:
+        f.write('[{"entity_match')  # the torn truncate-crash state
+    results = run_dag(spark, reference_dag(sf_dir), out)
+    assert all(r.status in ("success", "skipped") for r in results.values())
+    with open(ledger) as f:
+        history = json.load(f)  # valid again
+    assert len(history) == 1  # fresh history, this tick only
+    assert not os.path.exists(ledger + ".tmp")
+
+
 def test_waves_match_topological_levels(spark, sf_dir, tmp_path):
     """[t1, t2] >> t3 >> t4: the extracts share wave 0 (scheduled
     concurrently), matching wave 1, quality wave 2."""
