@@ -247,3 +247,83 @@ def test_compactor_crash_at_every_mutation_boundary_heals(
     # rewrite + two swap renames + precompact rmtree + ledger swap chain +
     # stats rebuild swap: the compactor has strictly more boundaries
     assert crash_points >= 6, f"only {crash_points} compactor boundaries found"
+
+
+def _mk_parts(spark, lo: int, hi: int):
+    rows = [(i, f"promo burnished p{i} " + ("copper " * (i % 3))) for i in range(lo, hi)]
+    return spark.createDataFrame(rows, "p_partkey bigint, p_name string")
+
+
+def _trigram_state_digest(spark, d: str) -> dict:
+    out = {
+        "postings": api._table_digest(
+            spark.read.parquet(table_path(d, api.TRIGRAM_INDEX))
+        ),
+        "stats": api._table_digest(
+            spark.read.parquet(table_path(d, api.TRIGRAM_STATS))
+        ),
+        "meta": api._table_digest(
+            spark.read.parquet(table_path(d, api.TRIGRAM_META))
+        ),
+    }
+    with open(os.path.join(d, "_SNAPSHOT.json")) as f:
+        out["rows"] = json.load(f)["trigram_index"]["rows"]
+    return out
+
+
+def test_trigram_compactor_crash_at_every_mutation_boundary_heals(
+    spark, tmp_path, injector
+):
+    """The trigram index's compaction rebuilds its TWO probe-stat ledgers
+    via a per-ledger write-tmp + rmtree + rename swap (`_rebuild_trigram_
+    stats`) — a different chain than the fulltext side's digest-verified
+    ledger compaction, so it gets its own boundary enumeration. Crash
+    before every snapshot-dir mutation; recovery = a no-op re-delivery
+    (heals interrupted swaps) + a fresh compaction; postings, both
+    ledgers, and the manifest row count must converge to the from-scratch
+    build every time."""
+    corpus = str(tmp_path / "parts")
+    _mk_parts(spark, 0, 10).write.parquet(corpus + "/part.parquet")
+    template = str(tmp_path / "template")
+    os.makedirs(template)
+    n = api.build_trigram_index(spark, corpus, template)
+    with open(os.path.join(template, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"trigram_index": {"rows": n}}, f)
+    batch = _mk_parts(spark, 10, 20)
+    appended = str(tmp_path / "appended")
+    shutil.copytree(template, appended)
+    api.append_parts_to_trigram_index(spark, batch, appended)
+
+    full = str(tmp_path / "full_parts")
+    _mk_parts(spark, 0, 20).write.parquet(full + "/part.parquet")
+    ref = str(tmp_path / "reference")
+    os.makedirs(ref)
+    n_ref = api.build_trigram_index(spark, full, ref)
+    with open(os.path.join(ref, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"trigram_index": {"rows": n_ref}}, f)
+    # reference passes through one compaction so its meta ledger is the
+    # same folded single-row shape recovery converges to
+    api.compact_index(spark, ref, api.TRIGRAM_INDEX, "trgm", n_files=2)
+    want = _trigram_state_digest(spark, ref)
+
+    k, crash_points = 1, 0
+    while True:
+        d = str(tmp_path / f"snap_t{k}")
+        shutil.copytree(appended, d)
+        injector.arm(crash_at=k)
+        crashed = False
+        try:
+            api.compact_index(spark, d, api.TRIGRAM_INDEX, "trgm", n_files=2)
+        except SimulatedCrash:
+            crashed = True
+        finally:
+            injector.disarm()
+        api.append_parts_to_trigram_index(spark, batch, d)
+        api.compact_index(spark, d, api.TRIGRAM_INDEX, "trgm", n_files=2)
+        got = _trigram_state_digest(spark, d)
+        assert got == want, f"trigram compactor crash point {k} did not converge: {got}"
+        if not crashed:
+            break
+        crash_points += 1
+        k += 1
+    assert crash_points >= 6, f"only {crash_points} trigram boundaries found"
