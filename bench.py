@@ -63,7 +63,7 @@ def main() -> None:
     # which the untimed full-scale warmup tiers below address directly.
     from scripts.benchutil import cpu_burn
 
-    cpu_burn(spark)
+    burn_sec = cpu_burn(spark)
 
     # JVM/codegen warmup outside the timed region, two tiers:
     # (1) every headliner once at the smallest SF (plan compilation +
@@ -115,6 +115,25 @@ def main() -> None:
         "spread": spreads,
         "load_avg_before": load_before,
         "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+        # measurement context (VERDICT r07 task 8): everything a reader
+        # needs to classify this run without the SURVEY §6 noise model —
+        # what warmed up before timing, and how to judge a loaded-box
+        # number. The r7-measured model: this host has NO machine-level
+        # idle ramp; first-run inflation is in-JVM tiered JIT (~10x on a
+        # codegen path's first execution) plus occasional 1.5-2x C2
+        # compile contention with the 32 executor threads.
+        "context": {
+            "burn_sec": burn_sec,
+            "warmup_tiers": [
+                "all-core sha2 burn before any timed region",
+                "every headliner once at sf0.001 (plan + codegen compile)",
+                "every headliner once untimed at the bench SF (tiered JIT at full row counts)",
+                "min of 3 timed runs, cache cleared before each",
+            ],
+            "cpus": os.cpu_count(),
+            "quiet_box_bar": "1-min load_avg_before < cpus/8; above it, treat a drift as loaded-box noise unless it reproduces on a quiet run",
+            "budget_note": "regression tripwire budgets live in scripts/bench_budget.py and are recorded in ITS shallower-warmup context, not this file's",
+        },
     }
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result["sf"] = float(sf) if sf else sf_dir
