@@ -265,3 +265,64 @@ def test_bpe_merge_regex_equals_reference_scan(spark, batch, pair):
     got = [r.s for r in _apply_merge(df, a, b).collect()]
     expect = [" ".join(_ref_merge(s, a, b)) for s in batch]
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 4)),  # (tie-dense order val, segment)
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(2, 5),  # n_parts — forces rows to straddle range partitions
+    st.integers(1, 7),  # ntile k
+)
+def test_segmented_rank_and_ntile_equal_window_forms(spark, batch, nparts, k):
+    """functions/ranks.py vs Spark's own window functions on ARBITRARY
+    frames: for any (value, segment) multiset — tie-dense by construction
+    (values drawn from 7, segments from 5) — the two-phase distributed
+    `segmented_rank` must equal `row_number() OVER (PARTITION BY seg
+    ORDER BY val, id)` row-for-row, `global_rank` the unpartitioned form,
+    and `ntile_from_rank` must equal `ntile(k)` over the same total
+    order. Pins the machinery every distributed-window rewrite (RFM,
+    Pareto, curriculum, deciles) leans on, at partition counts small
+    enough that range boundaries land INSIDE tie runs."""
+    from pyspark.sql import Window
+
+    from australian_company_etl_spark.functions.ranks import (
+        global_rank,
+        ntile_from_rank,
+        segmented_rank,
+    )
+
+    rows = [(i, v, s) for i, (v, s) in enumerate(batch)]
+    df = spark.createDataFrame(rows, "id bigint, val int, seg int")
+
+    # segmented: two-phase vs window
+    got = {
+        (r.id): r.rnk
+        for r in segmented_rank(
+            df, ["seg"], [F.asc("val"), F.asc("id")], "rnk", n_parts=nparts
+        ).collect()
+    }
+    w = Window.partitionBy("seg").orderBy(F.asc("val"), F.asc("id"))
+    want = {
+        r.id: r.rnk
+        for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+    # global + ntile: two-phase vs window
+    ranked = global_rank(df, [F.asc("val"), F.asc("id")], "rnk", n_parts=nparts)
+    n = df.count()
+    got_nt = {
+        r.id: r.nt
+        for r in ranked.withColumn(
+            "nt", ntile_from_rank(F.col("rnk"), F.lit(n), k)
+        ).collect()
+    }
+    wg = Window.orderBy(F.asc("val"), F.asc("id"))
+    want_nt = {
+        r.id: r.nt for r in df.withColumn("nt", F.ntile(k).over(wg)).collect()
+    }
+    assert got_nt == want_nt
