@@ -49,8 +49,14 @@ def segmented_rank(
     order_cols)`. ``order_cols`` must end in a unique key so the combined
     (seg, order) sort is total. ``seg_cols`` may be empty (global rank).
     ``n_parts`` is the local-mode setting; at cluster scale size it like
-    any shuffle (the range exchange is shared between the rank branch and
-    the offsets branch via ReusedExchange)."""
+    any shuffle.
+
+    The rank branch and the offsets branch both hang off the same range
+    exchange; the printed plan shows it twice with no ReusedExchange
+    node, but that is a display artifact of AQE — at RUNTIME the shuffle
+    stage is materialized once and read by both branches (measured via
+    the stage metrics: shuffle-write bytes ≈ one corpus pass, shuffle-
+    read ≈ two), so the corpus is scanned and range-shuffled once."""
     segs = [F.col(c) for c in seg_cols]
     part = df.repartitionByRange(n_parts, *segs, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
