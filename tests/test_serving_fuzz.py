@@ -15,8 +15,11 @@ random sampling the task sketched: every boundary is hit exactly once
 instead of ~50 draws over the same space.
 
 The injection wraps the concrete DataFrameWriter class plus os.rename /
-shutil.rmtree / shutil.copy2 / json.dump, scoped to paths under the
-snapshot dir, so Spark-internal temp churn never advances the counter.
+os.replace / shutil.rmtree / shutil.copy / shutil.copy2 / json.dump,
+scoped to paths under the snapshot dir, so Spark-internal temp churn
+never advances the counter. The same harness also enumerates the
+manifest-published dataset compaction (sources/export.py), whose
+two-rename swap shares the protocol.
 """
 
 from __future__ import annotations
@@ -74,6 +77,7 @@ def injector(spark, tmp_path, monkeypatch):
     real_replace = os.replace
     real_rmtree = shutil.rmtree
     real_copy2 = shutil.copy2
+    real_copy = shutil.copy
     real_json_dump = json.dump
 
     def patched_parquet(self, path, *a, **kw):
@@ -96,6 +100,10 @@ def injector(spark, tmp_path, monkeypatch):
         inj.hit(str(src), str(dst))
         return real_copy2(src, dst, *a, **kw)
 
+    def patched_copy(src, dst, *a, **kw):
+        inj.hit(str(src), str(dst))
+        return real_copy(src, dst, *a, **kw)
+
     def patched_json_dump(obj, fp, *a, **kw):
         inj.hit(getattr(fp, "name", ""))
         return real_json_dump(obj, fp, *a, **kw)
@@ -105,6 +113,7 @@ def injector(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(os, "replace", patched_replace)
     monkeypatch.setattr(shutil, "rmtree", patched_rmtree)
     monkeypatch.setattr(shutil, "copy2", patched_copy2)
+    monkeypatch.setattr(shutil, "copy", patched_copy)
     monkeypatch.setattr(json, "dump", patched_json_dump)
     return inj
 
@@ -327,3 +336,51 @@ def test_trigram_compactor_crash_at_every_mutation_boundary_heals(
         crash_points += 1
         k += 1
     assert crash_points >= 6, f"only {crash_points} trigram boundaries found"
+
+
+def test_compact_dataset_crash_at_every_mutation_boundary_heals(
+    spark, tmp_path, injector
+):
+    """The manifest-published dataset compaction (sources/export.py) has
+    the same two-rename swap protocol as the serving indexes — enumerate
+    its boundaries too: the tmp rewrite, the manifest copy into tmp, both
+    swap renames, the precompact rmtree. Recovery = rerun compact_dataset
+    (it heals a mid-swap crash at entry); the dataset must then verify
+    against its manifest and hold exactly the original rows."""
+    from australian_company_etl_spark.sources.export import (
+        compact_dataset,
+        export_with_manifest,
+        verify_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"AU{i % 3}", f"v{i}") for i in range(40)],
+        "id bigint, country string, v string",
+    )
+    want_rows = {(r.id, r.country, r.v) for r in df.collect()}
+    template = str(tmp_path / "published")
+    export_with_manifest(df.repartition(6), template, ["country"])
+
+    k, crash_points = 1, 0
+    while True:
+        d = str(tmp_path / f"ds_{k}")
+        shutil.copytree(template, d)
+        injector.arm(crash_at=k)
+        crashed = False
+        try:
+            compact_dataset(spark, d, target_bytes=128 << 20)
+        except SimulatedCrash:
+            crashed = True
+        finally:
+            injector.disarm()
+        res = compact_dataset(spark, d, target_bytes=128 << 20)
+        assert res["ok"]
+        assert verify_manifest(spark, d)["ok"], f"crash point {k}: manifest mismatch"
+        back = {(r.id, r.country, r.v) for r in spark.read.parquet(d).collect()}
+        assert back == want_rows, f"crash point {k}: rows diverged"
+        if not crashed:
+            break
+        crash_points += 1
+        k += 1
+    # tmp write + manifest copy + two renames + precompact rmtree at least
+    assert crash_points >= 4, f"only {crash_points} compact_dataset boundaries found"
