@@ -19,7 +19,10 @@ os.replace / shutil.rmtree / shutil.copy / shutil.copy2 / json.dump,
 scoped to paths under the snapshot dir, so Spark-internal temp churn
 never advances the counter. The same harness also enumerates the
 manifest-published dataset compaction (sources/export.py), whose
-two-rename swap shares the protocol.
+two-rename swap shares the protocol, and the fulltext REBUILD path
+(build over an existing snapshot — the ADVICE r7 stale-ledger scenario),
+where every intermediate crash state must additionally leave the probe
+stats absent-or-coherent, never stale over the new corpus.
 """
 
 from __future__ import annotations
@@ -384,3 +387,70 @@ def test_compact_dataset_crash_at_every_mutation_boundary_heals(
         k += 1
     # tmp write + manifest copy + two renames + precompact rmtree at least
     assert crash_points >= 4, f"only {crash_points} compact_dataset boundaries found"
+
+
+def test_fulltext_rebuild_crash_at_every_mutation_boundary_heals(
+    spark, tmp_path, injector
+):
+    """The build path's own enumeration — the rebuild-over-an-existing-
+    snapshot scenario the ADVICE r7 stale-ledger fix targets, generalized
+    from its single tested crash point to every boundary (ledger drops,
+    postings overwrite, doc-ledger write, stats write). Recovery for a
+    crashed build is rerunning the build (mode-overwrite is idempotent);
+    postings, doc ledger, and stats must then equal a clean build's, and
+    at EVERY intermediate crash state the max-df probe must either serve
+    exactly or decline — never use stale statistics (asserted via the
+    stats ledger being absent or equal to one of the two corpus states)."""
+    old_corpus = str(tmp_path / "old")
+    _mk_docs(spark, 0, 10).write.parquet(old_corpus + "/documents.parquet")
+    new_corpus = str(tmp_path / "new")
+    _mk_docs(spark, 10, 22).write.parquet(new_corpus + "/documents.parquet")
+
+    template = str(tmp_path / "template")
+    os.makedirs(template)
+    meta_old = api.build_fulltext_index(spark, old_corpus, template, n_files=2)
+    with open(os.path.join(template, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"fulltext_index": meta_old}, f)
+
+    ref = str(tmp_path / "reference")
+    os.makedirs(ref)
+    api.build_fulltext_index(spark, new_corpus, ref, n_files=2)
+    want = {
+        name: api._table_digest(spark.read.parquet(table_path(ref, name)))
+        for name in (api.FULLTEXT_INDEX, api.FULLTEXT_DOCS, api.FULLTEXT_STATS)
+    }
+    old_stats = api._table_digest(
+        spark.read.parquet(table_path(template, api.FULLTEXT_STATS))
+    )
+
+    k, crash_points = 1, 0
+    while True:
+        d = str(tmp_path / f"snap_b{k}")
+        shutil.copytree(template, d)
+        injector.arm(crash_at=k)
+        crashed = False
+        try:
+            api.build_fulltext_index(spark, new_corpus, d, n_files=2)
+        except SimulatedCrash:
+            crashed = True
+        finally:
+            injector.disarm()
+        # soundness AT the crash state: the stats ledger is absent (probe
+        # declines) or matches one coherent corpus — never a stale-over-new
+        # mixture describing rows it does not bound
+        stats_path = table_path(d, api.FULLTEXT_STATS)
+        if os.path.exists(stats_path):
+            cur = api._table_digest(spark.read.parquet(stats_path))
+            assert cur in (old_stats, want[api.FULLTEXT_STATS])
+        # recovery: rerun the build
+        api.build_fulltext_index(spark, new_corpus, d, n_files=2)
+        got = {
+            name: api._table_digest(spark.read.parquet(table_path(d, name)))
+            for name in (api.FULLTEXT_INDEX, api.FULLTEXT_DOCS, api.FULLTEXT_STATS)
+        }
+        assert got == want, f"rebuild crash point {k} did not converge: {got}"
+        if not crashed:
+            break
+        crash_points += 1
+        k += 1
+    assert crash_points >= 4, f"only {crash_points} rebuild boundaries found"
