@@ -14,39 +14,49 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Registration order is the driver's verification order (it checks the first
 # 50 registered queries per round). Round-8 rotation (VERDICT r07 task 3):
-# code-changed-first, then oldest-green. Changed this round (5): the two
+# code-changed-first, then oldest-green. Changed this round (11): the two
 # distributed-window rewrites (mix_curriculum_stages' global ntile and
 # window_value_deciles' per-segment trio, now the shared two-phase
 # functions/ranks.py machinery), the two extractOne consumers of the
 # NULLS-LAST min_by ordering fix (match_fuzzy_levenshtein, unify_entities),
-# and orders_rfm_segments (its rank helpers moved to the shared module).
-# Then every row whose latest driver check is still ROUND 4 (27), the 4
+# orders_rfm_segments (its rank helpers moved to the shared module), and
+# the six empty-corpus sweep fixes (tests/test_empty_corpus.py: one-sided
+# NULL-vs-0 coalesces in the C2/C8/K2 reports and the SQL-standard
+# grand-total row the grouping-sets trio dropped on empty input).
+# Then every row whose latest driver check is still ROUND 4 (26), the 4
 # declared no-oracle rows (rows-only driver check), and the oldest round-5
 # rows to fill 50. Every changed query was already replayed green at sf0.01
 # AND the replicated sf1 by scripts/verify_parity.py this round; the driver
-# row makes it official. Rolls to round 9: the remaining r5 rows (q4, q12,
-# q13, q14, q18, q19, q22, dedup_embedding_cosine, dedup_cluster_cc,
+# row makes it official. Rolls to round 9: the remaining r5 rows (q12,
+# q13, q18, q19, q22, dedup_embedding_cosine, dedup_cluster_cc,
 # ann_lsh_topk, text_quality_score/token_count/pii_scrub/idf_vocab/
-# contamination/gopher_filters, range_join_close_pairs, rollup_events_hourly,
-# cube_orders_priority, join_skew_salted, rolling_window_24h,
-# quantiles_event_value, sketch_bloom_membership, sample_stratified_hash,
-# split_train_holdout, pack_sequences, mix_corpus_weighted, chunk_documents).
-# The registry stays FROZEN at 155 keys.
+# contamination/gopher_filters, range_join_close_pairs, join_skew_salted,
+# rolling_window_24h, quantiles_event_value, sketch_bloom_membership,
+# sample_stratified_hash, split_train_holdout, pack_sequences,
+# mix_corpus_weighted, chunk_documents). The registry stays FROZEN at 155
+# keys.
 _VERIFY_FIRST = [
-    # ---- plan/operator changed this round (5) ------------------------------
+    # ---- plan/operator changed this round (11) -----------------------------
     "mix_curriculum_stages",
     "window_value_deciles",
     "match_fuzzy_levenshtein",
     "unify_entities",
     "orders_rfm_segments",
-    # ---- latest driver row = round 4 (27) ----------------------------------
+    # empty-corpus sweep fixes (count-not-sum buckets, oracle coalesce,
+    # SQL-standard grand-total row on empty input):
+    "quality_null_counts",
+    "quality_constraint_checks",
+    "etl_dag_end_to_end",
+    "rollup_events_hourly",
+    "cube_orders_priority",
+    "grouping_sets_report",
+    # ---- latest driver row = round 4 (26) ----------------------------------
     "match_exact_key",
     "match_keyword_jaccard",
     "match_blocked_fuzzy",
     "quality_dup_keys",
     "quality_conf_distribution",
     "quality_column_profile",
-    "quality_constraint_checks",
     "privacy_pseudonymize",
     "privacy_k_anonymity",
     "quality_drift_psi",
@@ -82,11 +92,6 @@ _VERIFY_FIRST = [
     "asof_join_last_error",
     "sketch_kmv_distinct",
     "q14_promo_revenue",
-    "q18_large_orders",
-    "q12_priority_shipping",
-    "dedup_embedding_cosine",
-    "text_quality_score",
-    "range_join_close_pairs",
 ]
 
 

@@ -126,18 +126,20 @@ def quality_report(u: DataFrame) -> DataFrame:
     """The t4 metric pass over an explicit unified frame (the K2 core) —
     consumed both composed (`etl_dag_end_to_end`) and over a materialized
     stage output by the orchestrated DAG (orchestration/dags.py)."""
+    # count(when(cond, 1)), not sum(when/otherwise): count never returns
+    # NULL, so a ZERO-row unified table (every candidate filtered out)
+    # reports 0 for each bucket like the oracle's `count(*) FILTER` — the
+    # sum form returned NULL over empty input (empty-corpus sweep finding)
     base = u.agg(
         F.count("*").alias("rows_unified"),
-        F.sum(F.when(F.col("matched_name").isNull(), 1).otherwise(0)).alias(
+        F.count(F.when(F.col("matched_name").isNull(), 1)).alias(
             "null_matched_name"
         ),
-        F.sum(F.when(F.col("merged_confidence") >= 80, 1).otherwise(0)).alias(
-            "conf_ge_80"
-        ),
-        F.sum(
+        F.count(F.when(F.col("merged_confidence") >= 80, 1)).alias("conf_ge_80"),
+        F.count(
             F.when(
                 (F.col("merged_confidence") >= 50) & (F.col("merged_confidence") < 80), 1
-            ).otherwise(0)
+            )
         ).alias("conf_50_79"),
     )
     dups = (

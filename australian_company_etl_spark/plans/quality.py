@@ -47,25 +47,30 @@ def quality_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coalesce mirrors the Spark side's empty-table fix (operators/quality.py):
+# sum() over ZERO rows is NULL in both engines, and a zero-row landed batch
+# must report 0 — the empty-corpus sweep caught the oracle missing the
+# coalesce the Spark side gained in round 7 (one-sided fix, gate-blind on
+# the non-empty test corpora)
 NULL_COUNTS_SQL = """
 SELECT 'customer' AS table_name, 'c_name' AS column_name,
-       sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
-       sum(CASE WHEN c_name IS NOT NULL AND trim(c_name) = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty
+       coalesce(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), 0)::BIGINT AS n_null,
+       coalesce(sum(CASE WHEN c_name IS NOT NULL AND trim(c_name) = '' THEN 1 ELSE 0 END), 0)::BIGINT AS n_empty
 FROM customer
 UNION ALL
 SELECT 'orders', 'o_orderstatus',
-       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
-       sum(CASE WHEN o_orderstatus IS NOT NULL AND trim(o_orderstatus) = '' THEN 1 ELSE 0 END)::BIGINT
+       coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0)::BIGINT,
+       coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL AND trim(o_orderstatus) = '' THEN 1 ELSE 0 END), 0)::BIGINT
 FROM orders
 UNION ALL
 SELECT 'documents', 'text',
-       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
-       sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END)::BIGINT
+       coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)::BIGINT,
+       coalesce(sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END), 0)::BIGINT
 FROM documents
 UNION ALL
 SELECT 'documents', 'lang',
-       sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
-       sum(CASE WHEN lang IS NOT NULL AND trim(lang) = '' THEN 1 ELSE 0 END)::BIGINT
+       coalesce(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 0)::BIGINT,
+       coalesce(sum(CASE WHEN lang IS NOT NULL AND trim(lang) = '' THEN 1 ELSE 0 END), 0)::BIGINT
 FROM documents
 """
 
@@ -322,11 +327,15 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"].select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti")
         .agg(F.count("*").alias("fk_lineitem_orders"))
     )
+    # count(when(cond, 1)) — count never returns NULL, so a ZERO-row
+    # lineitem (an empty landed batch) reports 0 violations like the
+    # oracle's `count(*) FILTER`; the previous sum(when/otherwise) form
+    # returned NULL over empty input (empty-corpus sweep finding)
     li = t["lineitem"].agg(
-        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("nonpos_qty"),
-        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias("nonpos_price"),
-        F.sum(
-            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1).otherwise(0)
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("nonpos_qty"),
+        F.count(F.when(F.col("l_extendedprice") <= 0, 1)).alias("nonpos_price"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)
         ).alias("discount_out_of_range"),
     )
     return (

@@ -135,18 +135,49 @@ JOIN events e2
 """
 
 
+def _with_grand_total(prepared: DataFrame, group_cols: list[str], sets: list[list[str]], aggs) -> DataFrame:
+    """GROUPING SETS including the grand-total () set, SQL-standard on
+    EMPTY input: Spark's rollup/cube/groupingSets implement every set via
+    one Expand+aggregate, so a zero-row input yields ZERO rows — but the
+    standard (and DuckDB) treat the () set as a global aggregate, which
+    yields exactly ONE row however empty the input (the empty-corpus
+    sweep caught the divergence). The non-() sets run through
+    groupingSets as before; the () row comes from a separate global
+    aggregate branch unioned on — identical output on non-empty input,
+    one (NULLs, gid=2^n−1, count 0) row instead of nothing on empty.
+    Scale: the extra branch is a map-side-combined global aggregate over
+    the same pruned scan — O(1) output rows."""
+    gsets = prepared.groupingSets(sets, *group_cols).agg(
+        F.grouping_id().alias("gid"), *aggs()
+    )
+    null_cols = [
+        F.lit(None).cast(t).alias(c)
+        for c, t in prepared.dtypes
+        if c in group_cols
+    ]
+    gid_type = dict(gsets.dtypes)["gid"]
+    total = prepared.agg(*aggs()).select(
+        *null_cols,
+        F.lit((1 << len(group_cols)) - 1).cast(gid_type).alias("gid"),
+        *[F.col(c) for c in gsets.columns if c not in group_cols and c != "gid"],
+    )
+    return gsets.unionByName(total)
+
+
 def rollup_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 — (day, hour) ROLLUP: hourly, daily, and grand-total in one pass."""
+    """L3 — (day, hour) ROLLUP: hourly, daily, and grand-total in one pass
+    (grand total via `_with_grand_total`, exact on empty input)."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     prepared = ev.select(
         F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
         F.hour(F.col("ts")).alias("hour"),
         "value",
     )
-    return prepared.rollup("day", "hour").agg(
-        F.grouping_id().alias("gid"),
-        F.count("*").alias("n_events"),
-        sum_cents("value").alias("sum_value"),
+    return _with_grand_total(
+        prepared,
+        ["day", "hour"],
+        [["day", "hour"], ["day"]],
+        lambda: [F.count("*").alias("n_events"), sum_cents("value").alias("sum_value")],
     )
 
 
@@ -169,10 +200,14 @@ def cube_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(F.col("o_orderdate")).alias("order_year"),
         "o_totalprice",
     )
-    return prepared.cube("priority", "order_year").agg(
-        F.grouping_id().alias("gid"),
-        F.count("*").alias("n_orders"),
-        sum_cents("o_totalprice").alias("revenue"),
+    return _with_grand_total(
+        prepared,
+        ["priority", "order_year"],
+        [["priority", "order_year"], ["priority"], ["order_year"]],
+        lambda: [
+            F.count("*").alias("n_orders"),
+            sum_cents("o_totalprice").alias("revenue"),
+        ],
     )
 
 
@@ -202,12 +237,11 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared = ev.select(
         "event_type", F.to_date("ts").alias("day"), "value"
     )
-    return prepared.groupingSets(
-        [["event_type"], ["event_type", "day"], []], "event_type", "day"
-    ).agg(
-        F.grouping_id().alias("gid"),
-        F.count("*").alias("n_events"),
-        sum_cents("value").alias("sum_value"),
+    return _with_grand_total(
+        prepared,
+        ["event_type", "day"],
+        [["event_type"], ["event_type", "day"]],
+        lambda: [F.count("*").alias("n_events"), sum_cents("value").alias("sum_value")],
     )
 
 
