@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Registration order is the driver's verification order (it checks the first
 # 50 registered queries per round). Round-8 rotation (VERDICT r07 task 3):
-# code-changed-first, then oldest-green. Changed this round (11): the two
+# code-changed-first, then oldest-green. Changed this round (14): the two
 # distributed-window rewrites (mix_curriculum_stages' global ntile and
 # window_value_deciles' per-segment trio, now the shared two-phase
 # functions/ranks.py machinery), the two extractOne consumers of the
@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 # orders_rfm_segments (its rank helpers moved to the shared module), and
 # the six empty-corpus sweep fixes (tests/test_empty_corpus.py: one-sided
 # NULL-vs-0 coalesces in the C2/C8/K2 reports and the SQL-standard
-# grand-total row the grouping-sets trio dropped on empty input).
+# grand-total row the grouping-sets trio dropped on empty input), plus
+# the three NULL-heavy sweep fixes (tests/test_null_corpus.py:
+# text_fingerprint NULL-text handling, the audio oracle n_samples
+# coalesce).
 # Then every row whose latest driver check is still ROUND 4 (26), the 4
 # declared no-oracle rows (rows-only driver check), and the oldest round-5
 # rows to fill 50. Every changed query was already replayed green at sf0.01
@@ -36,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 # mix_corpus_weighted, chunk_documents). The registry stays FROZEN at 155
 # keys.
 _VERIFY_FIRST = [
-    # ---- plan/operator changed this round (11) -----------------------------
+    # ---- plan/operator changed this round (14) -----------------------------
     "mix_curriculum_stages",
     "window_value_deciles",
     "match_fuzzy_levenshtein",
@@ -50,6 +53,11 @@ _VERIFY_FIRST = [
     "rollup_events_hourly",
     "cube_orders_priority",
     "grouping_sets_report",
+    # NULL-heavy-corpus sweep fixes (NULL-text fingerprint, audio-oracle
+    # n_samples coalesce):
+    "text_fingerprint",
+    "mm_audio_features",
+    "mm_audio_resample",
     # ---- latest driver row = round 4 (26) ----------------------------------
     "match_exact_key",
     "match_keyword_jaccard",
@@ -89,9 +97,6 @@ _VERIFY_FIRST = [
     "dedup_exact",
     "ann_brute_topk",
     "text_langid",
-    "asof_join_last_error",
-    "sketch_kmv_distinct",
-    "q14_promo_revenue",
 ]
 
 

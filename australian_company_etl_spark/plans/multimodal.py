@@ -136,10 +136,15 @@ def _audio_sql(step: int) -> str:
         f"list_transform(range(1, length(text) + 1, {step}), "
         f"i -> CAST((({_PX}) - 64) * 256 AS BIGINT))"
     )
+    # coalesce(len(s), 0): NULL text yields a NULL sample list here, but
+    # the encoder's contract is NULL text → empty (0-sample) WAV, so the
+    # decoded Spark side reports n_samples=0 — the one feature column that
+    # was missing the coalesce its siblings already carry (NULL-heavy-
+    # corpus sweep finding)
     return f"""
 SELECT doc_id,
        8000 AS sample_rate,
-       CAST(len(s) AS BIGINT) AS n_samples,
+       CAST(coalesce(len(s), 0) AS BIGINT) AS n_samples,
        CAST(coalesce(list_max(list_transform(s, x -> abs(x))), 0) AS BIGINT) AS peak,
        CAST(coalesce(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT) AS sum_sq,
        CAST(CASE WHEN len(s) > 0

@@ -169,7 +169,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the per-doc shingle-hash work across cores (single small file
     # otherwise scans as one partition; no-op on a real many-file dataset)
     docs = spread_if_narrow(docs, "doc_id")
-    norm = F.concat_ws(" ", tokens_all_spark(F.col("text")))
+    # NULL text → NULL norm → NULL fingerprint (concat_ws alone would fold
+    # NULL into "" and give every NULL doc the md5('') fingerprint, marking
+    # all content-less docs as exact duplicates of empty ones — and
+    # diverging from the oracle, whose array_to_string propagates NULL;
+    # NULL-heavy-corpus sweep finding). An EMPTY string still fingerprints
+    # as md5('') in both engines.
+    norm = F.when(
+        F.col("text").isNotNull(), F.concat_ws(" ", tokens_all_spark(F.col("text")))
+    )
     d = docs.select("doc_id", norm.alias("norm"))
     # zip-shift row-form shingles (codegen, no window → no exchange above
     # the explode on wide inputs); the groupBy(doc_id) min partial-aggregates
