@@ -44,12 +44,24 @@ def segmented_rank(
     order_cols: list,
     rank_name: str,
     n_parts: int = 32,
+    count_name: str | None = None,
 ) -> DataFrame:
     """Exact distributed `row_number() OVER (PARTITION BY seg_cols ORDER BY
     order_cols)`. ``order_cols`` must end in a unique key so the combined
     (seg, order) sort is total. ``seg_cols`` may be empty (global rank).
     ``n_parts`` is the local-mode setting; at cluster scale size it like
-    any shuffle.
+    any shuffle. NULL segment values rank as their own group, exactly
+    like the window form this replaces — the offsets join is null-SAFE
+    on the segment columns (a review pass caught the plain equi-join
+    silently dropping every NULL-segment row; no current caller has
+    nullable segments, but the helper sells itself as a general
+    PARTITION BY drop-in).
+
+    ``count_name``: also emit each row's total segment size (the frame's
+    total row count when seg_cols is empty) under this column — derived
+    from the SAME per-(partition, segment) counts aggregate the offsets
+    come from, so consumers that need (rank, segment size) — ntile,
+    percent_rank, cume_dist — don't pay a second pass over the input.
 
     The rank branch and the offsets branch both hang off the same range
     exchange; the printed plan shows it twice with no ReusedExchange
@@ -67,25 +79,45 @@ def segmented_rank(
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = counts.select(
+    off_cols = [
         "__pid",
         *seg_cols,
         F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    ]
+    if count_name is not None:
+        w_tot = Window.partitionBy(*seg_cols)
+        off_cols.append(F.sum("__c").over(w_tot).alias(count_name))
+    offs = counts.select(*off_cols)
+    # null-safe join keys for the segment columns (__pid is never null);
+    # renamed on the offsets side so the joined frame keeps single copies
+    offs = offs.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(c).alias(f"__oseg_{i}") for i, c in enumerate(seg_cols)],
+        *([F.col("__off")] + ([F.col(count_name)] if count_name is not None else [])),
     )
+    cond = part["__pid"] == offs["__opid"]
+    for i, c in enumerate(seg_cols):
+        cond = cond & part[c].eqNullSafe(offs[f"__oseg_{i}"])
     w_in = Window.partitionBy("__pid", *seg_cols).orderBy(*order_cols)
     return (
-        part.join(F.broadcast(offs), ["__pid", *seg_cols])
+        part.join(F.broadcast(offs), cond)
         .withColumn(rank_name, F.row_number().over(w_in) + F.col("__off"))
-        .drop("__pid", "__off")
+        .drop("__pid", "__off", "__opid", *[f"__oseg_{i}" for i in range(len(seg_cols))])
     )
 
 
 def global_rank(
-    df: DataFrame, order_cols: list, rank_name: str, n_parts: int = 32
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str,
+    n_parts: int = 32,
+    count_name: str | None = None,
 ) -> DataFrame:
     """Exact DISTRIBUTED global rank over a total order — the drop-in for
-    `row_number() OVER (ORDER BY ...)` (see module docstring)."""
-    return segmented_rank(df, [], order_cols, rank_name, n_parts)
+    `row_number() OVER (ORDER BY ...)` (see module docstring).
+    ``count_name`` optionally emits the frame's total row count per row,
+    derived from the rank's own counts aggregate (no second input pass)."""
+    return segmented_rank(df, [], order_cols, rank_name, n_parts, count_name)
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:

@@ -100,7 +100,15 @@ _VERIFY_FIRST = [
 ]
 
 
-def _ordered(merged: dict) -> dict:
+def _ordered(merged: dict, strict: bool = False) -> dict:
+    # strict (the QUERIES path): fail loudly on a misspelled rotation
+    # entry — silently dropping it would shrink the driver's 50-query
+    # verification window with no error, the same vacuous-pass class the
+    # verify_parity name check closes (review finding). The ORACLES path
+    # stays lenient: the no-oracle rows are in _VERIFY_FIRST by design.
+    unknown = set(_VERIFY_FIRST) - set(merged)
+    if strict and unknown:
+        raise ValueError(f"_VERIFY_FIRST names not in the registry: {sorted(unknown)}")
     out = {k: merged[k] for k in _VERIFY_FIRST if k in merged}
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out
@@ -126,7 +134,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict = {}
     for mod in _plan_modules():
         merged.update(mod.QUERIES)
-    return {k: _released(v) for k, v in _ordered(merged).items()}
+    return {k: _released(v) for k, v in _ordered(merged, strict=True).items()}
 
 
 def all_oracles() -> dict[str, str]:

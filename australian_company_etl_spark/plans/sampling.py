@@ -405,10 +405,13 @@ def mix_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     base = docs.select("doc_id", "n_chars")
-    ranked = global_rank(base, [F.asc("n_chars"), F.asc("doc_id")], "__rnk")
-    n_docs = base.agg(F.count("*").alias("__n"))
+    # count_name: the corpus total rides out of the rank's own counts
+    # aggregate — no second pass over documents for a global count
+    ranked = global_rank(
+        base, [F.asc("n_chars"), F.asc("doc_id")], "__rnk", count_name="__n"
+    )
     shard = phash_spark(F.col("doc_id").cast("string")) % CURRICULUM_SHARDS
-    return ranked.crossJoin(F.broadcast(n_docs)).select(
+    return ranked.select(
         "doc_id",
         F.col("n_chars").alias("difficulty"),
         ntile_from_rank(F.col("__rnk"), F.col("__n"), CURRICULUM_STAGES).alias(

@@ -468,18 +468,21 @@ def window_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank−1)/(n_seg−1) (0 for a 1-row segment, the SQL definition),
     cume_dist = rank/n_seg, ntile via `_ntile_from_rank`. Exactly the
     same doubles the window functions produce over the same total order.
-    The per-segment counts are a |segments|-row broadcast aggregate."""
+    The per-segment counts ride out of the rank's own per-(partition,
+    segment) counts aggregate (`count_name`) — one customer pass."""
     c = load_tables(spark, sf_dir, ["customer"])["customer"]
     base = c.select("c_custkey", "c_mktsegment", "c_acctbal")
+    # count_name: per-segment totals ride out of the rank's own
+    # per-(partition, segment) counts aggregate — no second customer scan
     ranked = _segmented_rank(
         base,
         ["c_mktsegment"],
         [F.asc("c_acctbal"), F.asc("c_custkey")],
         "__rnk",
+        count_name="__n",
     )
-    seg_n = base.groupBy("c_mktsegment").agg(F.count("*").alias("__n"))
     rnk, n = F.col("__rnk"), F.col("__n")
-    return ranked.join(F.broadcast(seg_n), "c_mktsegment").select(
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
         F.round("c_acctbal", 2).alias("c_acctbal"),
