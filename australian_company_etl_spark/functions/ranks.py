@@ -99,9 +99,27 @@ def segmented_rank(
     for i, c in enumerate(seg_cols):
         cond = cond & part[c].eqNullSafe(offs[f"__oseg_{i}"])
     w_in = Window.partitionBy("__pid", *seg_cols).orderBy(*order_cols)
+    # LEFT join + raise_error on a missed offset, not an inner join: the
+    # counts branch and the rank branch both hang off the same range
+    # exchange, and correctness relies on that exchange materializing ONCE
+    # (reused boundaries). If exchange/stage reuse is ever disabled
+    # (spark.sql.exchange.reuse=false, AQE off), the two branches can
+    # sample DIFFERENT range boundaries — an inner join would then
+    # silently drop rows / mis-rank; this guard makes a reuse regression
+    # fail loudly instead (ADVICE r08).
+    missing = F.raise_error(
+        F.lit(
+            "segmented_rank: offsets join missed a (partition, segment) — "
+            "the range exchange was not reused consistently between the "
+            "rank and counts branches (is spark.sql.exchange.reuse off?)"
+        )
+    )
     return (
-        part.join(F.broadcast(offs), cond)
-        .withColumn(rank_name, F.row_number().over(w_in) + F.col("__off"))
+        part.join(F.broadcast(offs), cond, "left")
+        .withColumn(
+            rank_name,
+            F.row_number().over(w_in) + F.coalesce(F.col("__off"), missing.cast("bigint")),
+        )
         .drop("__pid", "__off", "__opid", *[f"__oseg_{i}" for i in range(len(seg_cols))])
     )
 
@@ -125,12 +143,24 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     total row count: the first n%k buckets hold ceil(n/k) rows, the rest
     floor(n/k) — bit-identical to Spark/DuckDB ntile over the same total
     order (CASE short-circuits, so the q=0 small-n edge never divides by
-    zero: rank ≤ n = m·(q+1) keeps every row in the first branch)."""
-    q = (n / k).cast("bigint")  # floor for non-negative
-    m = n % k
+    zero: rank ≤ n = m·(q+1) keeps every row in the first branch).
+
+    All divisions are INTEGER `div` (not double division truncated): the
+    double form is exact only below 2^53 rows per segment, and the repo's
+    stated discipline (SURVEY §4 overflow envelope) is exact integer
+    arithmetic for anything corpus-count-scaled — this formula is now
+    unconditionally exact at any bigint row count (VERDICT r08 task 5)."""
+    def idiv(a: Column, b: Column) -> Column:
+        # SQL IntegralDivide (`a div b`) on bigints — exact at any scale
+        return F.call_function("div", a, b)
+
+    nb = n.cast("bigint")
+    rb = rank.cast("bigint")
+    q = idiv(nb, F.lit(k).cast("bigint"))
+    m = nb % k
     head = m * (q + 1)
     return (
-        F.when(rank <= head, ((rank - 1) / (q + 1)).cast("bigint") + 1)
-        .otherwise(m + ((rank - head - 1) / q).cast("bigint") + 1)
+        F.when(rb <= head, idiv(rb - 1, q + 1) + 1)
+        .otherwise(m + idiv(rb - head - 1, q) + 1)
         .cast("int")
     )
