@@ -13,90 +13,76 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # Registration order is the driver's verification order (it checks the first
-# 50 registered queries per round). Round-8 rotation (VERDICT r07 task 3):
-# code-changed-first, then oldest-green. Changed this round (14): the two
-# distributed-window rewrites (mix_curriculum_stages' global ntile and
-# window_value_deciles' per-segment trio, now the shared two-phase
-# functions/ranks.py machinery), the two extractOne consumers of the
-# NULLS-LAST min_by ordering fix (match_fuzzy_levenshtein, unify_entities),
-# orders_rfm_segments (its rank helpers moved to the shared module), and
-# the six empty-corpus sweep fixes (tests/test_empty_corpus.py: one-sided
-# NULL-vs-0 coalesces in the C2/C8/K2 reports and the SQL-standard
-# grand-total row the grouping-sets trio dropped on empty input), plus
-# the three NULL-heavy sweep fixes (tests/test_null_corpus.py:
-# text_fingerprint NULL-text handling, the audio oracle n_samples
-# coalesce).
-# Then every row whose latest driver check is still ROUND 4 (26), the 4
-# declared no-oracle rows (rows-only driver check), and the oldest round-5
-# rows to fill 50. Every changed query was already replayed green at sf0.01
-# AND the replicated sf1 by scripts/verify_parity.py this round; the driver
-# row makes it official. Rolls to round 9: the remaining r5 rows (q12,
-# q13, q18, q19, q22, dedup_embedding_cosine, dedup_cluster_cc,
-# ann_lsh_topk, text_quality_score/token_count/pii_scrub/idf_vocab/
-# contamination/gopher_filters, range_join_close_pairs, join_skew_salted,
-# rolling_window_24h, quantiles_event_value, sketch_bloom_membership,
-# sample_stratified_hash, split_train_holdout, pack_sequences,
-# mix_corpus_weighted, chunk_documents). The registry stays FROZEN at 155
-# keys.
+# 50 registered queries per round). Round-9 rotation (VERDICT r08 task 1):
+# code-changed-first, then oldest-green. Changed this round (3): the three
+# consumers of the functions/ranks.py changes (ntile_from_rank moved to
+# exact IntegralDivide arithmetic; segmented_rank's offsets join gained the
+# left-join + raise_error reuse guard) — mix_curriculum_stages,
+# window_value_deciles, orders_rfm_segments. Then every row whose latest
+# driver check is still ROUND 5 (27), then the oldest round-6 rows
+# (alphabetical within equal age) to fill 50. Every changed query was
+# replayed green at sf0.01 this round before restaging; the driver row
+# makes it official. Rolls to round 10: the remaining r6 rows
+# (events_session_window_native, events_sessionize, events_tumbling_agg,
+# events_value_outliers, events_zorder_key, graph_triangle_count,
+# incremental_rollup_merge, mm_binary_meta, pivot_user_event_matrix,
+# set_ops_customer_segments, shard_shuffle_deterministic,
+# sketch_hll_distinct, text_entropy, text_repetition_ratio). The registry
+# stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- plan/operator changed this round (14) -----------------------------
+    # ---- plan/operator changed this round (3): ranks.py consumers ----------
     "mix_curriculum_stages",
     "window_value_deciles",
-    "match_fuzzy_levenshtein",
-    "unify_entities",
     "orders_rfm_segments",
-    # empty-corpus sweep fixes (count-not-sum buckets, oracle coalesce,
-    # SQL-standard grand-total row on empty input):
-    "quality_null_counts",
-    "quality_constraint_checks",
-    "etl_dag_end_to_end",
-    "rollup_events_hourly",
-    "cube_orders_priority",
-    "grouping_sets_report",
-    # NULL-heavy-corpus sweep fixes (NULL-text fingerprint, audio-oracle
-    # n_samples coalesce):
-    "text_fingerprint",
-    "mm_audio_features",
-    "mm_audio_resample",
-    # ---- latest driver row = round 4 (26) ----------------------------------
-    "match_exact_key",
-    "match_keyword_jaccard",
-    "match_blocked_fuzzy",
-    "quality_dup_keys",
-    "quality_conf_distribution",
-    "quality_column_profile",
-    "privacy_pseudonymize",
-    "privacy_k_anonymity",
-    "quality_drift_psi",
-    "quality_snapshot_diff",
-    "api_search_ilike",
-    "api_by_state",
-    "api_search_trigram",
-    "api_lookup_by_key",
-    "api_page_keyset",
-    "q1_pricing_summary",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "ann_lsh_multiprobe",
-    "text_inverted_index",
-    "sketch_bottomk_daily_merge",
-    "sketch_hll_sliding_window",
-    "norm_names",
-    "quality_row_counts",
-    "events_attribution_last_touch",
-    "events_peak_concurrency",
-    # ---- the 4 declared no-oracle rows (rows-only driver check) ------------
-    "embed_top_eigenvector",
-    "quality_table_health",
-    "text_bpe_vocab",
-    "text_bpe_tokenize",
-    # ---- oldest round-5 rows (fill to the 50-query window) -----------------
-    "q10_returned_items",
-    "window_top_orders_per_cust",
-    "q4_order_priority",
-    "dedup_exact",
-    "ann_brute_topk",
-    "text_langid",
+    # ---- latest driver row = round 5 (27) ----------------------------------
+    "ann_lsh_topk",
+    "asof_join_last_error",
+    "chunk_documents",
+    "dedup_cluster_cc",
+    "dedup_embedding_cosine",
+    "join_skew_salted",
+    "mix_corpus_weighted",
+    "pack_sequences",
+    "q12_priority_shipping",
+    "q13_cust_order_dist",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_global_sales_opp",
+    "quantiles_event_value",
+    "range_join_close_pairs",
+    "rolling_window_24h",
+    "sample_stratified_hash",
+    "sketch_bloom_membership",
+    "sketch_kmv_distinct",
+    "split_train_holdout",
+    "text_contamination",
+    "text_gopher_filters",
+    "text_idf_vocab",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_token_count",
+    # ---- oldest round-6 rows, alphabetical (fill to the 50-query window) ---
+    "ann_pq_topk",
+    "cluster_kmeans_embed",
+    "dedup_incremental",
+    "dedup_lines",
+    "dedup_minhash_lsh",
+    "dedup_semantic_kmeans",
+    "dedup_setsim_prefix",
+    "dedup_simhash",
+    "dedup_substring_spans",
+    "dedup_url_canonical",
+    "embed_random_projection",
+    "events_anomaly_mad",
+    "events_corr_value_hour",
+    "events_distinct_skewsafe",
+    "events_freshness",
+    "events_gap_stats",
+    "events_markov_transitions",
+    "events_resample_ffill",
+    "events_retention_cohorts",
+    "events_scd2_history",
 ]
 
 
