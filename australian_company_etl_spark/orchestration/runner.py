@@ -192,5 +192,9 @@ def run_dag(
     tmp = ledger_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(history, f, indent=1, sort_keys=True)
+        # fsync before rename (ADVICE r08): survive power loss, not just
+        # process crash — some filesystems persist the rename first
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, ledger_path)
     return results

@@ -121,6 +121,11 @@ def _write_manifest(manifest_path: str, manifest: dict) -> None:
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+        # fsync before the rename: without it, power loss can publish the
+        # rename ahead of the data blocks on some filesystems — an empty
+        # manifest despite the atomic replace (ADVICE r08)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, manifest_path)
 
 

@@ -67,6 +67,20 @@ def get_spark(
             ).lower(),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # opt-in ANSI mode (SPARK_GRAFT_ANSI=1): Spark 4 ships ANSI on by
+        # default upstream; the repo's overflow-envelope discipline (SURVEY
+        # §4) assumes every plan is ANSI-safe (no silent wraparound relied
+        # on, try_*/exact-decimal forms where overflow is possible). The
+        # round-9 sweep runs the whole registry Spark-vs-oracle with this
+        # on (scripts/verify_parity.py --ansi, tests opt in via the same
+        # env var) so that assumption is exercised end-to-end, not assumed.
+        .config(
+            "spark.sql.ansi.enabled",
+            str(
+                os.environ.get("SPARK_GRAFT_ANSI", "false").strip().lower()
+                in ("true", "1", "yes")
+            ).lower(),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

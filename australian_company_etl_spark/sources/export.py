@@ -93,6 +93,12 @@ def _dump_json_atomic(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1, sort_keys=True)
+        # flush+fsync before the rename: os.replace alone is atomic against
+        # process crash, but on power loss some filesystems can persist the
+        # rename before the data blocks — publishing an empty/torn file, the
+        # exact class the crash fuzz closes for process crashes (ADVICE r08)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 

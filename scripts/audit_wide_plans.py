@@ -163,8 +163,14 @@ _BOUNDING_NODES = ("Aggregate", "Limit", "TakeOrdered")
 #: SinglePartition directly over one is the same corpus funnel a direct
 #: scan would be (review finding: the first version matched only *Scan
 #: leaves, so any plan that fed the single partition through exchange
-#: reuse passed the audit silently).
-_LEAF_RE = r"\b(FileScan|LocalTableScan|Scan \w|BatchScan|ReusedExchange|Range \()"
+#: reuse passed the audit silently). InMemoryTableScan/InMemoryRelation
+#: (persisted subtrees) added in round 9 (ADVICE r08): a cached corpus
+#: read under a SinglePartition is the same funnel, and registry plans DO
+#: persist reused subtrees.
+_LEAF_RE = (
+    r"\b(FileScan|LocalTableScan|Scan \w|BatchScan|ReusedExchange|Range \(|"
+    r"InMemoryTableScan|InMemoryRelation)"
+)
 
 
 def _single_partition_carries_raw_rows(plan: str) -> list[str]:

@@ -5,9 +5,13 @@ DuckDB SQL side-by-side through tests.oracle_compare.compare (row count +
 sorted-column schema + value hash — the driver's exact comparison) and
 prints one line per query. Usage:
 
-    python scripts/verify_parity.py [sf_dir] [first_n | name name ...]
+    python scripts/verify_parity.py [--ansi] [sf_dir] [first_n | name name ...]
 
 Defaults: /root/testdata/sf0.01, all queries. Exit code 1 if any mismatch.
+``--ansi`` replays the same gate with spark.sql.ansi.enabled=true (the
+Spark-4-default posture the SURVEY §4 overflow work assumes) — it must be
+the FIRST argument and must run in a fresh process (the session config is
+fixed at JVM creation).
 """
 
 from __future__ import annotations
@@ -20,8 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rest = sys.argv[2:]
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--ansi":
+        os.environ["SPARK_GRAFT_ANSI"] = "1"
+        argv = argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    rest = argv[1:]
     first_n = int(rest[0]) if len(rest) == 1 and rest[0].isdigit() else 0
     wanted = rest if rest and not first_n else None
 
@@ -30,6 +38,7 @@ def main() -> int:
     from tests.oracle_compare import compare, duckdb_connect
 
     spark = get_spark(app_name="aus-etl-verify")
+    print(f"# spark.sql.ansi.enabled = {spark.conf.get('spark.sql.ansi.enabled')}", flush=True)
     queries = all_queries()
     oracles = all_oracles()
     con = duckdb_connect(sf_dir)

@@ -4,8 +4,10 @@ The gate corpora carry no NULLs in text/lang/name columns, so NULL
 handling that differs between the engines is invisible there — the class
 the round-8 min_by NULLS-LAST fix belongs to. This sweep NULLs the
 optional string columns (documents.text/lang, customer.c_name,
-supplier.s_name, part.p_name) on every even key and runs EVERY sql-gated
-registry query Spark-vs-oracle. The introducing sweep found two real
+supplier.s_name, part.p_name) on every ODD key — the F.when(key % 2 == 0)
+below KEEPS even-key values and NULLs the rest (a round-8 review caught
+this docstring saying the opposite) — and runs EVERY sql-gated registry
+query Spark-vs-oracle. The introducing sweep found two real
 divergences (out of 151): text_fingerprint folded NULL text into the
 md5('') fingerprint via concat_ws while the oracle propagated NULL
 (every content-less doc would dedup against empty docs), and the audio

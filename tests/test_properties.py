@@ -326,3 +326,59 @@ def test_segmented_rank_and_ntile_equal_window_forms(spark, batch, nparts, k):
         r.id: r.nt for r in df.withColumn("nt", F.ntile(k).over(wg)).collect()
     }
     assert got_nt == want_nt
+
+
+def _ref_ntile(rank: int, n: int, k: int) -> int:
+    """SQL-standard NTILE in exact python integer arithmetic."""
+    q, m = divmod(n, k)
+    head = m * (q + 1)
+    if rank <= head:
+        return (rank - 1) // (q + 1) + 1
+    return m + (rank - head - 1) // q + 1
+
+
+def test_ntile_from_rank_exact_at_edges_and_past_2_53(spark):
+    """Deterministic boundary pins for ntile_from_rank (VERDICT r08 task 5):
+
+    - q=0 (n < k): every row lands in its own leading bucket via the first
+      CASE branch; the q-division in the other branch must never evaluate.
+    - head boundary (rank == m*(q+1) and the next rank): the exact seam
+      between the ceil-sized and floor-sized buckets.
+    - n PAST 2^53: the old double-division form ((rank-1)/(q+1) truncated)
+      loses integer resolution above 2^53 and mis-buckets near-boundary
+      ranks; the IntegralDivide form must stay exact. n here is 2^60+3 —
+      any double-rounding in the bucket arithmetic shows up as an
+      off-by-one at the seams."""
+    from australian_company_etl_spark.functions.ranks import ntile_from_rank
+
+    cases = []
+    for n, k in [(1, 5), (3, 7), (6, 7), (7, 7), (8, 7), (10, 3), (10, 10)]:
+        for rank in range(1, n + 1):
+            cases.append((rank, n, k))
+    # past-2^53 seams: for each bucket boundary of NTILE(7) over n=2^60+3,
+    # probe the last rank of one bucket and the first of the next
+    big_n, big_k = 2**60 + 3, 7
+    q, m = divmod(big_n, big_k)
+    head = m * (q + 1)
+    seams = [1, head, head + 1, big_n]
+    for b in range(1, big_k):
+        last = b * (q + 1) if b <= m else head + (b - m) * q
+        seams += [last, min(last + 1, big_n)]
+    cases += [(r, big_n, big_k) for r in seams]
+
+    df = spark.createDataFrame(cases, "rank bigint, n bigint, k int")
+    got = (
+        df.withColumn("nt", ntile_from_rank(F.col("rank"), F.col("n"), big_k))
+        .where(F.col("n") == big_n)
+        .select("rank", "nt")
+        .collect()
+    )
+    for r in got:
+        assert r.nt == _ref_ntile(r.rank, big_n, big_k), (r.rank, big_n, big_k)
+    # small-n edges: k varies per row, so evaluate per distinct k
+    for n, k in {(c[1], c[2]) for c in cases if c[1] <= 10}:
+        small = df.where((F.col("n") == n) & (F.col("k") == k)).withColumn(
+            "nt", ntile_from_rank(F.col("rank"), F.col("n"), k)
+        )
+        for r in small.collect():
+            assert r.nt == _ref_ntile(r.rank, n, k), (r.rank, n, k)

@@ -570,6 +570,26 @@ def test_single_partition_walker_flags_raw_and_allows_aggregated():
     ])
     assert _single_partition_carries_raw_rows(reused_bounded) == []
 
+    # a persisted (cached) corpus subtree under a SinglePartition is the
+    # same funnel as a direct scan — registry plans DO persist reused
+    # subtrees, so a leaf regex without InMemoryTableScan/InMemoryRelation
+    # leaves the sweep partially blind there (ADVICE r08)
+    cached_raw = "\n".join([
+        "Window [ntile(4)]",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- InMemoryTableScan [doc_id#1L, n_chars#2L]",
+        "      +- InMemoryRelation [doc_id#1L, n_chars#2L], StorageLevel(disk, memory)",
+        "         +- FileScan parquet [doc_id#1L,n_chars#2L]",
+    ])
+    assert len(_single_partition_carries_raw_rows(cached_raw)) == 1
+    cached_bounded = "\n".join([
+        "Window [sum(__c#3L)]",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- HashAggregate(keys=[__pid#4], functions=[count(1)])",
+        "      +- InMemoryTableScan [doc_id#1L]",
+    ])
+    assert _single_partition_carries_raw_rows(cached_bounded) == []
+
 
 def test_no_registry_plan_single_task_sorts_raw_rows(spark, sf_dir):
     """Registry-wide closure of the single-task-sort class (SURVEY §5's

@@ -454,3 +454,140 @@ def test_fulltext_rebuild_crash_at_every_mutation_boundary_heals(
         crash_points += 1
         k += 1
     assert crash_points >= 4, f"only {crash_points} rebuild boundaries found"
+
+
+def test_trigram_appender_crash_at_every_mutation_boundary_heals(
+    spark, tmp_path, injector
+):
+    """The trigram APPENDER's own enumeration (VERDICT r08 task 4 — until
+    now it only ran as the recovery step inside the compactor test, so a
+    crash INSIDE it was never exercised): crash before every snapshot-dir
+    mutation in append_parts_to_trigram_index — the two write-first ledger
+    appends, the postings append, the manifest dump + replace — then
+    re-deliver the batch (at-least-once) and compact. A crash between the
+    ledger writes and the postings append makes the re-delivered batch
+    look fresh (the anti-join reads the postings), double-appending ledger
+    rows — inflation the compaction's wholesale rebuild must fold back to
+    exact values. Postings, both ledgers, and the manifest row count must
+    equal the from-scratch build at every crash point."""
+    corpus = str(tmp_path / "parts")
+    _mk_parts(spark, 0, 10).write.parquet(corpus + "/part.parquet")
+    template = str(tmp_path / "template")
+    os.makedirs(template)
+    n = api.build_trigram_index(spark, corpus, template)
+    with open(os.path.join(template, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"trigram_index": {"rows": n}}, f)
+    batch = _mk_parts(spark, 10, 20)
+
+    full = str(tmp_path / "full_parts")
+    _mk_parts(spark, 0, 20).write.parquet(full + "/part.parquet")
+    ref = str(tmp_path / "reference")
+    os.makedirs(ref)
+    n_ref = api.build_trigram_index(spark, full, ref)
+    with open(os.path.join(ref, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"trigram_index": {"rows": n_ref}}, f)
+    # recovery ends in a compaction, so the reference passes through one
+    # too — its ledgers take the folded single-row shape recovery reaches
+    api.compact_index(spark, ref, api.TRIGRAM_INDEX, "trgm", n_files=2)
+    want = _trigram_state_digest(spark, ref)
+
+    k, crash_points = 1, 0
+    while True:
+        d = str(tmp_path / f"snap_ta{k}")
+        shutil.copytree(template, d)
+        injector.arm(crash_at=k)
+        crashed = False
+        try:
+            api.append_parts_to_trigram_index(spark, batch, d)
+        except SimulatedCrash:
+            crashed = True
+        finally:
+            injector.disarm()
+        api.append_parts_to_trigram_index(spark, batch, d)
+        api.compact_index(spark, d, api.TRIGRAM_INDEX, "trgm", n_files=2)
+        got = _trigram_state_digest(spark, d)
+        assert got == want, f"trigram appender crash point {k} did not converge: {got}"
+        if not crashed:
+            break
+        crash_points += 1
+        k += 1
+    # meta append + df-stats append + postings append + manifest publish
+    assert crash_points >= 4, f"only {crash_points} trigram appender boundaries found"
+
+
+def test_trigram_rebuild_crash_at_every_mutation_boundary_heals(
+    spark, tmp_path, injector
+):
+    """build_trigram_index over an EXISTING snapshot, boundary-enumerated
+    like its fulltext twin above (VERDICT r08 task 4): the build now drops
+    both derived ledgers (rename-away + rmtree) BEFORE overwriting the
+    postings they describe, so every crash state must leave each ledger
+    ABSENT (probe declines), or the OLD ledger only while the postings are
+    still the OLD corpus — never a stale ledger over new postings, and
+    never a torn one. Recovery is rerunning the build (mode-overwrite is
+    idempotent); postings and both ledgers must then equal a clean
+    build's."""
+    old_corpus = str(tmp_path / "old")
+    _mk_parts(spark, 0, 10).write.parquet(old_corpus + "/part.parquet")
+    new_corpus = str(tmp_path / "new")
+    _mk_parts(spark, 10, 22).write.parquet(new_corpus + "/part.parquet")
+
+    template = str(tmp_path / "template")
+    os.makedirs(template)
+    n_old = api.build_trigram_index(spark, old_corpus, template)
+    with open(os.path.join(template, "_SNAPSHOT.json"), "w") as f:
+        json.dump({"trigram_index": {"rows": n_old}}, f)
+    old = {
+        name: api._table_digest(spark.read.parquet(table_path(template, name)))
+        for name in (api.TRIGRAM_INDEX, api.TRIGRAM_STATS, api.TRIGRAM_META)
+    }
+
+    ref = str(tmp_path / "reference")
+    os.makedirs(ref)
+    api.build_trigram_index(spark, new_corpus, ref)
+    want = {
+        name: api._table_digest(spark.read.parquet(table_path(ref, name)))
+        for name in (api.TRIGRAM_INDEX, api.TRIGRAM_STATS, api.TRIGRAM_META)
+    }
+
+    k, crash_points = 1, 0
+    while True:
+        d = str(tmp_path / f"snap_tb{k}")
+        shutil.copytree(template, d)
+        injector.arm(crash_at=k)
+        crashed = False
+        try:
+            api.build_trigram_index(spark, new_corpus, d)
+        except SimulatedCrash:
+            crashed = True
+        finally:
+            injector.disarm()
+        # soundness AT the crash state, per ledger: absent (decline), or a
+        # coherent corpus state — and the OLD ledger may only coexist with
+        # the OLD postings (the stale-over-new mixture is the bug class the
+        # drop-first ordering closes)
+        postings_digest = api._table_digest(
+            spark.read.parquet(table_path(d, api.TRIGRAM_INDEX))
+        )
+        for name in (api.TRIGRAM_STATS, api.TRIGRAM_META):
+            p = table_path(d, name)
+            if os.path.exists(p):
+                cur = api._table_digest(spark.read.parquet(p))
+                assert cur in (old[name], want[name]), f"crash {k}: torn {name}"
+                if cur == old[name] and old[name] != want[name]:
+                    assert postings_digest == old[api.TRIGRAM_INDEX], (
+                        f"crash {k}: stale {name} over new postings"
+                    )
+        api.build_trigram_index(spark, new_corpus, d)
+        got = {
+            name: api._table_digest(spark.read.parquet(table_path(d, name)))
+            for name in (api.TRIGRAM_INDEX, api.TRIGRAM_STATS, api.TRIGRAM_META)
+        }
+        assert got == want, f"trigram rebuild crash point {k} did not converge: {got}"
+        if not crashed:
+            break
+        crash_points += 1
+        k += 1
+    # two ledger rename-aways (+ stale rmtrees on later iterations), the
+    # postings overwrite, and the two ledger rewrites at minimum
+    assert crash_points >= 4, f"only {crash_points} trigram rebuild boundaries found"
