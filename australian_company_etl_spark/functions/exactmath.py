@@ -7,8 +7,14 @@ DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so accumulation order cannot flip
 a rounded output cent at ANY scale. Float sum(price * (1 - disc)) drifts
 with row count and partition layout — at the replicated sf1 it flipped
 TPC-H q5's 2-dp rounding by one cent between engines. Floats appear only
-in the final same-integer-to-double casts and divisions, which are
-correctly rounded identically on both sides.
+in the final same-integer-to-double casts and divisions. One engine
+asymmetry hides there (round-9 extreme-value sweep): DuckDB's
+HUGEINT→DOUBLE cast is NOT correctly rounded past 2^53 (a measured
+exact-tie cent sum went to the truncated neighbor where Spark's
+Decimal→double rounds half-even), so money_sql routes the integer sum
+through BIGINT — whose →DOUBLE conversion IS correctly rounded,
+bit-matching Spark at any magnitude — and sums beyond BIGINT
+(>9.2e18 integer units) fail loudly in the oracle instead of drifting.
 
 Same exact-moments discipline as the z-score/Pearson/rollup operators
 (J10/J16/L8 in SURVEY §2).
@@ -58,6 +64,15 @@ def money(sum_col: Column, scale: int, ndp: int = 2) -> Column:
 
 
 def money_sql(sum_expr: str, scale: int, ndp: int = 2) -> str:
+    # the integer sum is cast through BIGINT before DOUBLE: DuckDB's
+    # HUGEINT→DOUBLE conversion is not correctly rounded (measured in the
+    # round-9 extreme-value sweep: the exact cent sum -200000000000002672
+    # — a tie between adjacent doubles — went to the truncated neighbor
+    # where Spark's Decimal→double and C's int64→double round half-even),
+    # so sums past 2^53 cents diverged by an ulp. int64→double IS
+    # correctly rounded, matching Spark exactly; sums past BIGINT range
+    # (9.2e18 integer units) now fail loudly in the oracle instead of
+    # silently drifting — the same envelope discipline as everywhere else.
     if scale > ndp:
         unit = 10 ** (scale - ndp)
         half = unit // 2
@@ -66,7 +81,7 @@ def money_sql(sum_expr: str, scale: int, ndp: int = 2) -> str:
         scale = ndp
     else:
         red = f"({sum_expr})"
-    return f"round({red}::DOUBLE / {float(10 ** scale)}, {ndp})"
+    return f"round(({red}::BIGINT)::DOUBLE / {float(10 ** scale)}, {ndp})"
 
 
 def sum_cents(col: Column | str) -> Column:

@@ -14,26 +14,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Registration order is the driver's verification order (it checks the first
 # 50 registered queries per round). Round-9 rotation (VERDICT r08 task 1):
-# code-changed-first, then oldest-green. Changed this round (3): the three
+# code-changed-first, then oldest-green. Changed this round (8): the three
 # consumers of the functions/ranks.py changes (ntile_from_rank moved to
 # exact IntegralDivide arithmetic; segmented_rank's offsets join gained the
 # left-join + raise_error reuse guard) — mix_curriculum_stages,
-# window_value_deciles, orders_rfm_segments. Then every row whose latest
-# driver check is still ROUND 5 (27), then the oldest round-6 rows
-# (alphabetical within equal age) to fill 50. Every changed query was
-# replayed green at sf0.01 this round before restaging; the driver row
-# makes it official. Rolls to round 10: the remaining r6 rows
-# (events_session_window_native, events_sessionize, events_tumbling_agg,
-# events_value_outliers, events_zorder_key, graph_triangle_count,
-# incremental_rollup_merge, mm_binary_meta, pivot_user_event_matrix,
-# set_ops_customer_segments, shard_shuffle_deterministic,
-# sketch_hll_distinct, text_entropy, text_repetition_ratio). The registry
-# stays FROZEN at 155 keys.
+# window_value_deciles, orders_rfm_segments — plus the five extreme-value
+# regime fixes (scripts/regime_sweep.py --regime extreme_values found
+# them): events_value_outliers + events_corr_value_hour (pre-promoted
+# squares, loud matched exact-moments envelope guard),
+# quality_conf_distribution (BIGINT bucket), grouping_sets_report +
+# rolling_window_24h (oracle integer-sum→BIGINT→DOUBLE cast — DuckDB's
+# HUGEINT→DOUBLE is not correctly rounded past 2^53; that oracle-cast fix
+# also touches every money_sql/sum-cents oracle, all replayed green at
+# sf0.01 in parity_r9_sf001_wave1.log and again at the replicated sf1).
+# Then every row whose latest driver check is still ROUND 5 (27), then
+# the oldest round-6 rows (alphabetical within equal age) to fill 50.
+# Rolls to round 10: the remaining r6 rows (events_resample_ffill,
+# events_retention_cohorts, events_scd2_history,
+# events_session_window_native, events_sessionize, events_tumbling_agg,
+# events_zorder_key, graph_triangle_count, incremental_rollup_merge,
+# mm_binary_meta, pivot_user_event_matrix, set_ops_customer_segments,
+# shard_shuffle_deterministic, sketch_hll_distinct, text_entropy,
+# text_repetition_ratio). The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- plan/operator changed this round (3): ranks.py consumers ----------
+    # ---- plan/operator changed this round (8) ------------------------------
     "mix_curriculum_stages",
     "window_value_deciles",
     "orders_rfm_segments",
+    "events_value_outliers",
+    "events_corr_value_hour",
+    "quality_conf_distribution",
+    "grouping_sets_report",
+    "rolling_window_24h",
     # ---- latest driver row = round 5 (27) ----------------------------------
     "ann_lsh_topk",
     "asof_join_last_error",
@@ -51,7 +63,6 @@ _VERIFY_FIRST = [
     "q22_global_sales_opp",
     "quantiles_event_value",
     "range_join_close_pairs",
-    "rolling_window_24h",
     "sample_stratified_hash",
     "sketch_bloom_membership",
     "sketch_kmv_distinct",
@@ -75,14 +86,10 @@ _VERIFY_FIRST = [
     "dedup_url_canonical",
     "embed_random_projection",
     "events_anomaly_mad",
-    "events_corr_value_hour",
     "events_distinct_skewsafe",
     "events_freshness",
     "events_gap_stats",
     "events_markov_transitions",
-    "events_resample_ffill",
-    "events_retention_cohorts",
-    "events_scd2_history",
 ]
 
 

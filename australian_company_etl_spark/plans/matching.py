@@ -122,7 +122,7 @@ def match_exact_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MATCH_EXACT_SQL = """
 SELECT c_custkey, c_name, count(*) AS n_orders,
-       round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS total_spend
+       round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS total_spend
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 """

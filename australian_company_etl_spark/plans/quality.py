@@ -89,14 +89,19 @@ FROM orders GROUP BY o_custkey HAVING count(*) > 1
 
 def quality_conf_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 — value-distribution group-by (≈ merged_confidence histogram,
-    run_quality_checks.py:64-78) over event values bucketed by 10."""
+    run_quality_checks.py:64-78) over event values bucketed by 10.
+
+    The bucket is BIGINT, not INT (round-9 extreme-value sweep): an INT32
+    bucket silently wraps in Spark's non-ANSI cast and hard-errors in the
+    oracle/ANSI the moment |value| exceeds ~2.1e9 — a histogram must
+    absorb any input magnitude its double column can carry."""
     events = load_tables(spark, sf_dir, ["events"])["events"]
-    bucket = (F.floor(F.col("value") / 10) * 10).cast("int")
+    bucket = (F.floor(F.col("value") / 10) * 10).cast("bigint")
     return value_distribution(events, bucket, "value_bucket").orderBy("value_bucket")
 
 
 CONF_DIST_SQL = """
-SELECT (floor(value / 10) * 10)::INT AS value_bucket, count(*) AS n
+SELECT (floor(value / 10) * 10)::BIGINT AS value_bucket, count(*) AS n
 FROM events GROUP BY 1 ORDER BY 1
 """
 

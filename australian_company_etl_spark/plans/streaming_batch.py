@@ -46,7 +46,7 @@ TUMBLING_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -91,7 +91,7 @@ SELECT user_id, session_id,
        min(us) AS session_start_us,
        max(us) AS session_end_us,
        count(*) AS n_events,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 """
@@ -144,7 +144,7 @@ SELECT user_id,
        min(us) AS session_start_us,
        max(us) + {SESSION_GAP_US} AS session_end_us,
        count(*) AS n_events,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 """
@@ -391,7 +391,17 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     division ulps can flip a boundary row (the anomaly-gate analog of the
     reference's value-distribution check, run_quality_checks.py:64-78).
     Spark computes in DECIMAL(38,0), DuckDB in HUGEINT; both exact up to
-    ~1e38, which holds to ~1e12 rows per type at these magnitudes.
+    ~1e38.
+
+    ENVELOPE (made loud in round 9 — the extreme-value regime sweep): the
+    per-row square is promoted to wide arithmetic BEFORE the multiply
+    (v_centi² silently wrapped BIGINT past |v| ≈ $9.6e7), and the final
+    moment products are guarded by n ≤ 1e15 AND n·max|v_centi| ≤ 1e18
+    (⇒ every term ≤ ~2e37, inside both engines' exact range; at money
+    magnitudes that is ~1e12 rows per type — the prior documented bound —
+    while 1000× the fact rows of a 100 TB corpus stay in range). Outside
+    it BOTH engines raise a matched 'exact-moments envelope' error —
+    never a silent NULL/wrapped flag.
 
     Scale: one map-side-combined aggregate per event_type (5 rows) +
     a broadcast join back — a single pass over the fact table, no window,
@@ -403,19 +413,34 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(value * 100) as bigint)").alias("v_centi"),
     )
     d38 = "decimal(38,0)"
+    vd = F.col("v_centi").cast(d38)
     stats = rows.groupBy("event_type").agg(
         F.count("*").cast(d38).alias("n"),
-        F.sum(F.col("v_centi").cast(d38)).alias("s"),
-        F.sum((F.col("v_centi") * F.col("v_centi")).cast(d38)).alias("ssq"),
+        F.sum(vd).alias("s"),
+        F.sum(vd * vd).alias("ssq"),
+        F.max(F.abs(F.col("v_centi"))).cast(d38).alias("m"),
     )
     j = rows.join(F.broadcast(stats), "event_type")
+    in_env = (F.col("n") <= F.lit(10**15).cast(d38)) & (
+        F.col("n") * F.col("m") <= F.lit(10**18).cast(d38)
+    )
     dev = F.col("n") * F.col("v_centi") - F.col("s")
     var9 = F.lit(9).cast(d38) * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
+    flag = F.when(
+        ~in_env,
+        F.raise_error(
+            F.lit(
+                "events_value_outliers: exact-moments envelope exceeded "
+                "(n > 1e15 or n*max|v_centi| > 1e18) — rescale the value "
+                "unit or shard the type before the z-test"
+            )
+        ).cast("boolean"),
+    ).otherwise(dev * dev > var9)
     return j.select(
         "event_id",
         "event_type",
         "v_centi",
-        (dev * dev > var9).alias("is_outlier"),
+        flag.alias("is_outlier"),
     )
 
 
@@ -426,11 +451,16 @@ WITH rows_ AS (
   SELECT event_type,
          count(*)::HUGEINT AS n,
          sum(v_centi)::HUGEINT AS s,
-         sum(v_centi::HUGEINT * v_centi) AS ssq
+         sum(v_centi::HUGEINT * v_centi) AS ssq,
+         max(abs(v_centi))::HUGEINT AS m
   FROM rows_ GROUP BY event_type
 )
 SELECT r.event_id, r.event_type, r.v_centi,
-       (n * r.v_centi - s) * (n * r.v_centi - s) > 9 * (n * ssq - s * s) AS is_outlier
+       CASE WHEN n > 1000000000000000::HUGEINT
+              OR n * m > 1000000000000000000::HUGEINT
+            THEN error('events_value_outliers: exact-moments envelope exceeded (n > 1e15 or n*max|v_centi| > 1e18) — rescale the value unit or shard the type before the z-test')::BOOLEAN
+            ELSE (n * r.v_centi - s) * (n * r.v_centi - s) > 9 * (n * ssq - s * s)
+       END AS is_outlier
 FROM rows_ r JOIN stats USING (event_type)
 """
 
@@ -512,13 +542,25 @@ def events_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("bigint").alias("x"),
         F.expr("cast(floor(value * 100) as bigint)").alias("y"),
     )
+    # per-row squares promoted BEFORE the multiply (round-9 extreme-value
+    # sweep: y*y in BIGINT silently wraps past |y| ≈ 3e9 in non-ANSI
+    # Spark and hard-errors in the oracle), and the same loud
+    # n ≤ 1e15 / n·max|y| ≤ 1e18 envelope guard as the J10 z-test —
+    # every downstream moment product then stays ≤ ~2e37, exact in both
+    # engines (x ≤ 23 is bounded by construction, so y dominates)
+    yd = F.col("y").cast(d38)
+    xd = F.col("x").cast(d38)
     agg = base.groupBy("event_type").agg(
         F.count("*").cast(d38).alias("n"),
-        F.sum(F.col("x").cast(d38)).alias("sx"),
-        F.sum(F.col("y").cast(d38)).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.max(F.abs(F.col("y"))).cast(d38).alias("m"),
+    )
+    in_env = (F.col("n") <= F.lit(10**15).cast(d38)) & (
+        F.col("n") * F.col("m") <= F.lit(10**18).cast(d38)
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -529,7 +571,18 @@ def events_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        F.when(vx * vy > 0, F.round(num / F.sqrt(vx * vy), 6)).alias("pearson_r"),
+        F.when(
+            ~in_env,
+            F.raise_error(
+                F.lit(
+                    "events_corr_value_hour: exact-moments envelope exceeded "
+                    "(n > 1e15 or n*max|v_centi| > 1e18) — rescale the value "
+                    "unit before the exact corr"
+                )
+            ).cast("double"),
+        )
+        .when(vx * vy > 0, F.round(num / F.sqrt(vx * vy), 6))
+        .alias("pearson_r"),
     )
 
 
@@ -544,13 +597,17 @@ agg AS (
   SELECT event_type,
          count(*)::HUGEINT AS n,
          sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
-         sum((x * x)::HUGEINT) AS sxx, sum((y * y)::HUGEINT) AS syy,
-         sum((x * y)::HUGEINT) AS sxy
+         sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(x::HUGEINT * y) AS sxy,
+         max(abs(y))::HUGEINT AS m
   FROM base GROUP BY event_type
 )
 SELECT event_type,
        n::BIGINT AS n,
-       CASE WHEN (n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE > 0
+       CASE WHEN n > 1000000000000000::HUGEINT
+              OR n * m > 1000000000000000000::HUGEINT
+            THEN error('events_corr_value_hour: exact-moments envelope exceeded (n > 1e15 or n*max|v_centi| > 1e18) — rescale the value unit before the exact corr')::DOUBLE
+            WHEN (n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE > 0
             THEN round((n * sxy - sx * sy)::DOUBLE
                        / sqrt((n * sxx - sx * sx)::DOUBLE
                               * (n * syy - sy * sy)::DOUBLE),
@@ -799,7 +856,7 @@ WITH touched AS (
 )
 SELECT coalesce(touch, 'direct') AS touchpoint,
        count(*) AS n_conversions,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
 FROM touched
 WHERE event_type = '{ATTR_CONVERSION}'
 GROUP BY 1

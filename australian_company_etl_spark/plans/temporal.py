@@ -186,7 +186,7 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        hour(ts) AS hour,
        GROUPING(strftime(ts, '%Y-%m-%d'), hour(ts)) AS gid,
        count(*) AS n_events,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
 FROM events
 GROUP BY ROLLUP(1, 2)
 """
@@ -216,7 +216,7 @@ SELECT o_orderpriority AS priority,
        year(o_orderdate) AS order_year,
        GROUPING(o_orderpriority, year(o_orderdate)) AS gid,
        count(*) AS n_orders,
-       round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS revenue
+       round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS revenue
 FROM orders
 GROUP BY CUBE(1, 2)
 """
@@ -249,7 +249,7 @@ GROUPING_SETS_SQL = """
 SELECT event_type, ts::DATE AS day,
        GROUPING(event_type, ts::DATE) AS gid,
        count(*) AS n_events,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
+       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (event_type, ts::DATE), ())
 """
@@ -360,7 +360,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKEW_SALTED_SQL = """
 SELECT e.user_id, c.c_name, c.c_mktsegment,
        count(*) AS n_events,
-       round((sum(CAST(round((e.value) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS sum_value
+       round((sum(CAST(round((e.value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2, 3
 """
@@ -400,7 +400,7 @@ def rolling_window_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_SQL = f"""
 SELECT event_id, user_id, us,
        count(*) OVER w AS n_24h,
-       round((sum(CAST(round((value) * 100) AS BIGINT)) OVER w)::DOUBLE / 100.0, 2) AS sum_24h
+       round((sum(CAST(round((value) * 100) AS BIGINT)) OVER w)::BIGINT::DOUBLE / 100.0, 2) AS sum_24h
 FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY us
              RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)

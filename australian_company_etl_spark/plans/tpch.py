@@ -612,7 +612,7 @@ WITH per_cust AS (
   SELECT o_custkey,
          max(o_orderdate::DATE) AS last_order,
          count(*) AS frequency,
-         round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::DOUBLE / 100.0, 2) AS monetary
+         round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS monetary
   FROM orders GROUP BY o_custkey
 ),
 hwm AS (SELECT max(o_orderdate::DATE) AS hwm FROM orders),

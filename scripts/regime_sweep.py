@@ -1,0 +1,148 @@
+"""Degenerate-regime parity sweeps — the rotating per-round gate runner.
+
+The empty and NULL-heavy regimes are permanent pytest gates
+(tests/test_empty_corpus.py / test_null_corpus.py). The remaining regimes
+ran clean in round 8 but lived only as SURVEY prose — this runner makes
+each reproducible in one command so they can't silently rot (VERDICT r08
+task 7: run ONE alternating regime per round, ~2 min each). Usage:
+
+    python scripts/regime_sweep.py --regime {all_dup,token_sparse,extreme_values} [sf_dir]
+
+Builds the transformed corpus from ``sf_dir`` (default sf0.001) into a
+temp dir, replays EVERY sql-gated registry query Spark-vs-DuckDB with the
+driver's comparison, prints one line per query, exits 1 on any mismatch.
+
+Regimes:
+- ``all_dup``: every document carries document 0's text (df = N, uniform
+  entropy, complete dup graphs — the Σ|block|² worst case in one block).
+- ``token_sparse``: CJK/emoji text whose only [a-z0-9] tokens are the
+  doc-id digits (tokenizers, shingles, and language heuristics starve).
+- ``extreme_values``: events.value swept across ±1e15 magnitudes, exact
+  negatives, zeros, and sub-epsilon values (sum/variance/quantile/outlier
+  plans meet catastrophic-cancellation-scale inputs; NEW in round 9).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _build_corpus(spark, sf_dir: str, out: str, regime: str) -> None:
+    from pyspark.sql import functions as F
+
+    from australian_company_etl_spark.sources.registry import (
+        TABLES,
+        load_tables,
+        table_path,
+    )
+
+    for t in TABLES:
+        df = load_tables(spark, sf_dir, [t])[t]
+        if t == "documents" and regime == "all_dup":
+            first = df.orderBy("doc_id").select("text", "lang", "source").limit(1)
+            df = (
+                df.crossJoin(F.broadcast(first).withColumnsRenamed(
+                    {"text": "__t", "lang": "__l", "source": "__s"}
+                ))
+                .withColumn("text", F.col("__t"))
+                .withColumn("lang", F.col("__l"))
+                .withColumn("source", F.col("__s"))
+                .withColumn("n_chars", F.length("text").cast("bigint"))
+                .drop("__t", "__l", "__s")
+            )
+        elif t == "documents" and regime == "token_sparse":
+            df = df.withColumn(
+                "text",
+                F.concat(
+                    F.lit("文書 \U0001f600\U0001f680 こんにちは "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" 世界の終わり \U0001f9ea"),
+                ),
+            ).withColumn("n_chars", F.length("text").cast("bigint"))
+        elif t == "events" and regime == "extreme_values":
+            # deterministic per-event extreme: cycle through +huge, -huge,
+            # 0, sub-epsilon, exact negative of the next event's value
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 5 == 0, F.lit(1.0e15))
+                .when(F.col("event_id") % 5 == 1, F.lit(-1.0e15))
+                .when(F.col("event_id") % 5 == 2, F.lit(0.0))
+                .when(F.col("event_id") % 5 == 3, F.lit(1.0e-15))
+                .otherwise(-F.col("value")),
+            )
+        df.coalesce(1).write.parquet(table_path(out, t))
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    regime = None
+    if args and args[0] == "--regime":
+        regime = args[1]
+        args = args[2:]
+    if regime not in ("all_dup", "token_sparse", "extreme_values"):
+        print(__doc__, file=sys.stderr)
+        return 2
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+
+    from australian_company_etl_spark.session import get_spark
+    from australian_company_etl_spark.plans import all_queries, all_oracles
+    from tests.oracle_compare import compare, duckdb_connect
+
+    spark = get_spark(app_name=f"aus-etl-regime-{regime}")
+    queries, oracles = all_queries(), all_oracles()
+
+    out = tempfile.mkdtemp(prefix=f"regime_{regime}_")
+    try:
+        _build_corpus(spark, sf_dir, out, regime)
+        con = duckdb_connect(out)
+        names = [n for n in queries if n in oracles]
+        failures = []
+        for i, name in enumerate(sorted(names), 1):
+            t0 = time.perf_counter()
+            try:
+                res = compare(queries[name](spark, out), con, oracles[name])
+            except Exception as exc:  # noqa: BLE001 — report and continue
+                # matched LOUD decline is parity: a query whose documented
+                # exactness envelope the regime exceeds must refuse in BOTH
+                # engines with its envelope marker (raise_error / error()),
+                # never silently NULL/wrap in one of them
+                if "envelope" in str(exc):
+                    spark_err = duck_err = ""
+                    try:
+                        queries[name](spark, out).collect()
+                    except Exception as se:  # noqa: BLE001
+                        spark_err = str(se)
+                    try:
+                        con.execute(oracles[name]).fetchall()
+                    except Exception as de:  # noqa: BLE001
+                        duck_err = str(de)
+                    if "envelope" in spark_err and "envelope" in duck_err:
+                        print(
+                            f"[{i}/{len(names)}] {name}: ok-declined "
+                            "(matched envelope refusal in both engines)",
+                            flush=True,
+                        )
+                        continue
+                print(f"[{i}/{len(names)}] {name}: ERROR {exc}", flush=True)
+                failures.append(name)
+                continue
+            dt = time.perf_counter() - t0
+            status = "ok" if res["ok"] else f"FAIL {res}"
+            print(f"[{i}/{len(names)}] {name}: {status} ({dt:.1f}s)", flush=True)
+            if not res["ok"]:
+                failures.append(name)
+        print(f"\nregime={regime}: {len(names) - len(failures)}/{len(names)} ok; failures: {failures}")
+        return 1 if failures else 0
+    finally:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
