@@ -67,20 +67,25 @@ def get_spark(
             ).lower(),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # opt-in ANSI mode (SPARK_GRAFT_ANSI=1): Spark 4 ships ANSI on by
-        # default upstream; the repo's overflow-envelope discipline (SURVEY
-        # §4) assumes every plan is ANSI-safe (no silent wraparound relied
-        # on, try_*/exact-decimal forms where overflow is possible). The
-        # round-9 sweep runs the whole registry Spark-vs-oracle with this
-        # on (scripts/verify_parity.py --ansi, tests opt in via the same
-        # env var) so that assumption is exercised end-to-end, not assumed.
+        # ANSI mode is PINNED ON by default — not merely inherited from the
+        # Spark 4 build default (which is also on: every gate since this
+        # repo moved to pyspark 4 has in fact run under ANSI). Round 9
+        # briefly shipped this knob defaulting OFF and the NULL-corpus gate
+        # caught seven text queries diverging within hours: with ANSI off,
+        # the legacy spark.sql.legacy.sizeOfNull behavior returns -1 for
+        # size(NULL) where ANSI (and the DuckDB oracle's len(NULL)) return
+        # NULL, so every size()-based vote/count silently mis-scored NULL
+        # documents. SPARK_GRAFT_ANSI=0 remains as an explicit opt-OUT for
+        # experiments; sizeOfNull is pinned false regardless, so the
+        # engine's NULL-array semantics no longer depend on the mode.
         .config(
             "spark.sql.ansi.enabled",
             str(
-                os.environ.get("SPARK_GRAFT_ANSI", "false").strip().lower()
-                in ("true", "1", "yes")
+                os.environ.get("SPARK_GRAFT_ANSI", "true").strip().lower()
+                not in ("false", "0", "no")
             ).lower(),
         )
+        .config("spark.sql.legacy.sizeOfNull", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

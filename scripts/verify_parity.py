@@ -8,10 +8,13 @@ prints one line per query. Usage:
     python scripts/verify_parity.py [--ansi] [sf_dir] [first_n | name name ...]
 
 Defaults: /root/testdata/sf0.01, all queries. Exit code 1 if any mismatch.
-``--ansi`` replays the same gate with spark.sql.ansi.enabled=true (the
-Spark-4-default posture the SURVEY §4 overflow work assumes) — it must be
-the FIRST argument and must run in a fresh process (the session config is
-fixed at JVM creation).
+ANSI is the session default (pinned on — see session.py); ``--no-ansi``
+replays the same gate with spark.sql.ansi.enabled=false, the legacy mode
+the engine does NOT target but must not silently diverge in (round 9:
+with sizeOfNull pinned, both modes are 151/151). ``--ansi`` is accepted
+as an explicit no-op for continuity with the round-9 sweep logs. Either
+flag must be FIRST and needs a fresh process (session config is fixed at
+JVM creation).
 """
 
 from __future__ import annotations
@@ -27,6 +30,9 @@ def main() -> int:
     argv = sys.argv[1:]
     if argv and argv[0] == "--ansi":
         os.environ["SPARK_GRAFT_ANSI"] = "1"
+        argv = argv[1:]
+    elif argv and argv[0] == "--no-ansi":
+        os.environ["SPARK_GRAFT_ANSI"] = "0"
         argv = argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     rest = argv[1:]

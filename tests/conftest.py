@@ -1,11 +1,13 @@
 """Session fixtures.
 
-Opt-in ANSI mode: `SPARK_GRAFT_ANSI=1 python -m pytest tests/` runs the
-whole suite with spark.sql.ansi.enabled=true (the Spark-4-upstream
-default posture; picked up by the session factory at JVM creation, so it
-must be set before the first fixture use). The round-9 full-registry
-oracle sweep under ANSI is 151/151 green (ansi_sweep_r9.log, via
-`python scripts/verify_parity.py --ansi`).
+ANSI mode is the session DEFAULT (pinned on in session.py — it always
+was the effective mode, being the pyspark-4 build default).
+`SPARK_GRAFT_ANSI=0 python -m pytest tests/` opts the whole suite into
+the legacy non-ANSI mode (must be set before the first fixture use; the
+config is fixed at JVM creation). Both modes hold full oracle parity:
+ansi_sweep_r9.log / noansi_sweep_r9.log, 151/151 each — the non-ANSI
+run depends on the pinned spark.sql.legacy.sizeOfNull=false (round 9
+found seven size(NULL)-scored queries diverging without it).
 """
 
 from __future__ import annotations
