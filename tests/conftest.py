@@ -31,3 +31,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def registry_dfs_small(spark):
+    """Every registry query's DataFrame built ONCE at the gate SF — shared
+    by the full-registry schema and plan sweeps (round-9 suite-time
+    ledger: the nested-columns and single-task-sort sweeps each rebuilt
+    all 155 plans, and plan construction is the dominant cost — the
+    iterative plans execute driver loops at build time). DataFrames are
+    immutable plans; sharing them across read-only sweeps is safe."""
+    import __spark_entry__ as entrymod
+
+    return {name: fn(spark, SF_DIR) for name, fn in entrymod.queries().items()}

@@ -125,12 +125,10 @@ def _nested_cols(schema):
     ]
 
 
-def test_no_registry_query_emits_nested_columns(spark):
-    import __spark_entry__ as entrymod
-
+def test_no_registry_query_emits_nested_columns(spark, registry_dfs_small):
     offenders = {}
-    for name, fn in entrymod.queries().items():
-        nested = _nested_cols(fn(spark, SF_DIR).schema)
+    for name, df in registry_dfs_small.items():
+        nested = _nested_cols(df.schema)
         if nested:
             offenders[name] = nested
     assert not offenders, (

@@ -591,14 +591,14 @@ def test_single_partition_walker_flags_raw_and_allows_aggregated():
     assert _single_partition_carries_raw_rows(cached_bounded) == []
 
 
-def test_no_registry_plan_single_task_sorts_raw_rows(spark, sf_dir):
+def test_no_registry_plan_single_task_sorts_raw_rows(spark, registry_dfs_small):
     """Registry-wide closure of the single-task-sort class (SURVEY §5's
     'last single-task global sorts were replaced' claim, made mechanical):
     NO query may plan an Exchange SinglePartition whose subtree reaches a
     leaf scan without a bounding Aggregate/WindowGroupLimit/Limit."""
     offenders = {}
-    for name in sorted(QUERIES):
-        plan = _executed_plan(QUERIES[name](spark, sf_dir))
+    for name in sorted(registry_dfs_small):
+        plan = _executed_plan(registry_dfs_small[name])
         bad = _single_partition_carries_raw_rows(plan)
         if bad:
             offenders[name] = bad
