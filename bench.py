@@ -65,6 +65,21 @@ def main() -> None:
 
     burn_sec = cpu_burn(spark)
 
+    # data-free host yardstick (SURVEY §6, round 9): the fixed sha2-64M
+    # all-core job whose converged floor tracks the HOST's CPU-dense
+    # throughput independent of any plan or parquet layout. Round 9
+    # measured the same host swinging 0.55-0.65s → 0.79-0.91s → back
+    # within one day (virtualized neighbors) — which fully explained the
+    # round-8 "q3 drift". Three timed passes after the burn; compare
+    # calibration floors BEFORE comparing any query seconds across runs.
+    calib = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 64_000_000, 1, 32).selectExpr(
+            "count(sha2(cast(id as string), 256)) as n"
+        ).collect()
+        calib.append(round(time.perf_counter() - t0, 3))
+
     # JVM/codegen warmup outside the timed region, two tiers:
     # (1) every headliner once at the smallest SF (plan compilation +
     #     codegen for all 12 plans);
@@ -124,6 +139,8 @@ def main() -> None:
         # compile contention with the 32 executor threads.
         "context": {
             "burn_sec": burn_sec,
+            "calib_sha2_64m": calib,
+            "calib_note": "fixed data-free all-core job; floor ~0.55-0.91s depending on host neighbors — normalize cross-run query comparisons by this before claiming a regression",
             "warmup_tiers": [
                 "all-core sha2 burn before any timed region",
                 "every headliner once at sf0.001 (plan + codegen compile)",

@@ -6,7 +6,7 @@ ran clean in round 8 but lived only as SURVEY prose — this runner makes
 each reproducible in one command so they can't silently rot (VERDICT r08
 task 7: run ONE alternating regime per round, ~2 min each). Usage:
 
-    python scripts/regime_sweep.py --regime {all_dup,token_sparse,extreme_values} [sf_dir]
+    python scripts/regime_sweep.py --regime {all_dup,token_sparse,extreme_values,single_row} [sf_dir]
 
 Builds the transformed corpus from ``sf_dir`` (default sf0.001) into a
 temp dir, replays EVERY sql-gated registry query Spark-vs-DuckDB with the
@@ -20,6 +20,9 @@ Regimes:
 - ``extreme_values``: events.value swept across ±1e15 magnitudes, exact
   negatives, zeros, and sub-epsilon values (sum/variance/quantile/outlier
   plans meet catastrophic-cancellation-scale inputs; NEW in round 9).
+- ``single_row``: exactly ONE row per table (the boundary between the
+  permanent empty gate and the normal corpus: 1-row medians/stddevs/
+  windows/ntiles, self-joins with no second row, lag()=NULL everywhere).
 """
 
 from __future__ import annotations
@@ -43,7 +46,12 @@ def _build_corpus(spark, sf_dir: str, out: str, regime: str) -> None:
 
     for t in TABLES:
         df = load_tables(spark, sf_dir, [t])[t]
-        if t == "documents" and regime == "all_dup":
+        if regime == "single_row":
+            # deterministic pick: the minimum-key row of each table (orderBy
+            # all columns would be ambiguous on ties; every table has a key
+            # as its first column in the synthetic corpus)
+            df = df.orderBy(df.columns[0]).limit(1)
+        elif t == "documents" and regime == "all_dup":
             first = df.orderBy("doc_id").select("text", "lang", "source").limit(1)
             df = (
                 df.crossJoin(F.broadcast(first).withColumnsRenamed(
@@ -84,7 +92,7 @@ def main() -> int:
     if args and args[0] == "--regime":
         regime = args[1]
         args = args[2:]
-    if regime not in ("all_dup", "token_sparse", "extreme_values"):
+    if regime not in ("all_dup", "token_sparse", "extreme_values", "single_row"):
         print(__doc__, file=sys.stderr)
         return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
