@@ -531,7 +531,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q17_SQL = f"""
-SELECT round((sum({_cents_sql("l_extendedprice")}))::DOUBLE / 700.0, 2) AS avg_yearly
+SELECT round((sum({_cents_sql("l_extendedprice")})::BIGINT)::DOUBLE / 700.0, 2) AS avg_yearly
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND p_brand = '{Q17_BRAND}' AND p_size = {Q17_SIZE}
   AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
@@ -751,7 +751,7 @@ WITH cand AS (
 SELECT cc, count(*) AS numcust,
        {_money_sql(f"sum({_cents_sql('c_acctbal')})", 2)} AS totacctbal
 FROM cand
-WHERE c_acctbal > (SELECT (sum({_cents_sql('c_acctbal')}))::DOUBLE / (count(*) * 100)
+WHERE c_acctbal > (SELECT (sum({_cents_sql('c_acctbal')})::BIGINT)::DOUBLE / (count(*) * 100)
                    FROM cand WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY cc
