@@ -6,7 +6,7 @@ ran clean in round 8 but lived only as SURVEY prose — this runner makes
 each reproducible in one command so they can't silently rot (VERDICT r08
 task 7: run ONE alternating regime per round, ~2 min each). Usage:
 
-    python scripts/regime_sweep.py --regime {all_dup,token_sparse,extreme_values,single_row} [sf_dir]
+    python scripts/regime_sweep.py --regime {all_dup,token_sparse,extreme_values,single_row,same_timestamp} [sf_dir]
 
 Builds the transformed corpus from ``sf_dir`` (default sf0.001) into a
 temp dir, replays EVERY sql-gated registry query Spark-vs-DuckDB with the
@@ -23,6 +23,10 @@ Regimes:
 - ``single_row``: exactly ONE row per table (the boundary between the
   permanent empty gate and the normal corpus: 1-row medians/stddevs/
   windows/ntiles, self-joins with no second row, lag()=NULL everywhere).
+- ``same_timestamp``: every event carries the SAME ts (total tie on event
+  time: zero-length sessions, one tumbling window holding everything,
+  every lag gap 0, freshness lag 0, rolling windows fully overlapping,
+  watermark math degenerate).
 """
 
 from __future__ import annotations
@@ -36,6 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _build_corpus(spark, sf_dir: str, out: str, regime: str) -> None:
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from australian_company_etl_spark.sources.registry import (
@@ -72,6 +77,10 @@ def _build_corpus(spark, sf_dir: str, out: str, regime: str) -> None:
                     F.lit(" 世界の終わり \U0001f9ea"),
                 ),
             ).withColumn("n_chars", F.length("text").cast("bigint"))
+        elif t == "events" and regime == "same_timestamp":
+            # pin every event to the corpus minimum ts (a real value both
+            # engines already parse identically from the parquet bytes)
+            df = df.withColumn("ts", F.min("ts").over(Window.partitionBy()))
         elif t == "events" and regime == "extreme_values":
             # deterministic per-event extreme: cycle through +huge, -huge,
             # 0, sub-epsilon, exact negative of the next event's value
@@ -92,7 +101,13 @@ def main() -> int:
     if args and args[0] == "--regime":
         regime = args[1]
         args = args[2:]
-    if regime not in ("all_dup", "token_sparse", "extreme_values", "single_row"):
+    if regime not in (
+        "all_dup",
+        "token_sparse",
+        "extreme_values",
+        "single_row",
+        "same_timestamp",
+    ):
         print(__doc__, file=sys.stderr)
         return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
