@@ -6,7 +6,7 @@ ran clean in round 8 but lived only as SURVEY prose — this runner makes
 each reproducible in one command so they can't silently rot (VERDICT r08
 task 7: run ONE alternating regime per round, ~2 min each). Usage:
 
-    python scripts/regime_sweep.py --regime {all_dup,token_sparse,extreme_values,single_row,same_timestamp} [sf_dir]
+    python scripts/regime_sweep.py --regime {all_dup,token_sparse,extreme_values,single_row,same_timestamp,single_user} [sf_dir]
 
 Builds the transformed corpus from ``sf_dir`` (default sf0.001) into a
 temp dir, replays EVERY sql-gated registry query Spark-vs-DuckDB with the
@@ -27,6 +27,9 @@ Regimes:
   time: zero-length sessions, one tumbling window holding everything,
   every lag gap 0, freshness lag 0, rolling windows fully overlapping,
   watermark math degenerate).
+- ``single_user``: every event belongs to ONE user_id (total key skew:
+  every per-user window/sessionization/funnel/retention group is the
+  whole stream; the skew-safe plans' worst case in one key).
 """
 
 from __future__ import annotations
@@ -77,6 +80,8 @@ def _build_corpus(spark, sf_dir: str, out: str, regime: str) -> None:
                     F.lit(" 世界の終わり \U0001f9ea"),
                 ),
             ).withColumn("n_chars", F.length("text").cast("bigint"))
+        elif t == "events" and regime == "single_user":
+            df = df.withColumn("user_id", F.lit(7).cast("bigint"))
         elif t == "events" and regime == "same_timestamp":
             # pin every event to the corpus minimum ts (a real value both
             # engines already parse identically from the parquet bytes)
@@ -107,6 +112,7 @@ def main() -> int:
         "extreme_values",
         "single_row",
         "same_timestamp",
+        "single_user",
     ):
         print(__doc__, file=sys.stderr)
         return 2
