@@ -170,6 +170,25 @@ def test_money_rounds_ties_identically_across_engines(spark):
         f"SELECT {money_sql('123455000', 6)}"
     ).fetchone()[0] == 123.46
 
+    # past-2^53 cent sums (round-9 extreme-value regime, the measured
+    # case): -200000000000002672 cents is an EXACT TIE between adjacent
+    # doubles (ulp 32 there). Spark's Decimal→double rounds half-even;
+    # DuckDB's raw HUGEINT→DOUBLE went to the truncated neighbor — a
+    # 0.5-dollar cross-engine flip — until money_sql routed the sum
+    # through BIGINT, whose →DOUBLE conversion is correctly rounded.
+    big_cases = [-200000000000002672, 200000000000002672, 9007199254740993]
+    big = spark.createDataFrame([(v,) for v in big_cases], "v long").select(
+        money(F.col("v").cast("decimal(38,0)"), 2).alias("m")
+    )
+    got_big = [r["m"] for r in big.collect()]
+    want_big = [
+        # force the HUGEINT path DuckDB's sum() would produce
+        con.execute(f"SELECT {money_sql(f'{v}::HUGEINT', 2)}").fetchone()[0]
+        for v in big_cases
+    ]
+    assert got_big == want_big
+    assert got_big[0] == -2000000000000027.0  # the correctly-rounded side
+
 
 def test_money_handles_scale_below_ndp(spark):
     """money(col, scale=0) — whole-currency-unit sums — must divide by
