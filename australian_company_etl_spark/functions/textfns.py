@@ -157,9 +157,16 @@ def token_sort_str_spark(col: Column) -> Column:
 
 
 def token_sort_str_sql(expr: str) -> str:
+    # NULL-preserving empty-list guard: DuckDB array_to_string([]) is NULL
+    # where Spark array_join([]) is '' — on a token-less NAME the scorer
+    # chain went NULL-silent in the oracle only (round-9 hostile-names
+    # regime finding). A NULL input must STAY NULL (the NULL-corpus
+    # contract; Spark's split/filter/array_join all propagate it), so the
+    # '' only applies when the input itself is non-NULL.
     return (
-        f"array_to_string(list_sort(list_filter("
-        f"string_split({expr}, ' '), x -> x <> '')), ' ')"
+        f"(CASE WHEN {expr} IS NULL THEN NULL ELSE "
+        f"coalesce(array_to_string(list_sort(list_filter("
+        f"string_split({expr}, ' '), x -> x <> '')), ' '), '') END)"
     )
 
 
@@ -191,9 +198,22 @@ def token_set_strings_sql(ta: str, tb: str) -> tuple[str, str, str]:
     inter = f"list_sort(list_intersect({ta}, {tb}))"
     d_ab = f"list_sort(list_filter({ta}, x -> NOT list_contains({tb}, x)))"
     d_ba = f"list_sort(list_filter({tb}, x -> NOT list_contains({ta}, x)))"
-    t0 = f"array_to_string({inter}, ' ')"
-    t1 = f"array_to_string(list_concat({inter}, {d_ab}), ' ')"
-    t2 = f"array_to_string(list_concat({inter}, {d_ba}), ' ')"
+    # NULL-preserving empty-list guard (round-9 hostile-names finding):
+    # DuckDB array_to_string([]) is NULL (Spark: '') — an empty intersection
+    # is routine, and with an empty-token name on one side all three strings
+    # went NULL, silently NULLing the token_set score in the oracle only.
+    # A NULL ARRAY input (NULL name) must stay NULL, matching Spark's
+    # array_intersect/array_join propagation (the NULL-corpus contract).
+    null_in = f"({ta} IS NULL OR {tb} IS NULL)"
+    t0 = f"(CASE WHEN {null_in} THEN NULL ELSE coalesce(array_to_string({inter}, ' '), '') END)"
+    t1 = (
+        f"(CASE WHEN {null_in} THEN NULL ELSE "
+        f"coalesce(array_to_string(list_concat({inter}, {d_ab}), ' '), '') END)"
+    )
+    t2 = (
+        f"(CASE WHEN {null_in} THEN NULL ELSE "
+        f"coalesce(array_to_string(list_concat({inter}, {d_ba}), ' '), '') END)"
+    )
     return t0, t1, t2
 
 

@@ -26,18 +26,25 @@ from pyspark.sql import DataFrame, SparkSession
 # rolling_window_24h (oracle integer-sum→BIGINT→DOUBLE cast — DuckDB's
 # HUGEINT→DOUBLE is not correctly rounded past 2^53; that oracle-cast fix
 # also touches every money_sql/sum-cents oracle, all replayed green at
-# sf0.01 in parity_r9_sf001_wave1.log and again at the replicated sf1).
-# Then every row whose latest driver check is still ROUND 5 (27), then
+# sf0.01 in parity_r9_sf001_wave1.log and again at the replicated sf1) —
+# PLUS the seven hostile-names regime fixes (the oracle-side
+# array_to_string([])-is-NULL class in the shared token scorers, the
+# fingerprint norm, and the from_xml whitespace trim): extract_xml_fields,
+# text_fingerprint, match_fuzzy_levenshtein, match_multi_scorer,
+# match_blocked_fuzzy, unify_entities, etl_dag_end_to_end.
+# Then every row whose latest driver check is still ROUND 5 (26), then
 # the oldest round-6 rows (alphabetical within equal age) to fill 50.
-# Rolls to round 10: the remaining r6 rows (events_resample_ffill,
-# events_retention_cohorts, events_scd2_history,
+# Rolls to round 10: the remaining r6 rows (dedup_url_canonical,
+# embed_random_projection, events_anomaly_mad, events_distinct_skewsafe,
+# events_freshness, events_gap_stats, events_markov_transitions,
+# events_resample_ffill, events_retention_cohorts, events_scd2_history,
 # events_session_window_native, events_sessionize, events_tumbling_agg,
 # events_zorder_key, graph_triangle_count, incremental_rollup_merge,
 # mm_binary_meta, pivot_user_event_matrix, set_ops_customer_segments,
 # shard_shuffle_deterministic, sketch_hll_distinct, text_entropy,
 # text_repetition_ratio). The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- plan/operator changed this round (8) ------------------------------
+    # ---- plan/operator changed this round (15) -----------------------------
     "mix_curriculum_stages",
     "window_value_deciles",
     "orders_rfm_segments",
@@ -46,6 +53,14 @@ _VERIFY_FIRST = [
     "quality_conf_distribution",
     "grouping_sets_report",
     "rolling_window_24h",
+    # hostile-names regime fixes (oracle-side):
+    "extract_xml_fields",
+    "text_fingerprint",
+    "match_fuzzy_levenshtein",
+    "match_multi_scorer",
+    "match_blocked_fuzzy",
+    "unify_entities",
+    "etl_dag_end_to_end",
     # ---- latest driver row = round 5 (27) ----------------------------------
     "ann_lsh_topk",
     "asof_join_last_error",
@@ -83,13 +98,6 @@ _VERIFY_FIRST = [
     "dedup_setsim_prefix",
     "dedup_simhash",
     "dedup_substring_spans",
-    "dedup_url_canonical",
-    "embed_random_projection",
-    "events_anomaly_mad",
-    "events_distinct_skewsafe",
-    "events_freshness",
-    "events_gap_stats",
-    "events_markov_transitions",
 ]
 
 

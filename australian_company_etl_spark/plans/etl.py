@@ -145,8 +145,12 @@ def extract_xml_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRACT_XML_SQL = """
 SELECT CAST(regexp_extract(x, '<abn>([0-9]+)</abn>', 1) AS BIGINT) AS abn,
-       regexp_extract(x, '<name>(.*)</name>', 1) AS name,
-       regexp_extract(x, '<segment>(.*)</segment>', 1) AS segment
+       -- trim: Spark's from_xml strips surrounding whitespace from element
+       -- text (ignoreSurroundingSpaces defaults true), so a '   ' name
+       -- parses as '' — the raw regexp capture kept the spaces and diverged
+       -- (round-9 hostile-names regime finding)
+       trim(regexp_extract(x, '<name>(.*)</name>', 1)) AS name,
+       trim(regexp_extract(x, '<segment>(.*)</segment>', 1)) AS segment
 FROM (
   SELECT '<abr><abn>' || c_custkey || '</abn><name>' || c_name
          || '</name><segment>' || c_mktsegment || '</segment></abr>' AS x

@@ -193,7 +193,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FINGERPRINT_SQL = f"""
 WITH n AS (
-  SELECT doc_id, array_to_string({tokens_all_sql('text')}, ' ') AS norm
+  -- CASE+coalesce: NULL text must stay NULL (the r8 NULL-corpus contract)
+  -- but a non-NULL TOKEN-FREE text must normalize to '' like Spark's
+  -- concat_ws — DuckDB's array_to_string([]) alone returns NULL, silently
+  -- NULL-fingerprinting alnum-free docs (round-9 hostile-regime class)
+  SELECT doc_id, CASE WHEN text IS NOT NULL
+                      THEN coalesce(array_to_string({tokens_all_sql('text')}, ' '), '')
+                 END AS norm
   FROM documents
 ), s AS (
   SELECT doc_id, norm, {shingles_sql(tokens_all_sql('norm'), 3)} AS sh FROM n

@@ -6,7 +6,7 @@ ran clean in round 8 but lived only as SURVEY prose — this runner makes
 each reproducible in one command so they can't silently rot (VERDICT r08
 task 7: run ONE alternating regime per round, ~2 min each). Usage:
 
-    python scripts/regime_sweep.py --regime {all_dup,token_sparse,extreme_values,single_row,same_timestamp,single_user} [sf_dir]
+    python scripts/regime_sweep.py --regime {all_dup,token_sparse,extreme_values,single_row,same_timestamp,single_user,hostile_names} [sf_dir]
 
 Builds the transformed corpus from ``sf_dir`` (default sf0.001) into a
 temp dir, replays EVERY sql-gated registry query Spark-vs-DuckDB with the
@@ -30,6 +30,14 @@ Regimes:
 - ``single_user``: every event belongs to ONE user_id (total key skew:
   every per-user window/sessionization/funnel/retention group is the
   whole stream; the skew-safe plans' worst case in one key).
+- ``hostile_names``: the three name columns cycle adversarial content by
+  key — empty string, whitespace-only, one char, regex metacharacters,
+  quotes/escapes, BMP unicode (umlauts + CJK), a 1000-char name — the
+  normalization / levenshtein / jaccard / phonetic / trigram surface fed
+  garbage-in. (Non-BMP emoji deliberately EXCLUDED from names: Spark
+  measures string lengths in UTF-16 code units where DuckDB counts
+  codepoints, a cross-engine semantic difference outside the engine's
+  name-domain contract.)
 """
 
 from __future__ import annotations
@@ -54,7 +62,26 @@ def _build_corpus(spark, sf_dir: str, out: str, regime: str) -> None:
 
     for t in TABLES:
         df = load_tables(spark, sf_dir, [t])[t]
-        if regime == "single_row":
+        if regime == "hostile_names" and t in ("customer", "supplier", "part"):
+            col, key = {
+                "customer": ("c_name", "c_custkey"),
+                "supplier": ("s_name", "s_suppkey"),
+                "part": ("p_name", "p_partkey"),
+            }[t]
+            hostile = [
+                "",
+                "   ",
+                "x",
+                "a.*b(c|d)[e]+^$",
+                "O'Brien \"Pty\\\" Ltd",
+                "Müller GmbH 株式会社",
+                "z" * 1000,
+            ]
+            expr = F.col(col)  # key%8 == 7 keeps the original name
+            for i, h in enumerate(hostile):
+                expr = F.when(F.col(key) % 8 == i, F.lit(h)).otherwise(expr)
+            df = df.withColumn(col, expr)
+        elif regime == "single_row":
             # deterministic pick: the minimum-key row of each table (orderBy
             # all columns would be ambiguous on ties; every table has a key
             # as its first column in the synthetic corpus)
@@ -113,6 +140,7 @@ def main() -> int:
         "single_row",
         "same_timestamp",
         "single_user",
+        "hostile_names",
     ):
         print(__doc__, file=sys.stderr)
         return 2
