@@ -26,6 +26,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 D38 = "decimal(38,0)"
+BIGINT_MAX = 9223372036854775807
 
 
 def cents(col: Column | str) -> Column:
@@ -59,8 +60,24 @@ def money(sum_col: Column, scale: int, ndp: int = 2) -> Column:
         sum_col = F.when(sum_col < 0, -mag).otherwise(mag)
         scale = ndp  # the reduced integer is now in 10^-ndp units
     # scale <= ndp: the value has at most `scale` decimals, exactly — no
-    # tie exists and the single division is the full answer
-    return F.round(sum_col.cast("double") / F.lit(float(10**scale)), ndp)
+    # tie exists and the single division is the full answer.
+    # Matched BIGINT envelope guard (ADVICE r09): money_sql routes the
+    # reduced integer through ::BIGINT, whose →DOUBLE cast is correctly
+    # rounded — past 9.2e18 integer units DuckDB would raise a raw
+    # ConversionException while an unguarded Spark Decimal→double would
+    # silently keep returning values. Both engines now refuse with the
+    # 'envelope' marker, like every other exactness envelope in the tree.
+    over = F.abs(sum_col.cast(D38)) > F.lit(BIGINT_MAX).cast(D38)
+    return F.when(
+        over,
+        F.raise_error(
+            F.lit(
+                "money: exact-integer envelope exceeded (|sum| > 9.2e18 "
+                "integer units, past BIGINT's correctly-rounded →DOUBLE "
+                "range) — rescale the unit before summing"
+            )
+        ).cast("double"),
+    ).otherwise(F.round(sum_col.cast("double") / F.lit(float(10**scale)), ndp))
 
 
 def money_sql(sum_expr: str, scale: int, ndp: int = 2) -> str:
@@ -81,7 +98,16 @@ def money_sql(sum_expr: str, scale: int, ndp: int = 2) -> str:
         scale = ndp
     else:
         red = f"({sum_expr})"
-    return f"round(({red}::BIGINT)::DOUBLE / {float(10 ** scale)}, {ndp})"
+    # matched 'envelope' refusal past BIGINT, mirroring money() above — a
+    # raw ::BIGINT ConversionException would read as an unmatched failure
+    # in the regime sweeps instead of an ok-declined parity
+    return (
+        f"(CASE WHEN abs({red}) > {BIGINT_MAX}::HUGEINT "
+        f"THEN error('money: exact-integer envelope exceeded (|sum| > 9.2e18 "
+        f"integer units, past BIGINT''s correctly-rounded ->DOUBLE range) - "
+        f"rescale the unit before summing')::DOUBLE "
+        f"ELSE round(({red}::BIGINT)::DOUBLE / {float(10 ** scale)}, {ndp}) END)"
+    )
 
 
 def sum_cents(col: Column | str) -> Column:

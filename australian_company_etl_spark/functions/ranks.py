@@ -114,13 +114,20 @@ def segmented_rank(
             "rank and counts branches (is spark.sql.exchange.reuse off?)"
         )
     )
-    return (
-        part.join(F.broadcast(offs), cond, "left")
-        .withColumn(
-            rank_name,
-            F.row_number().over(w_in) + F.coalesce(F.col("__off"), missing.cast("bigint")),
+    out = part.join(F.broadcast(offs), cond, "left").withColumn(
+        rank_name,
+        F.row_number().over(w_in) + F.coalesce(F.col("__off"), missing.cast("bigint")),
+    )
+    if count_name is not None:
+        # same loud guard on the counts output (ADVICE r09): a consumer that
+        # reads only count_name — or a plan where column pruning drops the
+        # rank column — must hit the raise_error on a missed offset too, not
+        # a silent NULL segment size.
+        out = out.withColumn(
+            count_name, F.coalesce(F.col(count_name), missing.cast("bigint"))
         )
-        .drop("__pid", "__off", "__opid", *[f"__oseg_{i}" for i in range(len(seg_cols))])
+    return out.drop(
+        "__pid", "__off", "__opid", *[f"__oseg_{i}" for i in range(len(seg_cols))]
     )
 
 

@@ -35,7 +35,7 @@ from australian_company_etl_spark.operators.matching import (
     best_fuzzy_match,
     blocked_fuzzy_pairs,
 )
-from australian_company_etl_spark.functions.exactmath import sum_cents
+from australian_company_etl_spark.functions.exactmath import sum_cents, sum_cents_sql
 from australian_company_etl_spark.functions.partitioning import spread_if_narrow
 from australian_company_etl_spark.sources.registry import load_tables
 
@@ -120,9 +120,9 @@ def match_exact_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MATCH_EXACT_SQL = """
+MATCH_EXACT_SQL = f"""
 SELECT c_custkey, c_name, count(*) AS n_orders,
-       round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS total_spend
+       {sum_cents_sql('o_totalprice')} AS total_spend
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 """

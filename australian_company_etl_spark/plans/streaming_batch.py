@@ -42,11 +42,11 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TUMBLING_SQL = """
+TUMBLING_SQL = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
+       {sum_cents_sql('value')} AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -91,7 +91,7 @@ SELECT user_id, session_id,
        min(us) AS session_start_us,
        max(us) AS session_end_us,
        count(*) AS n_events,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
+       {sum_cents_sql('value')} AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 """
@@ -144,7 +144,7 @@ SELECT user_id,
        min(us) AS session_start_us,
        max(us) + {SESSION_GAP_US} AS session_end_us,
        count(*) AS n_events,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
+       {sum_cents_sql('value')} AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 """
@@ -379,6 +379,36 @@ GROUP BY 1, 2
 
 # ── J10: exact z-score outlier flags ────────────────────────────────────────
 
+# Per-row exactness envelope shared by the J10/J16 exact-moments plans
+# (ADVICE r09): |value| ≤ $3e9 ⇔ |v_centi| ≤ 3e11 keeps Σv² within
+# DECIMAL(38,0)/HUGEINT at up to 1e15 rows per group (3e11² × 1e15 ≈ 9e37
+# < 1e38). Guarding the DOUBLE before the floor/cast means neither engine
+# can reach a raw (unmatched) int-overflow error first.
+_CENTI_ENV_ABS = 3.0e9
+
+
+def _centi_guarded(query: str):
+    return F.when(
+        F.abs(F.col("value")) > F.lit(_CENTI_ENV_ABS),
+        F.raise_error(
+            F.lit(
+                f"{query}: exact-moments envelope exceeded (|value| > 3e9 "
+                "would overflow the exact sum-of-squares accumulator) — "
+                "rescale the value unit before the exact moments"
+            )
+        ).cast("bigint"),
+    ).otherwise(F.expr("cast(floor(value * 100) as bigint)"))
+
+
+def _centi_guarded_sql(query: str) -> str:
+    return (
+        f"CASE WHEN abs(value) > 3e9 THEN error('{query}: exact-moments "
+        f"envelope exceeded (|value| > 3e9 would overflow the exact "
+        f"sum-of-squares accumulator) - rescale the value unit before the "
+        f"exact moments')::BIGINT "
+        f"ELSE CAST(floor(value * 100) AS BIGINT) END"
+    )
+
 
 def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10 — per-event |z| > 3 outlier flag against the event_type's own
@@ -401,7 +431,12 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitudes that is ~1e12 rows per type — the prior documented bound —
     while 1000× the fact rows of a 100 TB corpus stay in range). Outside
     it BOTH engines raise a matched 'exact-moments envelope' error —
-    never a silent NULL/wrapped flag.
+    never a silent NULL/wrapped flag. A second, PER-ROW guard refuses
+    |value| > $3e9 before the aggregation (ADVICE r09): past that, the
+    Σv² accumulator itself can exceed DECIMAL(38,0)/HUGEINT (1e15 rows ×
+    (3e11 centi)² ≈ 9e37 is the cap) and would fail with UNMATCHED raw
+    overflow errors before the post-aggregate guard ever evaluates —
+    both engines now decline loudly, with the marker, at the scan.
 
     Scale: one map-side-combined aggregate per event_type (5 rows) +
     a broadcast join back — a single pass over the fact table, no window,
@@ -410,7 +445,7 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = ev.select(
         "event_id",
         "event_type",
-        F.expr("cast(floor(value * 100) as bigint)").alias("v_centi"),
+        _centi_guarded("events_value_outliers").alias("v_centi"),
     )
     d38 = "decimal(38,0)"
     vd = F.col("v_centi").cast(d38)
@@ -444,9 +479,9 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-OUTLIERS_SQL = """
+OUTLIERS_SQL = f"""
 WITH rows_ AS (
-  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS v_centi FROM events
+  SELECT event_id, event_type, {_centi_guarded_sql("events_value_outliers")} AS v_centi FROM events
 ), stats AS (
   SELECT event_type,
          count(*)::HUGEINT AS n,
@@ -540,14 +575,16 @@ def events_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "event_type",
         F.hour("ts").cast("bigint").alias("x"),
-        F.expr("cast(floor(value * 100) as bigint)").alias("y"),
+        _centi_guarded("events_corr_value_hour").alias("y"),
     )
     # per-row squares promoted BEFORE the multiply (round-9 extreme-value
     # sweep: y*y in BIGINT silently wraps past |y| ≈ 3e9 in non-ANSI
-    # Spark and hard-errors in the oracle), and the same loud
+    # Spark and hard-errors in the oracle), the same loud
     # n ≤ 1e15 / n·max|y| ≤ 1e18 envelope guard as the J10 z-test —
     # every downstream moment product then stays ≤ ~2e37, exact in both
-    # engines (x ≤ 23 is bounded by construction, so y dominates)
+    # engines (x ≤ 23 is bounded by construction, so y dominates) — and
+    # the shared per-row |value| ≤ 3e9 scan guard (ADVICE r09) so the Σy²
+    # accumulator itself can't overflow ahead of the post-agg guard
     yd = F.col("y").cast(d38)
     xd = F.col("x").cast(d38)
     agg = base.groupBy("event_type").agg(
@@ -586,11 +623,11 @@ def events_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CORR_SQL = """
+CORR_SQL = f"""
 WITH base AS (
   SELECT event_type,
          hour(ts)::BIGINT AS x,
-         CAST(floor(value * 100) AS BIGINT) AS y
+         {_centi_guarded_sql("events_corr_value_hour")} AS y
   FROM events
 ),
 agg AS (
@@ -856,7 +893,7 @@ WITH touched AS (
 )
 SELECT coalesce(touch, 'direct') AS touchpoint,
        count(*) AS n_conversions,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
+       {sum_cents_sql('value')} AS sum_value
 FROM touched
 WHERE event_type = '{ATTR_CONVERSION}'
 GROUP BY 1

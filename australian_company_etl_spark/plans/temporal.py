@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 from australian_company_etl_spark.functions.exactmath import (
     D38,
     cents,
+    cents_sql,
     money,
+    money_sql,
     sum_cents,
     sum_cents_sql,
 )
@@ -181,12 +183,12 @@ def rollup_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ROLLUP_SQL = """
+ROLLUP_SQL = f"""
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        hour(ts) AS hour,
        GROUPING(strftime(ts, '%Y-%m-%d'), hour(ts)) AS gid,
        count(*) AS n_events,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
+       {sum_cents_sql('value')} AS sum_value
 FROM events
 GROUP BY ROLLUP(1, 2)
 """
@@ -211,12 +213,16 @@ def cube_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CUBE_SQL = """
+# money sums composed from the guarded exactmath helpers (ADVICE r09):
+# the hand-inlined ::BIGINT casts predated money_sql's matched 'envelope'
+# refusal, so past-BIGINT sums raised a raw unmatched ConversionException
+# in the oracle — caught by the round-10 cancelling-pairs extreme sweep.
+CUBE_SQL = f"""
 SELECT o_orderpriority AS priority,
        year(o_orderdate) AS order_year,
        GROUPING(o_orderpriority, year(o_orderdate)) AS gid,
        count(*) AS n_orders,
-       round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS revenue
+       {sum_cents_sql('o_totalprice')} AS revenue
 FROM orders
 GROUP BY CUBE(1, 2)
 """
@@ -245,11 +251,11 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GROUPING_SETS_SQL = """
+GROUPING_SETS_SQL = f"""
 SELECT event_type, ts::DATE AS day,
        GROUPING(event_type, ts::DATE) AS gid,
        count(*) AS n_events,
-       round((sum(CAST(round((value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
+       {sum_cents_sql('value')} AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (event_type, ts::DATE), ())
 """
@@ -357,10 +363,10 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SKEW_SALTED_SQL = """
+SKEW_SALTED_SQL = f"""
 SELECT e.user_id, c.c_name, c.c_mktsegment,
        count(*) AS n_events,
-       round((sum(CAST(round((e.value) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS sum_value
+       {sum_cents_sql('e.value')} AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2, 3
 """
@@ -400,7 +406,7 @@ def rolling_window_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_SQL = f"""
 SELECT event_id, user_id, us,
        count(*) OVER w AS n_24h,
-       round((sum(CAST(round((value) * 100) AS BIGINT)) OVER w)::BIGINT::DOUBLE / 100.0, 2) AS sum_24h
+       {money_sql(f"sum({cents_sql('value')}) OVER w", 2)} AS sum_24h
 FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY us
              RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)

@@ -607,12 +607,12 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RFM_SQL = """
+RFM_SQL = f"""
 WITH per_cust AS (
   SELECT o_custkey,
          max(o_orderdate::DATE) AS last_order,
          count(*) AS frequency,
-         round((sum(CAST(round((o_totalprice) * 100) AS BIGINT)))::BIGINT::DOUBLE / 100.0, 2) AS monetary
+         {sum_cents_sql('o_totalprice')} AS monetary
   FROM orders GROUP BY o_custkey
 ),
 hwm AS (SELECT max(o_orderdate::DATE) AS hwm FROM orders),

@@ -324,6 +324,15 @@ def export_webdataset(
             "members that loaders silently merge"
         )
     os.makedirs(path, exist_ok=True)
+    # Invalidate the manifest FIRST (absent-on-crash discipline, VERDICT
+    # r09): the manifest is the loader's read gate, published last and
+    # atomically below — removing it before any shard bytes change means
+    # every crash state of this writer leaves NO manifest, so
+    # iter_webdataset refuses loudly instead of streaming torn/stale
+    # shards against a stale shard list.
+    mpath = os.path.join(path, "_WDS_MANIFEST.json")
+    if os.path.exists(mpath):
+        os.remove(mpath)
     for stale in glob.glob(os.path.join(path, "shard-*.tar")):
         os.remove(stale)  # a smaller n_shards must not leave orphan shards
     exts = sorted(members)
@@ -382,19 +391,52 @@ def export_webdataset(
         "members": exts,
         "per_shard": {f"shard-{int(sid):05d}.tar": int(n) for sid, n in pairs},
     }
-    _dump_json_atomic(os.path.join(path, "_WDS_MANIFEST.json"), manifest)
+    _dump_json_atomic(mpath, manifest)
     return manifest
 
 
 def iter_webdataset(path: str):
     """Stream samples back from a tar-shard directory: yields
     ``(key, {ext: bytes, "_shard_file": name})`` in shard/member order —
-    the loader-side contract, and the read-back verifier the tests use."""
+    the loader-side contract, and the read-back verifier the tests use.
+
+    Manifest-gated (VERDICT r09): the writer publishes ``_WDS_MANIFEST.json``
+    last and atomically, and removes it before touching any shard bytes, so
+    a missing manifest means a crashed or in-progress export — the loader
+    REFUSES rather than yielding torn samples. The on-disk shard set must
+    match the manifest exactly (a half-cleaned dir with stale extra shards,
+    or one with shards missing, is a loud error), and each shard's streamed
+    sample count is checked against the manifest's per-shard count at shard
+    end, so a valid-tar-but-wrong-content swap cannot pass silently."""
     import glob
+    import json
     import os
     import tarfile
 
-    for shard in sorted(glob.glob(os.path.join(path, "shard-*.tar"))):
+    mpath = os.path.join(path, "_WDS_MANIFEST.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"iter_webdataset: no _WDS_MANIFEST.json in {path!r} — the writer "
+            "publishes the manifest last, so this is an unfinished/crashed "
+            "export (or not a webdataset dir); refusing to stream unverified "
+            "shards. Re-run export_webdataset to heal."
+        )
+    with open(mpath) as f:
+        per_shard = json.load(f)["per_shard"]
+    on_disk = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(path, "shard-*.tar"))
+    )
+    if on_disk != sorted(per_shard):
+        missing = sorted(set(per_shard) - set(on_disk))
+        stale = sorted(set(on_disk) - set(per_shard))
+        raise ValueError(
+            f"iter_webdataset: shard files do not match _WDS_MANIFEST.json "
+            f"(missing={missing}, unexpected={stale}) — half-cleaned or "
+            "partially-rewritten export; re-run export_webdataset to heal"
+        )
+    for base in on_disk:
+        shard = os.path.join(path, base)
+        n_samples = 0
         with tarfile.open(shard) as tar:
             current: dict | None = None
             cur_key = None
@@ -403,10 +445,18 @@ def iter_webdataset(path: str):
                 if key != cur_key:
                     if current is not None:
                         yield cur_key, current
-                    cur_key, current = key, {"_shard_file": os.path.basename(shard)}
+                        n_samples += 1
+                    cur_key, current = key, {"_shard_file": base}
                 current[ext] = tar.extractfile(m).read()
             if current is not None:
                 yield cur_key, current
+                n_samples += 1
+        if n_samples != per_shard[base]:
+            raise ValueError(
+                f"iter_webdataset: {base} streamed {n_samples} samples but "
+                f"_WDS_MANIFEST.json records {per_shard[base]} — torn or "
+                "substituted shard; re-run export_webdataset to heal"
+            )
 
 
 # ── JDBC sink (reference terminal-store parity) ─────────────────────────────

@@ -115,14 +115,33 @@ def _build_corpus(spark, sf_dir: str, out: str, regime: str) -> None:
             df = df.withColumn("ts", F.min("ts").over(Window.partitionBy()))
         elif t == "events" and regime == "extreme_values":
             # deterministic per-event extreme: cycle through +huge, -huge,
-            # 0, sub-epsilon, exact negative of the next event's value
-            df = df.withColumn(
-                "value",
+            # 0, sub-epsilon; the residual class (event_id%5==4) carries the
+            # EXACT NEGATIVE of the next event's (transformed) value so the
+            # corpus holds true pairwise-cancelling neighbors — the
+            # catastrophic-cancellation inputs the docstring promises
+            # (ADVICE r09: the old -value negated the row's OWN value and
+            # never built a cancelling pair). One-time corpus build at
+            # sf0.001 — the single-partition orderBy window is fine here.
+            base = (
                 F.when(F.col("event_id") % 5 == 0, F.lit(1.0e15))
                 .when(F.col("event_id") % 5 == 1, F.lit(-1.0e15))
                 .when(F.col("event_id") % 5 == 2, F.lit(0.0))
                 .when(F.col("event_id") % 5 == 3, F.lit(1.0e-15))
-                .otherwise(-F.col("value")),
+                .otherwise(F.col("value"))
+            )
+            w_next = Window.orderBy("event_id")
+            df = (
+                df.withColumn("__base", base)
+                .withColumn(
+                    "value",
+                    F.when(
+                        F.col("event_id") % 5 == 4,
+                        -F.coalesce(
+                            F.lead("__base").over(w_next), F.col("__base")
+                        ),
+                    ).otherwise(F.col("__base")),
+                )
+                .drop("__base")
             )
         df.coalesce(1).write.parquet(table_path(out, t))
 
