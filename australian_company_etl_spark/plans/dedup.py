@@ -1202,32 +1202,10 @@ SETSIM_NUM = 2
 SETSIM_DEN = 5
 
 
-def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F10 — set-similarity self-join with EXACT-recall prefix filtering
-    (Bayardo et al. WWW'07 "Scaling Up All Pairs", Xiao et al. WWW'08
-    PPJoin): word-3gram shingle sets, Jaccard ≥ 2/5.
-
-    Unlike LSH (F2, probabilistic recall) or single-key blocking (F4,
-    heuristic recall), the prefix filter is LOSSLESS: order every doc's
-    shingles by ascending global document frequency (rarest first, ties by
-    value) and keep only the first n - ⌈τ·n⌉ + 1 as the doc's prefix. If
-    two sets share NO prefix element, their overlap is provably < the
-    τ-required minimum, so joining on prefix tokens alone surfaces every
-    qualifying pair. The length filter τ·|a| ≤ |b| ≤ |a|/τ (integer form)
-    prunes further; survivors are verified with exact integer Jaccard.
-
-    Scale: candidate cost concentrates on RARE shingles by construction —
-    frequent (boilerplate) shingles sit at the back of the df ordering and
-    never enter prefixes, so the hot keys of F4's naive blocking vanish
-    here. Plan: shingles are 60-bit-hashed immediately (the F2 verify
-    trick — every shuffle and both verify sides move int64, never shingle
-    text; the hash is also the in-doc total order, equally valid for the
-    prefix guarantee and computed identically by the oracle). One shuffle
-    to compute df (groupBy hash), one join back + per-doc window (rides
-    the doc_id partitioning), the prefix self-join on hash, then a verify
-    join against the persisted hash sets. At 100 TB this is the standard
-    production set-sim join; df is the only global state and it is itself
-    a shuffle-friendly aggregate."""
+def _setsim_parts(spark: SparkSession, sf_dir: str):
+    """F10 building blocks: (per-doc hash sets, prefix rows, candidate
+    pairs). Factored out so `setsim_candidate_stats` measures the EXACT
+    production prefix-join shape (bench scale-trend instrumentation)."""
     rows = persist_tracked(
         _doc_shingle_rows(spark, sf_dir)
         .select("doc_id", phash_spark(F.col("s")).alias("h"))
@@ -1261,6 +1239,78 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return sets, prefix, cands
+
+
+def _bucket_join_stats(sizes: DataFrame, count_col: str = "n") -> dict:
+    """Σ|bucket|-style cost terms from a (bucket → size) table: the number
+    of UNORDERED in-bucket pairs Σ n·(n−1)/2 the equi-self-join generates,
+    the bucket count, and the largest bucket (the skew term AQE must
+    split). Exact integer arithmetic throughout."""
+    n = F.col(count_col)
+    row = sizes.agg(
+        F.count("*").alias("buckets"),
+        F.max(n).alias("max_bucket"),
+        F.sum((n * (n - F.lit(1))).cast("long")).alias("pairs2x"),
+    ).first()
+    return {
+        "buckets": int(row["buckets"] or 0),
+        "max_bucket": int(row["max_bucket"] or 0),
+        "gen_pairs": int(row["pairs2x"] or 0) // 2,
+    }
+
+
+def minhash_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """F2 scale instrumentation (VERDICT r09 task 1): measured Σ|bucket|²
+    cost of the band-bucket self-join plus the distinct candidate-pair
+    count, so superlinear candidate growth across SFs is a recorded number,
+    not an asserted posture. NOT part of the timed bench region."""
+    bands, sh = _minhash_bands_sets(spark, sf_dir)
+    stats = _bucket_join_stats(bands.groupBy("band", "bh").agg(F.count("*").alias("n")))
+    stats["rows"] = sh.count()
+    stats["cand_pairs"] = _band_candidates(bands).count()
+    return stats
+
+
+def setsim_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """F10 scale instrumentation: prefix-token bucket cost bound (Σ per-hash
+    C(n,2), BEFORE the length filter) and the distinct post-filter candidate
+    count the verify join actually pays for."""
+    sets, prefix, cands = _setsim_parts(spark, sf_dir)
+    stats = _bucket_join_stats(prefix.groupBy("h").agg(F.count("*").alias("n")))
+    stats["rows"] = sets.count()
+    stats["prefix_rows"] = prefix.count()
+    stats["cand_pairs"] = cands.count()
+    return stats
+
+
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — set-similarity self-join with EXACT-recall prefix filtering
+    (Bayardo et al. WWW'07 "Scaling Up All Pairs", Xiao et al. WWW'08
+    PPJoin): word-3gram shingle sets, Jaccard ≥ 2/5.
+
+    Unlike LSH (F2, probabilistic recall) or single-key blocking (F4,
+    heuristic recall), the prefix filter is LOSSLESS: order every doc's
+    shingles by ascending global document frequency (rarest first, ties by
+    value) and keep only the first n - ⌈τ·n⌉ + 1 as the doc's prefix. If
+    two sets share NO prefix element, their overlap is provably < the
+    τ-required minimum, so joining on prefix tokens alone surfaces every
+    qualifying pair. The length filter τ·|a| ≤ |b| ≤ |a|/τ (integer form)
+    prunes further; survivors are verified with exact integer Jaccard.
+
+    Scale: candidate cost concentrates on RARE shingles by construction —
+    frequent (boilerplate) shingles sit at the back of the df ordering and
+    never enter prefixes, so the hot keys of F4's naive blocking vanish
+    here. Plan: shingles are 60-bit-hashed immediately (the F2 verify
+    trick — every shuffle and both verify sides move int64, never shingle
+    text; the hash is also the in-doc total order, equally valid for the
+    prefix guarantee and computed identically by the oracle). One shuffle
+    to compute df (groupBy hash), one join back + per-doc window (rides
+    the doc_id partitioning), the prefix self-join on hash, then a verify
+    join against the persisted hash sets. At 100 TB this is the standard
+    production set-sim join; df is the only global state and it is itself
+    a shuffle-friendly aggregate."""
+    sets, _prefix, cands = _setsim_parts(spark, sf_dir)
     sa = sets.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
     )

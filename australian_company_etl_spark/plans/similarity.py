@@ -737,7 +737,18 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameterized; vertices whose bucket is a singleton simply have no
     edges, the standard LSH-graph tradeoff the multi-table variant
     repairs."""
-    base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e")))
+    return knn_graph_lsh_planes(spark, sf_dir, planes=PLANES)
+
+
+def knn_graph_lsh_planes(
+    spark: SparkSession, sf_dir: str, planes: list[list[float]] | None = None
+) -> DataFrame:
+    """G8 with a parameterized plane set — the documented scale lever
+    (more planes → smaller buckets → Σ|bucket|² bounded as the corpus
+    grows). The registry query is the fixed-parity 8-plane instance; the
+    sf10 bench times this variant at 8 AND 12 planes with measured
+    candidate counts so the lever is a recorded number."""
+    base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e"), planes))
     lhs = base.select(
         F.col("vec_id").alias("src_id"), F.col("e").alias("se"), "bucket"
     )
@@ -753,6 +764,41 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KNN_GRAPH_K)
         .select("src_id", "nbr_id", "score", "rank")
     )
+
+
+def knn_planes(n_planes: int) -> list[list[float]]:
+    """First ``n_planes`` deterministic md5-seeded hyperplanes (table 0 —
+    the first N_PLANES are exactly the parity planes)."""
+    return [_plane(p) for p in range(n_planes)]
+
+
+def knn_candidate_stats(
+    spark: SparkSession, sf_dir: str, planes: list[list[float]] | None = None
+) -> dict:
+    """G8 scale instrumentation (VERDICT r09 task 1): bucket-count /
+    max-bucket / candidate-pair terms of the bucket equi-self-join. The
+    join emits ORDERED pairs (src ≠ nbr), so cand_pairs = Σ n·(n−1) — the
+    exact cosine-fold count the candidate stage pays. NOT timed."""
+    base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e"), planes))
+    n = F.col("n")
+    row = (
+        base.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("buckets"),
+            F.max(n).alias("max_bucket"),
+            F.sum((n * (n - F.lit(1))).cast("long")).alias("pairs"),
+            F.sum(n).alias("rows"),
+        )
+        .first()
+    )
+    return {
+        "rows": int(row["rows"] or 0),
+        "buckets": int(row["buckets"] or 0),
+        "max_bucket": int(row["max_bucket"] or 0),
+        "cand_pairs": int(row["pairs"] or 0),
+        "n_planes": len(planes) if planes is not None else N_PLANES,
+    }
 
 
 def _knn_graph_sql() -> str:

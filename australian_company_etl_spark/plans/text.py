@@ -824,6 +824,32 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """H12 scale instrumentation (VERDICT r09 task 1): postings
+    distribution — vocabulary size, the hottest token's document frequency
+    (the stop-word row the sharding note bounds), and total postings (the
+    shuffle volume). NOT part of the timed bench region."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok")
+    ).distinct()
+    row = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.count("*").alias("tokens"),
+            F.max("df").alias("max_df"),
+            F.sum("df").alias("postings"),
+        )
+        .first()
+    )
+    return {
+        "tokens": int(row["tokens"] or 0),
+        "max_df": int(row["max_df"] or 0),
+        "postings": int(row["postings"] or 0),
+    }
+
+
 INVERTED_INDEX_SQL = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest({tokens_all_sql('text')}) AS tok FROM documents

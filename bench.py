@@ -45,6 +45,36 @@ LARGE_HEADLINERS = [
     "events_tumbling_agg",
 ]
 
+# third-scale anchor (VERDICT r09 task 1): the same 8 headliners plus one
+# representative per BUCKETED-JOIN family re-timed at sf10 (100× sf0.1,
+# benchdata/sf10) so the decade trend sf1 → sf10 is measured, with the
+# candidate-pair/bucket counts of every pairwise join recorded alongside.
+# Disable with SPARK_GRAFT_SF10=0.
+SF10_HEADLINERS = LARGE_HEADLINERS + [
+    "dedup_setsim_prefix",
+    "knn_graph_lsh",
+    "text_inverted_index",
+]
+
+# primary scaled input per sf10 headliner — sf1 froze events/embeddings at
+# sf0.1 size (its history must stay comparable), so those families grow
+# 100× sf1→sf10 while the lineitem/documents families grow 10×; the ratio
+# table records the factor so a reader never divides by the wrong decade.
+SF10_PRIMARY_INPUT = {
+    "q3_shipping_priority": "lineitem",
+    "q5_local_supplier": "lineitem",
+    "q10_returned_items": "lineitem",
+    "dedup_minhash_lsh": "documents",
+    "text_fingerprint": "documents",
+    "text_quality_score": "documents",
+    "dedup_setsim_prefix": "documents",
+    "text_inverted_index": "documents",
+    "ann_brute_topk": "embeddings",
+    "knn_graph_lsh": "embeddings",
+    "events_tumbling_agg": "events",
+}
+
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,7 +278,143 @@ def main() -> None:
         }
         print(f"# serving probe vs scan: {result['serving_probe_vs_scan']}", file=sys.stderr)
 
+    if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+        result["sf10"] = _sf10_section(spark, queries, result)
+        print(f"# sf10 totals: {result['sf10']['value']}s", file=sys.stderr)
+
     print(json.dumps(result))
+
+
+def _sf10_section(spark, queries, result: dict) -> dict:
+    """The sf1 → sf10 decade trend (VERDICT r09 task 1): re-time the sf1
+    headliners plus one representative per bucketed-join family at 100×
+    sf0.1, and RECORD the Σ|bucket|² candidate terms of every pairwise
+    join at both SFs so superlinear candidate growth is measured, not
+    asserted. min-of-2 timed runs (not 3 — the section already adds
+    minutes; the spread column still carries the error bar) after one
+    untimed full-scale warm run per query."""
+    import time as _time
+
+    from scripts.make_benchdata import REPLICAS, SF10_REPLICAS, ensure, ensure_sf10
+
+    sf1_dir = ensure(spark)
+    sf10_dir = ensure_sf10(spark)
+    n_timed = int(os.environ.get("SPARK_GRAFT_SF10_RUNS", "2"))
+
+    times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    total = 0.0
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    for name in SF10_HEADLINERS:
+        spark.catalog.clearCache()
+        queries[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
+        runs = []
+        for _ in range(n_timed):
+            spark.catalog.clearCache()
+            t0 = _time.perf_counter()
+            queries[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
+            runs.append(round(_time.perf_counter() - t0, 3))
+        best = min(runs)
+        times[name] = best
+        spreads[name] = round(max(runs) - best, 3)
+        total += best
+        print(f"# [sf10] {name}: {best}s (spread {spreads[name]}s)", file=sys.stderr)
+
+    # decade ratios vs the sf1 section, with the per-family data-growth
+    # factor (events/embeddings are frozen at sf0.1 size inside sf1)
+    large_times = result.get("large", {}).get("queries", {})
+    input_rows = {}
+    for t in sorted(set(SF10_PRIMARY_INPUT.values())):
+        input_rows[t] = {
+            "sf1": spark.read.parquet(os.path.join(sf1_dir, f"{t}.parquet")).count(),
+            "sf10": spark.read.parquet(os.path.join(sf10_dir, f"{t}.parquet")).count(),
+        }
+    ratios = {}
+    for name, t in SF10_PRIMARY_INPUT.items():
+        if name not in times:
+            continue
+        entry = {
+            "primary_input": t,
+            "rows_factor_vs_sf1": round(input_rows[t]["sf10"] / input_rows[t]["sf1"], 1),
+        }
+        if name in large_times and large_times[name] > 0:
+            entry["t_ratio_vs_sf1"] = round(times[name] / large_times[name], 2)
+        ratios[name] = entry
+
+    # candidate-pair instrumentation for the bucketed-join families —
+    # untimed, but the counts ARE the scale claim
+    from australian_company_etl_spark.plans.dedup import (
+        minhash_candidate_stats,
+        setsim_candidate_stats,
+    )
+    from australian_company_etl_spark.plans.similarity import (
+        knn_candidate_stats,
+        knn_graph_lsh_planes,
+        knn_planes,
+    )
+    from australian_company_etl_spark.plans.text import inverted_index_stats
+
+    spark.catalog.clearCache()
+    cand = {
+        "dedup_minhash_lsh": {
+            "sf1": minhash_candidate_stats(spark, sf1_dir),
+            "sf10": minhash_candidate_stats(spark, sf10_dir),
+        },
+        "dedup_setsim_prefix": {
+            "sf1": setsim_candidate_stats(spark, sf1_dir),
+            "sf10": setsim_candidate_stats(spark, sf10_dir),
+        },
+        "knn_graph_lsh": {
+            "sf1": knn_candidate_stats(spark, sf1_dir),
+            "sf10": knn_candidate_stats(spark, sf10_dir),
+        },
+        "text_inverted_index": {
+            "sf1": inverted_index_stats(spark, sf1_dir),
+            "sf10": inverted_index_stats(spark, sf10_dir),
+        },
+    }
+
+    # the G8 scale lever, as a measured number: 12 planes (4096 buckets)
+    # vs the fixed-parity 8 at the same 100× corpus — more planes is how
+    # the bucket join stays near-linear as the corpus grows
+    p12 = knn_planes(12)
+    cand["knn_graph_lsh"]["sf10_planes12"] = knn_candidate_stats(spark, sf10_dir, p12)
+    spark.catalog.clearCache()
+    knn_graph_lsh_planes(spark, sf10_dir, p12).write.mode("overwrite").format("noop").save()
+    runs = []
+    for _ in range(n_timed):
+        spark.catalog.clearCache()
+        t0 = _time.perf_counter()
+        knn_graph_lsh_planes(spark, sf10_dir, p12).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        runs.append(round(_time.perf_counter() - t0, 3))
+    lever = {
+        "knn_planes12_sec": min(runs),
+        "knn_planes8_sec": times.get("knn_graph_lsh"),
+        "note": "same 100x corpus; the plane count is the documented Σ|bucket|² lever — compare cand_pairs in candidate_stats",
+    }
+    print(f"# [sf10] knn lever: {lever}", file=sys.stderr)
+
+    return {
+        "sf": round(0.1 * SF10_REPLICAS, 1),
+        "replicas_vs_sf1": SF10_REPLICAS // REPLICAS,
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "spread": spreads,
+        "timed_runs": n_timed,
+        "load_avg_before": load_before,
+        "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+        "ratio_vs_sf1": ratios,
+        "input_rows": input_rows,
+        "candidate_stats": cand,
+        "knn_plane_lever": lever,
+        "context": {
+            "data_note": "sf10 scales events (disjoint users, same 30-day range) and embeddings (disjoint ids, hash-perturbed vectors) 100x over sf0.1; sf1 froze both at sf0.1 size, so their rows_factor_vs_sf1 is 100, not 10",
+            "bar": "a headliner whose t_ratio_vs_sf1 exceeds its rows_factor by more than the calib ratio is a scaling defect; bucketed joins are judged on cand_pairs growth, not wall-clock alone",
+        },
+    }
 
 
 if __name__ == "__main__":

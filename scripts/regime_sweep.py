@@ -6,161 +6,289 @@ ran clean in round 8 but lived only as SURVEY prose — this runner makes
 each reproducible in one command so they can't silently rot (VERDICT r08
 task 7: run ONE alternating regime per round, ~2 min each). Usage:
 
-    python scripts/regime_sweep.py --regime {all_dup,token_sparse,extreme_values,single_row,same_timestamp,single_user,hostile_names} [sf_dir]
+    python scripts/regime_sweep.py --regime REGIME [--seed N] [sf_dir]
 
-Builds the transformed corpus from ``sf_dir`` (default sf0.001) into a
-temp dir, replays EVERY sql-gated registry query Spark-vs-DuckDB with the
-driver's comparison, prints one line per query, exits 1 on any mismatch.
+``REGIME`` is a single dimension, a "+"-joined composition, or ``random``:
 
-Regimes:
-- ``all_dup``: every document carries document 0's text (df = N, uniform
+    --regime hostile_names
+    --regime hostile_names+null_heavy+single_row     (VERDICT r09 task 5)
+    --regime random --seed 17                        (VERDICT r09 task 4)
+
+Compositions apply every named dimension to ONE corpus (column transforms
+first, row-reducers like single_row last) — orthogonal sweeps miss
+interaction classes (a token-less hostile name on the only row of a table
+exercises empty-aggregate + NULL-scorer paths together). ``random``
+samples a composition AND per-dimension intensities (NULL rate, hostile
+class rate, value-magnitude mix, duplication rate, timestamp-collision
+rate, user cardinality) from ``--seed``, prints the sampled config (so any
+divergence is reproducible from the recorded seed), and gates the full
+registry on it.
+
+Dimensions:
+- ``all_dup``: documents carry document 0's text (df = N, uniform
   entropy, complete dup graphs — the Σ|block|² worst case in one block).
+  Parameterized: ``dup_pct`` < 100 duplicates only a hash-chosen subset.
 - ``token_sparse``: CJK/emoji text whose only [a-z0-9] tokens are the
   doc-id digits (tokenizers, shingles, and language heuristics starve).
 - ``extreme_values``: events.value swept across ±1e15 magnitudes, exact
-  negatives, zeros, and sub-epsilon values (sum/variance/quantile/outlier
-  plans meet catastrophic-cancellation-scale inputs; NEW in round 9).
-- ``single_row``: exactly ONE row per table (the boundary between the
-  permanent empty gate and the normal corpus: 1-row medians/stddevs/
+  pairwise-cancelling neighbors, zeros, and sub-epsilon values.
+  Parameterized: ``extreme_pct`` selects the transformed subset,
+  ``extreme_exp`` the magnitude decade.
+- ``single_row``: exactly ONE row per table (1-row medians/stddevs/
   windows/ntiles, self-joins with no second row, lag()=NULL everywhere).
-- ``same_timestamp``: every event carries the SAME ts (total tie on event
-  time: zero-length sessions, one tumbling window holding everything,
-  every lag gap 0, freshness lag 0, rolling windows fully overlapping,
-  watermark math degenerate).
-- ``single_user``: every event belongs to ONE user_id (total key skew:
-  every per-user window/sessionization/funnel/retention group is the
-  whole stream; the skew-safe plans' worst case in one key).
-- ``hostile_names``: the three name columns cycle adversarial content by
-  key — empty string, whitespace-only, one char, regex metacharacters,
-  quotes/escapes, BMP unicode (umlauts + CJK), a 1000-char name — the
-  normalization / levenshtein / jaccard / phonetic / trigram surface fed
-  garbage-in. (Non-BMP emoji deliberately EXCLUDED from names: Spark
-  measures string lengths in UTF-16 code units where DuckDB counts
-  codepoints, a cross-engine semantic difference outside the engine's
-  name-domain contract.)
+- ``same_timestamp``: events pinned to the corpus minimum ts (zero-length
+  sessions, one tumbling window, every lag gap 0). Parameterized:
+  ``ts_pct`` pins only a subset (partial tie).
+- ``single_user``: events collapsed to one user_id (total key skew).
+  Parameterized: ``user_card`` > 1 collapses to K users instead.
+- ``hostile_names``: the three name columns cycle adversarial content —
+  empty, whitespace-only, one char, regex metacharacters, quotes/escapes,
+  BMP unicode, 1000-char — by key. Parameterized: ``hostile_pct``.
+  (Non-BMP emoji deliberately EXCLUDED from names: Spark measures string
+  lengths in UTF-16 code units where DuckDB counts codepoints, a
+  cross-engine semantic difference outside the engine's name contract.)
+- ``null_heavy``: the optional string columns (documents.text/lang,
+  customer/supplier/part names) NULLed on a hash-chosen subset — the
+  pytest gate's dimension, exposed here so it can COMPOSE with the rest.
+  Parameterized: ``null_pct``.
+
+All subset selections use murmur3 ``hash(key, seed) pmod 100 < pct`` — the
+corpus is materialized to parquet before either engine reads it, so any
+deterministic expression is parity-safe.
 """
 
 from __future__ import annotations
 
 import os
+import random
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+DIMENSIONS = (
+    "all_dup",
+    "token_sparse",
+    "extreme_values",
+    "single_row",
+    "same_timestamp",
+    "single_user",
+    "hostile_names",
+    "null_heavy",
+)
 
-def _build_corpus(spark, sf_dir: str, out: str, regime: str) -> None:
+#: full-strength defaults — single-dimension regimes behave exactly as the
+#: round-9 introducing runs recorded them
+DEFAULT_PARAMS = {
+    "dup_pct": 100,
+    "extreme_pct": 100,
+    "extreme_exp": 15,
+    "ts_pct": 100,
+    "user_card": 1,
+    "hostile_pct": 100,
+    "null_pct": 50,
+    "seed": 0,
+}
+
+HOSTILE_NAMES = [
+    "",
+    "   ",
+    "x",
+    "a.*b(c|d)[e]+^$",
+    "O'Brien \"Pty\\\" Ltd",
+    "Müller GmbH 株式会社",
+    "z" * 1000,
+]
+
+#: name column / key per table the hostile dimension rewrites
+NAME_COLS = {
+    "customer": ("c_name", "c_custkey"),
+    "supplier": ("s_name", "s_suppkey"),
+    "part": ("p_name", "p_partkey"),
+}
+
+#: table → [(nullable column, key column)] for the null_heavy dimension —
+#: mirrors tests/test_null_corpus.py's contract (keys and numeric fact
+#: columns are non-null by the reference's own schema)
+NULL_COLS = {
+    "documents": [("text", "doc_id"), ("lang", "doc_id")],
+    "customer": [("c_name", "c_custkey")],
+    "supplier": [("s_name", "s_suppkey")],
+    "part": [("p_name", "p_partkey")],
+}
+
+
+def _pct_pick(F, key: str, pct: int, seed: int, salt: int = 0):
+    """Deterministic row subset: murmur3(key, seed+salt) pmod 100 < pct."""
+    if pct >= 100:
+        return F.lit(True)
+    return (
+        F.pmod(F.hash(F.col(key), F.lit(seed + 1000 * salt)), F.lit(100)) < pct
+    )
+
+
+def _apply_dim(dim: str, t: str, df, params: dict):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    seed = params["seed"]
+    if dim == "hostile_names" and t in NAME_COLS:
+        col, key = NAME_COLS[t]
+        expr = F.col(col)  # unselected rows / class 7 keep the original name
+        for i, h in enumerate(HOSTILE_NAMES):
+            expr = F.when(F.col(key) % 8 == i, F.lit(h)).otherwise(expr)
+        return df.withColumn(
+            col,
+            F.when(_pct_pick(F, key, params["hostile_pct"], seed, 1), expr).otherwise(
+                F.col(col)
+            ),
+        )
+    if dim == "null_heavy" and t in NULL_COLS:
+        for col, key in NULL_COLS[t]:
+            df = df.withColumn(
+                col,
+                F.when(_pct_pick(F, key, params["null_pct"], seed, 2), F.lit(None)).otherwise(
+                    F.col(col)
+                ),
+            )
+        return df
+    if dim == "all_dup" and t == "documents":
+        first = df.orderBy("doc_id").select("text", "lang", "source").limit(1)
+        pick = _pct_pick(F, "doc_id", params["dup_pct"], seed, 3)
+        return (
+            df.crossJoin(F.broadcast(first).withColumnsRenamed(
+                {"text": "__t", "lang": "__l", "source": "__s"}
+            ))
+            .withColumn("text", F.when(pick, F.col("__t")).otherwise(F.col("text")))
+            .withColumn("lang", F.when(pick, F.col("__l")).otherwise(F.col("lang")))
+            .withColumn("source", F.when(pick, F.col("__s")).otherwise(F.col("source")))
+            .withColumn("n_chars", F.length("text").cast("bigint"))
+            .drop("__t", "__l", "__s")
+        )
+    if dim == "token_sparse" and t == "documents":
+        return df.withColumn(
+            "text",
+            F.concat(
+                F.lit("文書 \U0001f600\U0001f680 こんにちは "),
+                F.col("doc_id").cast("string"),
+                F.lit(" 世界の終わり \U0001f9ea"),
+            ),
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+    if dim == "single_user" and t == "events":
+        k = params["user_card"]
+        if k <= 1:
+            return df.withColumn("user_id", F.lit(7).cast("bigint"))
+        return df.withColumn("user_id", F.pmod(F.col("user_id"), F.lit(k)).cast("bigint"))
+    if dim == "same_timestamp" and t == "events":
+        # pin selected events to the corpus minimum ts (a real value both
+        # engines already parse identically from the parquet bytes)
+        pick = _pct_pick(F, "event_id", params["ts_pct"], seed, 4)
+        return df.withColumn(
+            "ts",
+            F.when(pick, F.min("ts").over(Window.partitionBy())).otherwise(F.col("ts")),
+        )
+    if dim == "extreme_values" and t == "events":
+        # deterministic per-event extreme: cycle through +huge, -huge,
+        # 0, sub-epsilon; the residual class (event_id%5==4) carries the
+        # EXACT NEGATIVE of the next event's (transformed) value so the
+        # corpus holds true pairwise-cancelling neighbors. One-time corpus
+        # build at sf0.001 — the single-partition orderBy window is fine.
+        mag = float(10 ** params["extreme_exp"])
+        base = (
+            F.when(F.col("event_id") % 5 == 0, F.lit(mag))
+            .when(F.col("event_id") % 5 == 1, F.lit(-mag))
+            .when(F.col("event_id") % 5 == 2, F.lit(0.0))
+            .when(F.col("event_id") % 5 == 3, F.lit(1.0e-15))
+            .otherwise(F.col("value"))
+        )
+        w_next = Window.orderBy("event_id")
+        pick = _pct_pick(F, "event_id", params["extreme_pct"], seed, 5)
+        return (
+            df.withColumn("__base", F.when(pick, base).otherwise(F.col("value")))
+            .withColumn(
+                "value",
+                F.when(
+                    pick & (F.col("event_id") % 5 == 4),
+                    -F.coalesce(F.lead("__base").over(w_next), F.col("__base")),
+                ).otherwise(F.col("__base")),
+            )
+            .drop("__base")
+        )
+    return df
+
+
+def _build_corpus(spark, sf_dir: str, out: str, dims: list[str], params: dict) -> None:
     from australian_company_etl_spark.sources.registry import (
         TABLES,
         load_tables,
         table_path,
     )
 
+    # column transforms first, row-reducers last: a composed corpus must
+    # reduce to rows that CARRY the composed column classes
+    ordered = [d for d in dims if d != "single_row"] + (
+        ["single_row"] if "single_row" in dims else []
+    )
     for t in TABLES:
         df = load_tables(spark, sf_dir, [t])[t]
-        if regime == "hostile_names" and t in ("customer", "supplier", "part"):
-            col, key = {
-                "customer": ("c_name", "c_custkey"),
-                "supplier": ("s_name", "s_suppkey"),
-                "part": ("p_name", "p_partkey"),
-            }[t]
-            hostile = [
-                "",
-                "   ",
-                "x",
-                "a.*b(c|d)[e]+^$",
-                "O'Brien \"Pty\\\" Ltd",
-                "Müller GmbH 株式会社",
-                "z" * 1000,
-            ]
-            expr = F.col(col)  # key%8 == 7 keeps the original name
-            for i, h in enumerate(hostile):
-                expr = F.when(F.col(key) % 8 == i, F.lit(h)).otherwise(expr)
-            df = df.withColumn(col, expr)
-        elif regime == "single_row":
-            # deterministic pick: the minimum-key row of each table (orderBy
-            # all columns would be ambiguous on ties; every table has a key
-            # as its first column in the synthetic corpus)
-            df = df.orderBy(df.columns[0]).limit(1)
-        elif t == "documents" and regime == "all_dup":
-            first = df.orderBy("doc_id").select("text", "lang", "source").limit(1)
-            df = (
-                df.crossJoin(F.broadcast(first).withColumnsRenamed(
-                    {"text": "__t", "lang": "__l", "source": "__s"}
-                ))
-                .withColumn("text", F.col("__t"))
-                .withColumn("lang", F.col("__l"))
-                .withColumn("source", F.col("__s"))
-                .withColumn("n_chars", F.length("text").cast("bigint"))
-                .drop("__t", "__l", "__s")
-            )
-        elif t == "documents" and regime == "token_sparse":
-            df = df.withColumn(
-                "text",
-                F.concat(
-                    F.lit("文書 \U0001f600\U0001f680 こんにちは "),
-                    F.col("doc_id").cast("string"),
-                    F.lit(" 世界の終わり \U0001f9ea"),
-                ),
-            ).withColumn("n_chars", F.length("text").cast("bigint"))
-        elif t == "events" and regime == "single_user":
-            df = df.withColumn("user_id", F.lit(7).cast("bigint"))
-        elif t == "events" and regime == "same_timestamp":
-            # pin every event to the corpus minimum ts (a real value both
-            # engines already parse identically from the parquet bytes)
-            df = df.withColumn("ts", F.min("ts").over(Window.partitionBy()))
-        elif t == "events" and regime == "extreme_values":
-            # deterministic per-event extreme: cycle through +huge, -huge,
-            # 0, sub-epsilon; the residual class (event_id%5==4) carries the
-            # EXACT NEGATIVE of the next event's (transformed) value so the
-            # corpus holds true pairwise-cancelling neighbors — the
-            # catastrophic-cancellation inputs the docstring promises
-            # (ADVICE r09: the old -value negated the row's OWN value and
-            # never built a cancelling pair). One-time corpus build at
-            # sf0.001 — the single-partition orderBy window is fine here.
-            base = (
-                F.when(F.col("event_id") % 5 == 0, F.lit(1.0e15))
-                .when(F.col("event_id") % 5 == 1, F.lit(-1.0e15))
-                .when(F.col("event_id") % 5 == 2, F.lit(0.0))
-                .when(F.col("event_id") % 5 == 3, F.lit(1.0e-15))
-                .otherwise(F.col("value"))
-            )
-            w_next = Window.orderBy("event_id")
-            df = (
-                df.withColumn("__base", base)
-                .withColumn(
-                    "value",
-                    F.when(
-                        F.col("event_id") % 5 == 4,
-                        -F.coalesce(
-                            F.lead("__base").over(w_next), F.col("__base")
-                        ),
-                    ).otherwise(F.col("__base")),
-                )
-                .drop("__base")
-            )
+        for d in ordered:
+            if d == "single_row":
+                # deterministic pick: the minimum-key row of each table
+                # (every table has a key as its first column)
+                df = df.orderBy(df.columns[0]).limit(1)
+            else:
+                df = _apply_dim(d, t, df, params)
         df.coalesce(1).write.parquet(table_path(out, t))
+
+
+def _sample_random(seed: int) -> tuple[list[str], dict]:
+    """Seeded composition + intensities (VERDICT r09 task 4). 2–4 of the
+    composable dimensions, each with a sampled rate — recorded in the log
+    line so any divergence replays from the seed alone."""
+    rng = random.Random(seed)
+    composable = [d for d in DIMENSIONS if d != "single_row"]
+    dims = rng.sample(composable, rng.randint(2, 4))
+    if rng.random() < 0.15:  # occasionally compose onto a 1-row table too
+        dims.append("single_row")
+    params = dict(DEFAULT_PARAMS)
+    params.update(
+        seed=seed,
+        dup_pct=rng.choice([10, 50, 90, 100]),
+        extreme_pct=rng.choice([25, 50, 100]),
+        extreme_exp=rng.choice([6, 12, 15]),
+        ts_pct=rng.choice([25, 75, 100]),
+        user_card=rng.choice([1, 3, 30]),
+        hostile_pct=rng.choice([12, 50, 100]),
+        null_pct=rng.choice([10, 30, 50]),
+    )
+    return dims, params
 
 
 def main() -> int:
     args = sys.argv[1:]
     regime = None
-    if args and args[0] == "--regime":
-        regime = args[1]
+    seed = 0
+    while args and args[0].startswith("--"):
+        if args[0] == "--regime":
+            regime = args[1]
+        elif args[0] == "--seed":
+            seed = int(args[1])
+        else:
+            print(__doc__, file=sys.stderr)
+            return 2
         args = args[2:]
-    if regime not in (
-        "all_dup",
-        "token_sparse",
-        "extreme_values",
-        "single_row",
-        "same_timestamp",
-        "single_user",
-        "hostile_names",
-    ):
+    if regime == "random":
+        dims, params = _sample_random(seed)
+        label = f"random(seed={seed})→{'+'.join(dims)}"
+    elif regime:
+        dims = regime.split("+")
+        if not all(d in DIMENSIONS or d == "single_row" for d in dims):
+            print(__doc__, file=sys.stderr)
+            return 2
+        params = dict(DEFAULT_PARAMS, seed=seed)
+        label = regime
+    else:
         print(__doc__, file=sys.stderr)
         return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
@@ -169,12 +297,13 @@ def main() -> int:
     from australian_company_etl_spark.plans import all_queries, all_oracles
     from tests.oracle_compare import compare, duckdb_connect
 
-    spark = get_spark(app_name=f"aus-etl-regime-{regime}")
+    spark = get_spark(app_name=f"aus-etl-regime-{dims[0]}")
     queries, oracles = all_queries(), all_oracles()
+    print(f"regime={label} dims={dims} params={params}", flush=True)
 
-    out = tempfile.mkdtemp(prefix=f"regime_{regime}_")
+    out = tempfile.mkdtemp(prefix="regime_" + "_".join(dims[:2]) + "_")
     try:
-        _build_corpus(spark, sf_dir, out, regime)
+        _build_corpus(spark, sf_dir, out, dims, params)
         con = duckdb_connect(out)
         names = [n for n in queries if n in oracles]
         failures = []
@@ -212,7 +341,7 @@ def main() -> int:
             print(f"[{i}/{len(names)}] {name}: {status} ({dt:.1f}s)", flush=True)
             if not res["ok"]:
                 failures.append(name)
-        print(f"\nregime={regime}: {len(names) - len(failures)}/{len(names)} ok; failures: {failures}")
+        print(f"\nregime={label}: {len(names) - len(failures)}/{len(names)} ok; failures: {failures}")
         return 1 if failures else 0
     finally:
         import shutil
