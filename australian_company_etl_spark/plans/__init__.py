@@ -13,91 +13,84 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # Registration order is the driver's verification order (it checks the first
-# 50 registered queries per round). Round-9 rotation (VERDICT r08 task 1):
-# code-changed-first, then oldest-green. Changed this round (8): the three
-# consumers of the functions/ranks.py changes (ntile_from_rank moved to
-# exact IntegralDivide arithmetic; segmented_rank's offsets join gained the
-# left-join + raise_error reuse guard) — mix_curriculum_stages,
-# window_value_deciles, orders_rfm_segments — plus the five extreme-value
-# regime fixes (scripts/regime_sweep.py --regime extreme_values found
-# them): events_value_outliers + events_corr_value_hour (pre-promoted
-# squares, loud matched exact-moments envelope guard),
-# quality_conf_distribution (BIGINT bucket), grouping_sets_report +
-# rolling_window_24h (oracle integer-sum→BIGINT→DOUBLE cast — DuckDB's
-# HUGEINT→DOUBLE is not correctly rounded past 2^53; that oracle-cast fix
-# also touches every money_sql/sum-cents oracle, all replayed green at
-# sf0.01 in parity_r9_sf001_wave1.log and again at the replicated sf1) —
-# PLUS the seven hostile-names regime fixes (the oracle-side
-# array_to_string([])-is-NULL class in the shared token scorers, the
-# fingerprint norm, and the from_xml whitespace trim): extract_xml_fields,
-# text_fingerprint, match_fuzzy_levenshtein, match_multi_scorer,
-# match_blocked_fuzzy, unify_entities, etl_dag_end_to_end.
-# Then every row whose latest driver check is still ROUND 5 (26), then
-# the oldest round-6 rows (alphabetical within equal age) to fill 50.
-# Rolls to round 10: the remaining r6 rows (dedup_url_canonical,
-# embed_random_projection, events_anomaly_mad, events_distinct_skewsafe,
-# events_freshness, events_gap_stats, events_markov_transitions,
-# events_resample_ffill, events_retention_cohorts, events_scd2_history,
-# events_session_window_native, events_sessionize, events_tumbling_agg,
-# events_zorder_key, graph_triangle_count, incremental_rollup_merge,
-# mm_binary_meta, pivot_user_event_matrix, set_ops_customer_segments,
-# shard_shuffle_deterministic, sketch_hll_distinct, text_entropy,
-# text_repetition_ratio). The registry stays FROZEN at 155 keys.
+# 50 registered queries per round). Round-10 rotation (VERDICT r09 task 2):
+# code-changed-first, then oldest-green. Changed since their last driver
+# check: the post-r9-verdict envelope/guard commit (matched money BIGINT
+# envelope, segmented_rank loud count guard, J10/J16 per-row |v| <= 3e9
+# scan guard, temporal/tpch oracle money_sql recomposition) touches
+# mix_curriculum_stages, window_value_deciles, orders_rfm_segments,
+# events_value_outliers, events_corr_value_hour, rollup_events_hourly,
+# cube_orders_priority, grouping_sets_report, join_skew_salted,
+# rolling_window_24h, match_exact_key; and this round's scale-trend
+# instrumentation refactored the F10 candidate construction into
+# _setsim_parts and G8 into the planes-parameterized variant —
+# dedup_setsim_prefix, knn_graph_lsh. Then ALL 23 rows whose latest driver
+# check is still ROUND 6 (events_* family, graph/rollup/pivot/set-ops,
+# sketch_hll_distinct, text_entropy, text_repetition_ratio, mm_binary_meta,
+# dedup_url_canonical, embed_random_projection, shard_shuffle_deterministic,
+# incremental_rollup_merge), then the oldest round-7 rows alphabetical to
+# fill 50. Rolls to round 11: the remaining r7 rows (extract_url_filter,
+# filter_valid_names, match_phonetic_block, mix_corpus_temperature,
+# mm_image_features, mm_video_framesample, orders_market_basket,
+# q2/q3/q7/q8/q9/q11/q15/q16/q17/q20/q21, rank_neardup_pagerank,
+# sample_weighted_priority, sketch_cms_heavy_hitters,
+# sketch_hll_daily_merge, sketch_theta_setops, suppliers_pareto_abc,
+# text_collocations_pmi, text_tfidf_topterms, text_unigram_logprob).
+# The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- plan/operator changed this round (15) -----------------------------
+    # ---- plan/operator/oracle changed since last driver check (13) ---------
     "mix_curriculum_stages",
     "window_value_deciles",
     "orders_rfm_segments",
     "events_value_outliers",
     "events_corr_value_hour",
-    "quality_conf_distribution",
+    "rollup_events_hourly",
+    "cube_orders_priority",
     "grouping_sets_report",
-    "rolling_window_24h",
-    # hostile-names regime fixes (oracle-side):
-    "extract_xml_fields",
-    "text_fingerprint",
-    "match_fuzzy_levenshtein",
-    "match_multi_scorer",
-    "match_blocked_fuzzy",
-    "unify_entities",
-    "etl_dag_end_to_end",
-    # ---- latest driver row = round 5 (27) ----------------------------------
-    "ann_lsh_topk",
-    "asof_join_last_error",
-    "chunk_documents",
-    "dedup_cluster_cc",
-    "dedup_embedding_cosine",
     "join_skew_salted",
-    "mix_corpus_weighted",
-    "pack_sequences",
-    "q12_priority_shipping",
-    "q13_cust_order_dist",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q22_global_sales_opp",
-    "quantiles_event_value",
-    "range_join_close_pairs",
-    "sample_stratified_hash",
-    "sketch_bloom_membership",
-    "sketch_kmv_distinct",
-    "split_train_holdout",
-    "text_contamination",
-    "text_gopher_filters",
-    "text_idf_vocab",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_token_count",
-    # ---- oldest round-6 rows, alphabetical (fill to the 50-query window) ---
-    "ann_pq_topk",
-    "cluster_kmeans_embed",
-    "dedup_incremental",
-    "dedup_lines",
-    "dedup_minhash_lsh",
-    "dedup_semantic_kmeans",
+    "rolling_window_24h",
+    "match_exact_key",
     "dedup_setsim_prefix",
-    "dedup_simhash",
-    "dedup_substring_spans",
+    "knn_graph_lsh",
+    # ---- latest driver row = round 6 (23) ----------------------------------
+    "dedup_url_canonical",
+    "embed_random_projection",
+    "events_anomaly_mad",
+    "events_distinct_skewsafe",
+    "events_freshness",
+    "events_gap_stats",
+    "events_markov_transitions",
+    "events_resample_ffill",
+    "events_retention_cohorts",
+    "events_scd2_history",
+    "events_session_window_native",
+    "events_sessionize",
+    "events_tumbling_agg",
+    "events_zorder_key",
+    "graph_triangle_count",
+    "incremental_rollup_merge",
+    "mm_binary_meta",
+    "pivot_user_event_matrix",
+    "set_ops_customer_segments",
+    "shard_shuffle_deterministic",
+    "sketch_hll_distinct",
+    "text_entropy",
+    "text_repetition_ratio",
+    # ---- oldest round-7 rows, alphabetical (fill to the 50-query window) ---
+    "ann_ivf_topk",
+    "ann_recall_report",
+    "api_fulltext_rank",
+    "curate_corpus",
+    "curate_keep_best",
+    "dedup_ngram_jaccard",
+    "events_cdc_snapshot",
+    "events_funnel_3step",
+    "events_funnel_steps",
+    "events_watermark_lag_audit",
+    "extract_first_wins_upsert",
+    "extract_json_props",
+    "extract_regex_fields",
+    "extract_title_company",
 ]
 
 
