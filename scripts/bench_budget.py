@@ -88,6 +88,21 @@ def _calib(spark) -> float:
     return min(ts)
 
 
+def _sched_probe(spark) -> float:
+    """Median latency of 10 trivial 32-task jobs — the per-JOB dispatch
+    yardstick (SCHED_DIAG_r10.json): VM instances vary 10-20x in task-launch
+    latency (~20 ms healthy, ~220 ms degraded) while calib moves only
+    1.5-2x. Multi-stage queries carry n_stages × dispatch on top of their
+    compute, so on a degraded-dispatch instance a breach is a host artifact
+    unless it persists relative to BOTH yardsticks."""
+    ts = []
+    for _ in range(10):
+        t0 = time.time()
+        spark.range(0, 32, 1, 32).selectExpr("sum(id) as s").collect()
+        ts.append(time.time() - t0)
+    return sorted(ts)[5]
+
+
 def _best_time(fn, spark, runs: int = 3) -> float:
     """Min of N timed runs — the standard noise-robust wall-time statistic:
     ambient load only ever ADDS time, so the minimum is the closest
@@ -119,6 +134,7 @@ def main() -> int:
     cpu_burn(spark)
     calib = _calib(spark)
     ratio = max(0.5, min(3.0, calib / CALIB_REF_SEC))
+    sched = _sched_probe(spark)
     measured: dict[str, float] = {}
     breaches: list[str] = []
     for name, budget in BUDGET_SEC.items():
@@ -145,6 +161,7 @@ def main() -> int:
                 "calib_sha2_64m": round(calib, 3),
                 "calib_ref": CALIB_REF_SEC,
                 "calib_ratio": round(ratio, 3),
+                "sched_probe_32task_median": round(sched, 4),
                 "load_avg_before": load_before,
                 "load_avg_after": load,
             }
@@ -164,6 +181,18 @@ def main() -> int:
         cpus = os.cpu_count() or 8
         if load_before[0] > 0.125 * cpus:
             print("INCONCLUSIVE: budget exceeded but machine under heavy load")
+            for b in breaches:
+                print(" ", b)
+            return 2
+        if sched > 0.1:
+            # degraded-dispatch VM instance (SCHED_DIAG_r10.json): each of
+            # the headliners' stages carries ~sched of pure launch latency
+            # that the calib ratio cannot see; a breach here is a host
+            # artifact unless it reproduces on a healthy-dispatch day
+            print(
+                f"INCONCLUSIVE: budget exceeded but per-job dispatch is "
+                f"degraded (sched median {sched:.3f}s > 0.1s)"
+            )
             for b in breaches:
                 print(" ", b)
             return 2

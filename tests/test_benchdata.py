@@ -74,6 +74,41 @@ def test_document_replicas_disjoint_vocabulary(spark, offsets):
     assert common == 0, "replica vocabularies must be disjoint (suffix scheme)"
 
 
+def test_candidate_stats_invariants(spark, sf_dir):
+    """The sf10 bench section's Σ|bucket|² instrumentation must satisfy the
+    relations the scale claims rest on: distinct candidate pairs never
+    exceed the generated-pair bound; the knn join's ordered-pair count is
+    exactly Σ n·(n−1); a tighter bucketing (more planes) strictly shrinks
+    the candidate term on this corpus."""
+    from australian_company_etl_spark.plans.dedup import (
+        minhash_candidate_stats,
+        setsim_candidate_stats,
+    )
+    from australian_company_etl_spark.plans.similarity import (
+        knn_candidate_stats,
+        knn_planes,
+    )
+    from australian_company_etl_spark.plans.text import inverted_index_stats
+
+    mh = minhash_candidate_stats(spark, sf_dir)
+    assert 0 < mh["cand_pairs"] <= mh["gen_pairs"]
+    assert mh["max_bucket"] <= mh["rows"]
+
+    ss = setsim_candidate_stats(spark, sf_dir)
+    assert 0 < ss["cand_pairs"] <= ss["gen_pairs"]
+    assert ss["prefix_rows"] > 0
+
+    k8 = knn_candidate_stats(spark, sf_dir)
+    k12 = knn_candidate_stats(spark, sf_dir, knn_planes(12))
+    assert k8["n_planes"] == 8 and k12["n_planes"] == 12
+    assert k8["buckets"] <= 256 and k12["buckets"] <= 4096
+    assert k12["cand_pairs"] < k8["cand_pairs"], "more planes must shrink Σ|bucket|²"
+
+    inv = inverted_index_stats(spark, sf_dir)
+    assert inv["postings"] >= inv["tokens"] >= 1
+    assert inv["max_df"] <= 500  # can't exceed the doc count at sf0.001
+
+
 def test_sf10_scales_events_and_embeddings_sf1_does_not():
     from scripts.make_benchdata import COPIED, SCALED, SF10_COPIED, SF10_SCALED
 
