@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 # sketch_hll_distinct, text_entropy, text_repetition_ratio, mm_binary_meta,
 # dedup_url_canonical, embed_random_projection, shard_shuffle_deterministic,
 # incremental_rollup_merge), then the oldest round-7 rows alphabetical to
-# fill 50. Rolls to round 11: the remaining r7 rows (extract_url_filter,
+# fill 50. Rolls to round 11: the remaining r7 rows (extract_title_company,
+# extract_url_filter,
 # filter_valid_names, match_phonetic_block, mix_corpus_temperature,
 # mm_image_features, mm_video_framesample, orders_market_basket,
 # q2/q3/q7/q8/q9/q11/q15/q16/q17/q20/q21, rank_neardup_pagerank,
@@ -38,7 +39,9 @@ from pyspark.sql import DataFrame, SparkSession
 # text_collocations_pmi, text_tfidf_topterms, text_unigram_logprob).
 # The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- plan/operator/oracle changed since last driver check (13) ---------
+    # ---- plan/operator/oracle changed since last driver check (14) ---------
+    # (quality_snapshot_diff: r10 composed-regime fix — D38 cent sum)
+    "quality_snapshot_diff",
     "mix_curriculum_stages",
     "window_value_deciles",
     "orders_rfm_segments",
@@ -90,7 +93,6 @@ _VERIFY_FIRST = [
     "extract_first_wins_upsert",
     "extract_json_props",
     "extract_regex_fields",
-    "extract_title_company",
 ]
 
 

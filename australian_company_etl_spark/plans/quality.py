@@ -545,14 +545,22 @@ def quality_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection. 'removed' is structurally impossible for an append-only
     log (v1 ⊆ v2) but the branch is expressed so mutable sources report
     it."""
-    from australian_company_etl_spark.functions.exactmath import cents
+    from australian_company_etl_spark.functions.exactmath import D38, cents
 
     ev = load_tables(spark, sf_dir, ["events"])["events"]
 
     def snap(df):
+        # sum in DECIMAL(38,0), not BIGINT: the sum is only ever compared
+        # for within-engine equality (never output), and a total-skew
+        # corpus (all events on one user × extreme magnitudes) overflows a
+        # BIGINT sum — Spark ANSI raises where DuckDB silently promotes to
+        # HUGEINT (caught by the composed
+        # extreme_values+same_timestamp+single_user regime, round 10);
+        # both engines are exact to 1e38 this way, so the changed/unchanged
+        # classification stays identical with no envelope needed
         return df.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.sum(cents("value")).alias("sum_cents"),
+            F.sum(cents("value").cast(D38)).alias("sum_cents"),
         )
 
     v1 = snap(ev.filter(F.col("ts") < F.lit(DIFF_CUTOFF).cast("timestamp")))

@@ -151,6 +151,25 @@ def test_q11_value_sum_survives_scale(spark):
     assert cmp is True
 
 
+def test_snapshot_diff_cent_sum_survives_total_skew(spark):
+    """C12 pin (round-10 composed regime extreme_values+same_timestamp+
+    single_user): the per-user cent sum must be DECIMAL(38,0) — a
+    total-skew corpus (every event on one user × ±1e15 values → ±1e17
+    cents/row × 1e5 rows) overflows a BIGINT sum, which Spark ANSI raises
+    on while DuckDB silently promotes to HUGEINT. The sum is only compared
+    for equality (never output), so decimal exactness is the whole
+    contract. Asserts the fixed form at the failing magnitude and that the
+    old bigint form really does fail under ANSI."""
+    df = _one_row(spark, cents=100_000_000_000_000_000)  # 1e17 = cents(1e15)
+    big = df.selectExpr("explode(sequence(1, 200)) as i", "cents")
+    from pyspark.sql import functions as F
+
+    got = big.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+    assert int(got) == 200 * 100_000_000_000_000_000
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        big.agg(F.sum(F.col("cents")).alias("s")).collect()
+
+
 def test_decimal_div_is_exact_truncating_bigint(spark):
     """The substrate all the fixes stand on: decimal(38,0) `div` returns
     BIGINT and truncates exactly (no intermediate rounding that could
