@@ -6,13 +6,20 @@ ran clean in round 8 but lived only as SURVEY prose — this runner makes
 each reproducible in one command so they can't silently rot (VERDICT r08
 task 7: run ONE alternating regime per round, ~2 min each). Usage:
 
-    python scripts/regime_sweep.py --regime REGIME [--seed N] [sf_dir]
+    python scripts/regime_sweep.py --regime REGIME [--seed N] [--params JSON] [sf_dir]
 
 ``REGIME`` is a single dimension, a "+"-joined composition, or ``random``:
 
     --regime hostile_names
     --regime hostile_names+null_heavy+single_row     (VERDICT r09 task 5)
     --regime random --seed 17                        (VERDICT r09 task 4)
+    --regime null_heavy+single_user --params '{"null_pct": 10, "user_card": 3}'
+
+A random run's printed config (dims + params) IS the replay contract:
+rebuild it exactly on any code version with ``--regime <dims-joined-by-+>
+--params '<params json>'``. The seed alone replays only on the code
+version that logged it — the sampler's dimension pool grows across
+rounds, which shifts what a given seed draws.
 
 Compositions apply every named dimension to ONE corpus (column transforms
 first, row-reducers like single_row last) — orthogonal sweeps miss
@@ -51,6 +58,19 @@ Dimensions:
   customer/supplier/part names) NULLed on a hash-chosen subset — the
   pytest gate's dimension, exposed here so it can COMPOSE with the rest.
   Parameterized: ``null_pct``.
+- ``hostile_docs`` (round 10): documents.text cycles adversarial content
+  by doc_id — empty, whitespace-only, one char, a 20k-char single token,
+  a 20k-char one-token repetition, control-character soup, punctuation-
+  only — the whole text/dedup/fingerprint/sampling surface fed
+  garbage-in (the hostile_names idea applied to the document corpus).
+  n_chars is recomputed so the metadata stays consistent.
+  Parameterized: ``hostile_pct``.
+- ``same_dates`` (round 10): orders.o_orderdate and lineitem.l_shipdate
+  each pinned to their column minimum — a TOTAL date tie on the TPC-H
+  side (every date-window predicate flips all-true/all-false, date
+  groupings collapse to one group), the same_timestamp idea for the
+  order/lineitem tables. Parameterized: ``ts_pct`` (shared with
+  same_timestamp — a partial pin leaves a two-value date domain).
 
 All subset selections use murmur3 ``hash(key, seed) pmod 100 < pct`` — the
 corpus is materialized to parquet before either engine reads it, so any
@@ -76,7 +96,19 @@ DIMENSIONS = (
     "single_user",
     "hostile_names",
     "null_heavy",
+    "hostile_docs",
+    "same_dates",
 )
+
+HOSTILE_DOCS = [
+    "",
+    "  \t  \n  ",
+    "a",
+    "z" * 20000,
+    ("spam " * 4000).strip(),
+    "line1\nline2\ttab\rret\x0bvt",
+    "!!!??? ... ,,, ;;; ###",
+]
 
 #: full-strength defaults — single-dimension regimes behave exactly as the
 #: round-9 introducing runs recorded them
@@ -153,6 +185,26 @@ def _apply_dim(dim: str, t: str, df, params: dict):
                 ),
             )
         return df
+    if dim == "hostile_docs" and t == "documents":
+        expr = F.col("text")  # class 7 keeps the original text
+        for i, h in enumerate(HOSTILE_DOCS):
+            expr = F.when(F.col("doc_id") % 8 == i, F.lit(h)).otherwise(expr)
+        return df.withColumn(
+            "text",
+            F.when(
+                _pct_pick(F, "doc_id", params["hostile_pct"], seed, 6), expr
+            ).otherwise(F.col("text")),
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+    if dim == "same_dates":
+        col = {"orders": "o_orderdate", "lineitem": "l_shipdate"}.get(t)
+        if col is None:
+            return df
+        key = "o_orderkey" if t == "orders" else "l_orderkey"
+        pick = _pct_pick(F, key, params["ts_pct"], seed, 7)
+        return df.withColumn(
+            col,
+            F.when(pick, F.min(col).over(Window.partitionBy())).otherwise(F.col(col)),
+        )
     if dim == "all_dup" and t == "documents":
         first = df.orderBy("doc_id").select("text", "lang", "source").limit(1)
         pick = _pct_pick(F, "doc_id", params["dup_pct"], seed, 3)
@@ -266,14 +318,23 @@ def _sample_random(seed: int) -> tuple[list[str], dict]:
 
 
 def main() -> int:
+    import json
+
     args = sys.argv[1:]
     regime = None
     seed = 0
+    cli_params: dict = {}
     while args and args[0].startswith("--"):
         if args[0] == "--regime":
             regime = args[1]
         elif args[0] == "--seed":
             seed = int(args[1])
+        elif args[0] == "--params":
+            # exact-replay escape hatch: a logged run records dims AND
+            # params; `--regime a+b --params '<json>'` rebuilds that corpus
+            # on ANY code version (the seed's sample depends on the
+            # dimension pool, which grows across rounds)
+            cli_params = json.loads(args[1])
         else:
             print(__doc__, file=sys.stderr)
             return 2
@@ -287,6 +348,11 @@ def main() -> int:
             print(__doc__, file=sys.stderr)
             return 2
         params = dict(DEFAULT_PARAMS, seed=seed)
+        unknown_params = set(cli_params) - set(params)
+        if unknown_params:
+            print(f"unknown --params keys: {sorted(unknown_params)}", file=sys.stderr)
+            return 2
+        params.update(cli_params)
         label = regime
     else:
         print(__doc__, file=sys.stderr)
