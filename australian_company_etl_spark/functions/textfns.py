@@ -67,9 +67,24 @@ def shingles_spark(tok_col: Column, k: int) -> Column:
 
 
 def shingles_sql(tok_expr: str, k: int) -> str:
+    """Zip-shift word k-grams — the SAME construction as the Spark row form
+    below, because the obvious per-position
+    `list_transform(range(...), i -> list_slice(t, i, i+k-1))` is O(n²)
+    PER DOCUMENT in DuckDB (each lambda invocation re-materializes against
+    the captured list): measured 455 s for 62 four-thousand-token docs on
+    the round-10 hostile_docs corpus vs 0.18 s for this form, identical
+    output on every corpus checked. k-1 whole-list tail slices (each O(n),
+    done once), one zip, one transform; zip pads to the longest input so
+    the last k-1 entries concat to NULL and are filtered — which also
+    yields [] for docs shorter than k, matching the old range() guard."""
+    zips = ", ".join(
+        [tok_expr]
+        + [f"list_slice({tok_expr}, {i}, len({tok_expr}))" for i in range(2, k + 1)]
+    )
+    gram = " || ' ' || ".join(f"x[{i}]" for i in range(1, k + 1))
     return (
-        f"list_distinct(list_transform(range(1, len({tok_expr}) - {k} + 2), "
-        f"i -> array_to_string(list_slice({tok_expr}, i, i + {k} - 1), ' ')))"
+        f"list_distinct(list_filter(list_transform(list_zip({zips}), "
+        f"x -> {gram}), x -> x IS NOT NULL))"
     )
 
 
