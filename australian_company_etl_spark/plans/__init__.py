@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 # sketch_hll_distinct, text_entropy, text_repetition_ratio, mm_binary_meta,
 # dedup_url_canonical, embed_random_projection, shard_shuffle_deterministic,
 # incremental_rollup_merge), then the oldest round-7 rows alphabetical to
-# fill 50. Rolls to round 11: the remaining r7 rows (extract_title_company,
-# extract_url_filter,
+# fill 50. Rolls to round 11: the remaining r7 rows (extract_json_props,
+# extract_regex_fields, extract_title_company, extract_url_filter,
 # filter_valid_names, match_phonetic_block, mix_corpus_temperature,
 # mm_image_features, mm_video_framesample, orders_market_basket,
 # q2/q3/q7/q8/q9/q11/q15/q16/q17/q20/q21, rank_neardup_pagerank,
@@ -39,9 +39,14 @@ from pyspark.sql import DataFrame, SparkSession
 # text_collocations_pmi, text_tfidf_topterms, text_unigram_logprob).
 # The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- plan/operator/oracle changed since last driver check (14) ---------
-    # (quality_snapshot_diff: r10 composed-regime fix — D38 cent sum)
+    # ---- plan/operator/oracle changed since last driver check (17) ---------
+    # (quality_snapshot_diff: r10 composed-regime fix — D38 cent sum;
+    #  text_token_count/pack_sequences: r10 hostile_docs \v ws-split fix;
+    #  dedup_ngram_jaccard: r10 try_element_at empty-token fix)
     "quality_snapshot_diff",
+    "text_token_count",
+    "pack_sequences",
+    "dedup_ngram_jaccard",
     "mix_curriculum_stages",
     "window_value_deciles",
     "orders_rfm_segments",
@@ -85,14 +90,11 @@ _VERIFY_FIRST = [
     "api_fulltext_rank",
     "curate_corpus",
     "curate_keep_best",
-    "dedup_ngram_jaccard",
     "events_cdc_snapshot",
     "events_funnel_3step",
     "events_funnel_steps",
     "events_watermark_lag_audit",
     "extract_first_wins_upsert",
-    "extract_json_props",
-    "extract_regex_fields",
 ]
 
 

@@ -400,8 +400,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     elements instead of string-compares over ~20 B, and the shuffled
     per-doc set rows shrink accordingly."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # try_element_at, not element_at: a token-less document (hostile_docs
+    # regime — empty/whitespace/punctuation-only text) has an EMPTY token
+    # array, which ANSI element_at raises on while the oracle's t[1] yields
+    # NULL. The NULL blk is harmless — shingle-less docs drop out of the
+    # inner join with `sets` anyway (and the oracle filters len(t) >= k).
     blk = docs.select(
-        "doc_id", F.element_at(tokens_all_spark(F.col("text")), 1).alias("blk")
+        "doc_id", F.try_element_at(tokens_all_spark(F.col("text")), F.lit(1)).alias("blk")
     )
     sets = (
         _doc_shingle_rows(spark, sf_dir)

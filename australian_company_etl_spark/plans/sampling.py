@@ -76,7 +76,9 @@ GROUP BY 1, 2
 
 PACK_BUDGET = 512  # tokens per packed training sequence
 
-_WS_TOKENS_SQL = "len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT"
+# [\s\v]+, not \s+: Java \s includes vertical tab, RE2's does not (see
+# TOKEN_COUNT_SQL in plans/text.py — hostile_docs regime finding)
+_WS_TOKENS_SQL = "len(list_filter(string_split_regex(trim(text), '[\\s\\v]+'), x -> x <> ''))::BIGINT"
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

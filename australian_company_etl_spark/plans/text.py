@@ -147,9 +147,12 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# oracle ws-split is [\s\v]+, not \s+: Java's \s includes vertical tab
+# (\x0B) where RE2's does not, so a VT-bearing document (hostile_docs
+# regime) counted one token more on the Spark side — \v closes the gap
 TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
-       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::INT AS n_ws_tokens,
+       len(list_filter(string_split_regex(trim(text), '[\\s\\v]+'), x -> x <> ''))::INT AS n_ws_tokens,
        len(regexp_extract_all(text, '{BPE_RE}'))::INT AS n_bpe_tokens
 FROM documents
 """
