@@ -424,10 +424,15 @@ def mix_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curriculum_sql() -> str:
+    # NULLS FIRST, explicitly: Spark's ASC places NULLs first while
+    # DuckDB's default is NULLS LAST, and a corpus where content-less docs
+    # carry NULL n_chars (round-10 random seed 404: null_heavy composed
+    # with all_dup's n_chars recompute) shifts every ntile boundary between
+    # the engines without it. Spark's ordering is the engine contract.
     return f"""
 SELECT doc_id,
        n_chars AS difficulty,
-       ntile({CURRICULUM_STAGES}) OVER (ORDER BY n_chars ASC, doc_id ASC)::INT AS stage,
+       ntile({CURRICULUM_STAGES}) OVER (ORDER BY n_chars ASC NULLS FIRST, doc_id ASC)::INT AS stage,
        ({phash_sql("doc_id::VARCHAR")} % {CURRICULUM_SHARDS})::INT AS shard
 FROM documents
 """
