@@ -66,7 +66,15 @@ def get_spark(
                 in ("true", "1", "yes")
             ).lower(),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g, not 8g: in local mode this ONE heap holds every executor's
+        # storage + shuffle state + broadcast builds. 8g was measured
+        # marginal at the sf10 bench tier — a borderline AQE
+        # broadcast-join decision inside the setsim verify OOM'd the
+        # build ("Not enough memory to build and broadcast", round 10
+        # bench run 2) nondeterministically, with the identical plan
+        # passing in a fresher JVM. The box has 128 GiB; on a real
+        # cluster per-executor sizing replaces this knob entirely.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # ANSI mode is PINNED ON by default — not merely inherited from the
         # Spark 4 build default (which is also on: every gate since this
         # repo moved to pyspark 4 has in fact run under ANSI). Round 9

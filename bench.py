@@ -358,23 +358,45 @@ def _sf10_section(spark, queries, result: dict) -> dict:
     )
     from australian_company_etl_spark.plans.text import inverted_index_stats
 
+    # candidate stats are pure DATA properties of the deterministic,
+    # immutable bench corpora (never host-timing), so they are computed
+    # once and memoized beside the data — repeat bench runs (and the
+    # driver's per-round run) skip ~3 min of instrumentation jobs. The
+    # key carries the generator parameters: a scheme change regenerates.
+    import json as _json
+
+    from scripts.make_benchdata import EMB_NOISE
+
+    stats_path = os.path.join(os.path.dirname(sf10_dir), "candidate_stats_cache.json")
+    stats_key = f"v1:replicas{SF10_REPLICAS}:noise{EMB_NOISE}"
+    stats_cache: dict = {}
+    if os.path.exists(stats_path):
+        stored = _json.load(open(stats_path))
+        if stored.get("key") == stats_key:
+            stats_cache = stored.get("entries", {})
+
+    def _stat(name: str, fn, *args):
+        if name not in stats_cache:
+            stats_cache[name] = fn(spark, *args)
+        return stats_cache[name]
+
     spark.catalog.clearCache()
     cand = {
         "dedup_minhash_lsh": {
-            "sf1": minhash_candidate_stats(spark, sf1_dir),
-            "sf10": minhash_candidate_stats(spark, sf10_dir),
+            "sf1": _stat("minhash:sf1", minhash_candidate_stats, sf1_dir),
+            "sf10": _stat("minhash:sf10", minhash_candidate_stats, sf10_dir),
         },
         "dedup_setsim_prefix": {
-            "sf1": setsim_candidate_stats(spark, sf1_dir),
-            "sf10": setsim_candidate_stats(spark, sf10_dir),
+            "sf1": _stat("setsim:sf1", setsim_candidate_stats, sf1_dir),
+            "sf10": _stat("setsim:sf10", setsim_candidate_stats, sf10_dir),
         },
         "knn_graph_lsh": {
-            "sf1": knn_candidate_stats(spark, sf1_dir),
-            "sf10": knn_candidate_stats(spark, sf10_dir),
+            "sf1": _stat("knn8:sf1", knn_candidate_stats, sf1_dir),
+            "sf10": _stat("knn8:sf10", knn_candidate_stats, sf10_dir),
         },
         "text_inverted_index": {
-            "sf1": inverted_index_stats(spark, sf1_dir),
-            "sf10": inverted_index_stats(spark, sf10_dir),
+            "sf1": _stat("inv:sf1", inverted_index_stats, sf1_dir),
+            "sf10": _stat("inv:sf10", inverted_index_stats, sf10_dir),
         },
     }
 
@@ -388,7 +410,13 @@ def _sf10_section(spark, queries, result: dict) -> dict:
     # corpus grows, with both configs' candidate counts recorded so the
     # lever's effect is a number, not a posture.
     p12 = knn_planes(12)
-    cand["knn_graph_lsh"]["sf10_planes12"] = knn_candidate_stats(spark, sf10_dir, p12)
+    cand["knn_graph_lsh"]["sf10_planes12"] = _stat(
+        "knn12:sf10", knn_candidate_stats, sf10_dir, p12
+    )
+    tmp = stats_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"key": stats_key, "entries": stats_cache}, f)
+    os.replace(tmp, stats_path)
     spark.catalog.clearCache()
     knn_graph_lsh_planes(spark, sf10_dir, p12).write.mode("overwrite").format("noop").save()
     runs = []
