@@ -71,6 +71,15 @@ Dimensions:
   groupings collapse to one group), the same_timestamp idea for the
   order/lineitem tables. Parameterized: ``ts_pct`` (shared with
   same_timestamp — a partial pin leaves a two-value date domain).
+- ``extreme_vectors`` (round 10): embeddings cycle by vec_id — ALL-ZERO
+  vectors (the L2 normalization's 0/0 produces NaN components and NaN
+  cosines through a legitimate data path, exercising both engines' NaN
+  ranking/rounding/grouping on every similarity plan), components
+  scaled ×1e30 (squares reach ~1e60 in the double dot products), and
+  ×1e-30 (squares at ~1e-60 probe underflow in the same fold); raw
+  NaN/Inf LITERALS stay excluded — zero vectors already surface the
+  NaN surface without injecting bytes the embedding contract (finite
+  float features) rules out. Parameterized: ``hostile_pct``.
 
 All subset selections use murmur3 ``hash(key, seed) pmod 100 < pct`` — the
 corpus is materialized to parquet before either engine reads it, so any
@@ -98,6 +107,7 @@ DIMENSIONS = (
     "null_heavy",
     "hostile_docs",
     "same_dates",
+    "extreme_vectors",
 )
 
 HOSTILE_DOCS = [
@@ -204,6 +214,19 @@ def _apply_dim(dim: str, t: str, df, params: dict):
         return df.withColumn(
             col,
             F.when(pick, F.min(col).over(Window.partitionBy())).otherwise(F.col(col)),
+        )
+    if dim == "extreme_vectors" and t == "embeddings":
+        pick = _pct_pick(F, "vec_id", params["hostile_pct"], seed, 8)
+        cls = F.col("vec_id") % 4  # class 3 keeps the original vector
+        scaled = (
+            F.when(cls == 0, F.transform("embedding", lambda x: x * F.lit(0.0)))
+            .when(cls == 1, F.transform("embedding", lambda x: x * F.lit(1.0e30)))
+            .when(cls == 2, F.transform("embedding", lambda x: x * F.lit(1.0e-30)))
+            .otherwise(F.col("embedding"))
+        )
+        return df.withColumn(
+            "embedding",
+            F.when(pick, scaled).otherwise(F.col("embedding")).cast("array<float>"),
         )
     if dim == "all_dup" and t == "documents":
         first = df.orderBy("doc_id").select("text", "lang", "source").limit(1)
