@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 # sketch_hll_distinct, text_entropy, text_repetition_ratio, mm_binary_meta,
 # dedup_url_canonical, embed_random_projection, shard_shuffle_deterministic,
 # incremental_rollup_merge), then the oldest round-7 rows alphabetical to
-# fill 50. Rolls to round 11: the remaining r7 rows (extract_json_props,
+# fill 50. Rolls to round 11: the remaining r7 rows (curate_corpus,
+# curate_keep_best, events_cdc_snapshot, events_funnel_3step,
+# events_funnel_steps, events_watermark_lag_audit,
+# extract_first_wins_upsert, extract_json_props,
 # extract_regex_fields, extract_title_company, extract_url_filter,
 # filter_valid_names, match_phonetic_block, mix_corpus_temperature,
 # mm_image_features, mm_video_framesample, orders_market_basket,
@@ -39,14 +42,28 @@ from pyspark.sql import DataFrame, SparkSession
 # text_collocations_pmi, text_tfidf_topterms, text_unigram_logprob).
 # The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- plan/operator/oracle changed since last driver check (17) ---------
+    # ---- plan/operator/oracle changed since last driver check (25) ---------
     # (quality_snapshot_diff: r10 composed-regime fix — D38 cent sum;
     #  text_token_count/pack_sequences: r10 hostile_docs \v ws-split fix;
-    #  dedup_ngram_jaccard: r10 try_element_at empty-token fix)
+    #  dedup_ngram_jaccard: r10 try_element_at empty-token fix;
+    #  the whole similarity/_base family: r10 extreme_vectors fixes —
+    #  zero-norm → NULL normalized vector, micro-unit integer envelope for
+    #  G4/G6/G7, asc_nulls_last PQ ranking; plus the post-r9-verdict
+    #  envelope/guard commit's consumers and the F10/G8 stats refactors)
     "quality_snapshot_diff",
     "text_token_count",
     "pack_sequences",
     "dedup_ngram_jaccard",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_pq_topk",
+    "cluster_kmeans_embed",
+    "dedup_embedding_cosine",
+    "dedup_semantic_kmeans",
+    "embed_random_projection",
+    "knn_graph_lsh",
+    "dedup_setsim_prefix",
     "mix_curriculum_stages",
     "window_value_deciles",
     "orders_rfm_segments",
@@ -58,11 +75,9 @@ _VERIFY_FIRST = [
     "join_skew_salted",
     "rolling_window_24h",
     "match_exact_key",
-    "dedup_setsim_prefix",
-    "knn_graph_lsh",
-    # ---- latest driver row = round 6 (23) ----------------------------------
+    # ---- latest driver row = round 6 (22; embed_random_projection is
+    # above with the changed set — dual reason) --------------------------
     "dedup_url_canonical",
-    "embed_random_projection",
     "events_anomaly_mad",
     "events_distinct_skewsafe",
     "events_freshness",
@@ -84,17 +99,11 @@ _VERIFY_FIRST = [
     "sketch_hll_distinct",
     "text_entropy",
     "text_repetition_ratio",
-    # ---- oldest round-7 rows, alphabetical (fill to the 50-query window) ---
+    # ---- oldest round-7 rows, alphabetical (fill to the 50-query window;
+    # ann_ivf/ann_recall are also base-policy consumers) -----------------
     "ann_ivf_topk",
     "ann_recall_report",
     "api_fulltext_rank",
-    "curate_corpus",
-    "curate_keep_best",
-    "events_cdc_snapshot",
-    "events_funnel_3step",
-    "events_funnel_steps",
-    "events_watermark_lag_audit",
-    "extract_first_wins_upsert",
 ]
 
 

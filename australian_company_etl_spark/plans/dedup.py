@@ -497,8 +497,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = emb.select("vec_id", "label", e.alias("e0")).withColumn(
         "nrm", F.sqrt(_dot_spark(F.col("e0"), F.col("e0")))
     )
+    # zero-norm → NULL normalized vector (no direction): cosines against it
+    # are NULL and never cross the threshold — see plans/similarity.py
+    # _base for the full policy (ANSI DIVIDE_BY_ZERO vs IEEE NaN otherwise)
     base = d.select(
-        "vec_id", "label", F.transform("e0", lambda x: x / F.col("nrm")).alias("e")
+        "vec_id",
+        "label",
+        F.when(
+            F.col("nrm") > 0, F.transform("e0", lambda x: x / F.col("nrm"))
+        ).alias("e"),
     )
     a, b = base.alias("a"), base.alias("b")
     cos = _dot_spark(F.col("a.e"), F.col("b.e"))
@@ -518,7 +525,8 @@ def _emb_cosine_sql() -> str:
     cos = "list_dot_product(a.e, b.e)"
     return f"""
 WITH base AS (
-  SELECT vec_id, label, list_transform(e0, x -> x / nrm) AS e
+  SELECT vec_id, label,
+         CASE WHEN nrm > 0 THEN list_transform(e0, x -> x / nrm) END AS e
   FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e0,
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         FROM embeddings) t

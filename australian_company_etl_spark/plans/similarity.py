@@ -85,9 +85,6 @@ def _cos_sql(a: str, b: str) -> str:
     return f"list_dot_product({a}, {b})"
 
 
-_NORM_SQL = "list_transform({e}, x -> x / sqrt(list_dot_product({e}, {e})))"
-
-
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     # per-row 64-dim folds run interpreted — spread across cores (tiny file
@@ -95,19 +92,29 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_if_narrow(emb, "vec_id")
     e = F.col("embedding").cast("array<double>")
     # norm as a materialized column FIRST — referencing the aggregate inside
-    # the transform lambda would re-evaluate it per element (O(dim²)/row)
+    # the transform lambda would re-evaluate it per element (O(dim²)/row).
+    # ZERO-NORM POLICY (round-10 extreme_vectors regime): a zero vector has
+    # no direction, so its normalized form is NULL — every cosine against
+    # it is NULL, it never crosses a similarity threshold, and rankings
+    # place it after every real score in BOTH engines (Spark DESC and
+    # DuckDB's default are both NULLS LAST). Without the guard Spark ANSI
+    # raises DIVIDE_BY_ZERO on x/0 while DuckDB's IEEE division produces
+    # NaN — an engine crash vs silent NaNs, the worst possible pair.
     d = emb.select("vec_id", "label", e.alias("e0")).withColumn(
         "nrm", F.sqrt(_dot_spark(F.col("e0"), F.col("e0")))
     )
     return d.select(
         "vec_id",
         "label",
-        F.transform("e0", lambda x: x / F.col("nrm")).alias("e"),
+        F.when(
+            F.col("nrm") > 0, F.transform("e0", lambda x: x / F.col("nrm"))
+        ).alias("e"),
     )
 
 
 _BASE_SQL = """base AS (
-  SELECT vec_id, label, list_transform(e0, x -> x / nrm) AS e
+  SELECT vec_id, label,
+         CASE WHEN nrm > 0 THEN list_transform(e0, x -> x / nrm) END AS e
   FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e0,
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         FROM embeddings) t
@@ -307,11 +314,43 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 _KM_SCALE = 1_000_000
 
+#: exact-integer micro-unit envelope for the RAW-embedding family (G4
+#: kmeans, G6 semantic dedup's kmeans stage, G7 random projection): with
+#: |component| ≤ 100 the 1e6-scaled quanta stay ≤ 1e8, so the 64-term
+#: squared-distance sums top out at 64·(2e8)² ≈ 2.6e18 < BIGINT max.
+#: Beyond it both engines REFUSE with a matched 'envelope' error (the
+#: events_value_outliers pattern) — never a silent wrap on one side and
+#: an ANSI CAST_OVERFLOW crash on the other, which is what the round-10
+#: extreme_vectors regime (components at ±5e29) observed. The
+#: normalization-based family (G1/G2/G5/G8/F5) is unaffected: it divides
+#: by the L2 norm first, so its components are always ≤ 1.
+_EMB_ENVELOPE = 100.0
+_EMB_ENVELOPE_MSG = (
+    "embedding exact-integer envelope exceeded (|component| > 100, "
+    "micro-unit quantization past the BIGINT-safe distance range) — "
+    "rescale the embedding space before the integer family"
+)
+
+
+def _q_micro_spark(x, scale: int):
+    """Guarded micro-unit quantization of one embedding component."""
+    guarded = F.when(
+        F.abs(x) > _EMB_ENVELOPE, F.raise_error(F.lit(_EMB_ENVELOPE_MSG)).cast("double")
+    ).otherwise(x)
+    return F.round(guarded * scale).cast("bigint")
+
+
+def _q_micro_sql(x: str, scale: int) -> str:
+    return (
+        f"CAST(round((CASE WHEN abs({x}) > {_EMB_ENVELOPE} "
+        f"THEN error('{_EMB_ENVELOPE_MSG}')::DOUBLE ELSE {x} END) * {scale}) AS BIGINT)"
+    )
+
 
 def _kq_spark():
     return F.transform(
         F.col("embedding").cast("array<double>"),
-        lambda x: F.round(x * _KM_SCALE).cast("bigint"),
+        lambda x: _q_micro_spark(x, _KM_SCALE),
     )
 
 
@@ -377,7 +416,7 @@ def _kmeans_ctes() -> str:
     )
     ctes = [
         f"emb AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
-        f"x -> CAST(round(x * {_KM_SCALE}) AS BIGINT)) AS q FROM embeddings)",
+        f"x -> {_q_micro_sql('x', _KM_SCALE)}) AS q FROM embeddings)",
         f"c0 AS (SELECT vec_id AS c_id, q AS cq FROM emb WHERE vec_id < {KMEANS_K})",
     ]
     for j in range(KMEANS_ITERS + 1):
@@ -498,7 +537,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace centroid (deterministic j tie-break), score queries by
     summed query↔centroid subspace distances, rank ascending."""
     subs, cents = _pq_parts(spark, sf_dir)
-    enc_w = Window.partitionBy("vec_id", "m").orderBy("d2", "j")
+    # asc_nulls_last, not plain asc: a zero-norm vector's NULL subvectors
+    # (the _base policy) yield NULL d2/adist, and Spark's bare ASC places
+    # NULLs FIRST while DuckDB's default is LAST — real distances must
+    # outrank no-direction vectors in both engines (extreme_vectors
+    # regime, round 10)
+    enc_w = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc_nulls_last("d2"), F.asc("j")
+    )
     codes = (
         subs.join(F.broadcast(cents), "m")
         .withColumn("d2", _d2(F.col("sv"), F.col("cv")))
@@ -521,7 +567,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", F.col("vec_id").alias("n_id"))
         .agg(F.round(F.sum("qd2"), 6).alias("adist"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    w = Window.partitionBy("q_id").orderBy(F.asc_nulls_last("adist"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -619,7 +665,7 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.transform(
                 F.col("embedding").cast("array<double>"),
-                lambda x: F.round(x * _RP_SCALE).cast("bigint"),
+                lambda x: _q_micro_spark(x, _RP_SCALE),
             )
         ).alias("i", "qv"),
     )
@@ -640,7 +686,7 @@ signs AS (
   FROM dims, outs
 ),
 q AS (
-  SELECT vec_id, i, CAST(round(embedding[i + 1]::DOUBLE * {_RP_SCALE}) AS BIGINT) AS qv
+  SELECT vec_id, i, {_q_micro_sql('embedding[i + 1]::DOUBLE', _RP_SCALE)} AS qv
   FROM embeddings, dims
 )
 SELECT q.vec_id, signs.j, CAST(sum(q.qv * signs.s) AS BIGINT) AS y_micro
