@@ -13,97 +13,74 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # Registration order is the driver's verification order (it checks the first
-# 50 registered queries per round). Round-10 rotation (VERDICT r09 task 2):
-# code-changed-first, then oldest-green. Changed since their last driver
-# check: the post-r9-verdict envelope/guard commit (matched money BIGINT
-# envelope, segmented_rank loud count guard, J10/J16 per-row |v| <= 3e9
-# scan guard, temporal/tpch oracle money_sql recomposition) touches
-# mix_curriculum_stages, window_value_deciles, orders_rfm_segments,
-# events_value_outliers, events_corr_value_hour, rollup_events_hourly,
-# cube_orders_priority, grouping_sets_report, join_skew_salted,
-# rolling_window_24h, match_exact_key; and this round's scale-trend
-# instrumentation refactored the F10 candidate construction into
-# _setsim_parts and G8 into the planes-parameterized variant —
-# dedup_setsim_prefix, knn_graph_lsh. Then ALL 23 rows whose latest driver
-# check is still ROUND 6 (events_* family, graph/rollup/pivot/set-ops,
-# sketch_hll_distinct, text_entropy, text_repetition_ratio, mm_binary_meta,
-# dedup_url_canonical, embed_random_projection, shard_shuffle_deterministic,
-# incremental_rollup_merge), then the oldest round-7 rows alphabetical to
-# fill 50. Rolls to round 11: the remaining r7 rows (curate_corpus,
-# curate_keep_best, events_cdc_snapshot, events_funnel_3step,
-# events_funnel_steps, events_watermark_lag_audit,
-# extract_first_wins_upsert, extract_json_props,
-# extract_regex_fields, extract_title_company, extract_url_filter,
-# filter_valid_names, match_phonetic_block, mix_corpus_temperature,
-# mm_image_features, mm_video_framesample, orders_market_basket,
-# q2/q3/q7/q8/q9/q11/q15/q16/q17/q20/q21, rank_neardup_pagerank,
-# sample_weighted_priority, sketch_cms_heavy_hitters,
-# sketch_hll_daily_merge, sketch_theta_setops, suppliers_pareto_abc,
-# text_collocations_pmi, text_tfidf_topterms, text_unigram_logprob).
+# 50 registered queries per round). Round-11 rotation (VERDICT r10 task 4):
+# ALL 37 rows whose latest driver check is still ROUND 7 (the full list the
+# r10 verdict enumerates — extract/curate families, the heavy TPC-H tail
+# q2/q7/q8/q9/q11/q15/q16/q17/q20/q21 plus q3/q21, phonetic/pagerank/
+# pareto/market-basket, tfidf/pmi/unigram, cms/hll-merge/theta sketches,
+# temperature mix, weighted sampling, funnel/cdc/watermark events,
+# mm image/video), then knn_graph_lsh (the r11 adaptive-plane work keeps
+# the registry entry as the frozen 8-plane parity twin — re-pin it green
+# the same round the adaptive default ships), then the 12 oldest round-8
+# rows alphabetical to fill 50. Rolls to round 12: the remaining r8 rows
+# (privacy_*, q1/q4/q5/q6/q10, quality_* profile/constraint/drift/dup/null/
+# row, sketch_bottomk/hll_sliding, text_inverted_index, text_langid,
+# window_top_orders_per_cust), then the r9 tier.
 # The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- plan/operator/oracle changed since last driver check (25) ---------
-    # (quality_snapshot_diff: r10 composed-regime fix — D38 cent sum;
-    #  text_token_count/pack_sequences: r10 hostile_docs \v ws-split fix;
-    #  dedup_ngram_jaccard: r10 try_element_at empty-token fix;
-    #  the whole similarity/_base family: r10 extreme_vectors fixes —
-    #  zero-norm → NULL normalized vector, micro-unit integer envelope for
-    #  G4/G6/G7, asc_nulls_last PQ ranking; plus the post-r9-verdict
-    #  envelope/guard commit's consumers and the F10/G8 stats refactors)
-    "quality_snapshot_diff",
-    "text_token_count",
-    "pack_sequences",
-    "dedup_ngram_jaccard",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
-    "ann_pq_topk",
-    "cluster_kmeans_embed",
-    "dedup_embedding_cosine",
-    "dedup_semantic_kmeans",
-    "embed_random_projection",
+    # ---- latest driver row = round 7 (37) -------------------------------
+    "curate_corpus",
+    "curate_keep_best",
+    "events_cdc_snapshot",
+    "events_funnel_3step",
+    "events_funnel_steps",
+    "events_watermark_lag_audit",
+    "extract_first_wins_upsert",
+    "extract_json_props",
+    "extract_regex_fields",
+    "extract_title_company",
+    "extract_url_filter",
+    "filter_valid_names",
+    "match_phonetic_block",
+    "mix_corpus_temperature",
+    "mm_image_features",
+    "mm_video_framesample",
+    "orders_market_basket",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q20_surplus_suppliers",
+    "q21_last_shipper",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rank_neardup_pagerank",
+    "sample_weighted_priority",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_daily_merge",
+    "sketch_theta_setops",
+    "suppliers_pareto_abc",
+    "text_collocations_pmi",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    # ---- G8 parity twin re-pinned alongside the adaptive-default ship ---
     "knn_graph_lsh",
-    "dedup_setsim_prefix",
-    "mix_curriculum_stages",
-    "window_value_deciles",
-    "orders_rfm_segments",
-    "events_value_outliers",
-    "events_corr_value_hour",
-    "rollup_events_hourly",
-    "cube_orders_priority",
-    "grouping_sets_report",
-    "join_skew_salted",
-    "rolling_window_24h",
-    "match_exact_key",
-    # ---- latest driver row = round 6 (22; embed_random_projection is
-    # above with the changed set — dual reason) --------------------------
-    "dedup_url_canonical",
-    "events_anomaly_mad",
-    "events_distinct_skewsafe",
-    "events_freshness",
-    "events_gap_stats",
-    "events_markov_transitions",
-    "events_resample_ffill",
-    "events_retention_cohorts",
-    "events_scd2_history",
-    "events_session_window_native",
-    "events_sessionize",
-    "events_tumbling_agg",
-    "events_zorder_key",
-    "graph_triangle_count",
-    "incremental_rollup_merge",
-    "mm_binary_meta",
-    "pivot_user_event_matrix",
-    "set_ops_customer_segments",
-    "shard_shuffle_deterministic",
-    "sketch_hll_distinct",
-    "text_entropy",
-    "text_repetition_ratio",
-    # ---- oldest round-7 rows, alphabetical (fill to the 50-query window;
-    # ann_ivf/ann_recall are also base-policy consumers) -----------------
-    "ann_ivf_topk",
-    "ann_recall_report",
-    "api_fulltext_rank",
+    # ---- oldest round-8 rows, alphabetical (fill to 50) -----------------
+    "api_by_state",
+    "api_lookup_by_key",
+    "api_page_keyset",
+    "api_search_ilike",
+    "api_search_trigram",
+    "dedup_exact",
+    "events_attribution_last_touch",
+    "events_peak_concurrency",
+    "match_keyword_jaccard",
+    "mm_audio_features",
+    "mm_audio_resample",
+    "norm_names",
 ]
 
 
