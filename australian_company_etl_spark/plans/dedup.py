@@ -867,6 +867,30 @@ def rank_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pr_ppm"))
 
 
+def pagerank_graph_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """F9 scale instrumentation (VERDICT r10 task 7): the near-dup graph's
+    size terms at a given SF. Each PageRank iteration is ONE equi-join of
+    the persisted directed edge list against the rank state + one
+    map-side-combined sum — so ``edges_directed`` IS the per-iteration
+    shuffle row count, and the family scales linearly iff the edge list
+    does (the F2 candidate growth already measured linear). NOT timed."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    n_pairs = pairs.count()
+    nodes = (
+        pairs.select(F.col("doc_id_a").alias("n"))
+        .union(pairs.select(F.col("doc_id_b").alias("n")))
+        .distinct()
+        .count()
+    )
+    return {
+        "dup_pairs": int(n_pairs),
+        "edges_directed": 2 * int(n_pairs),
+        "nodes": int(nodes),
+        "iters": PR_ITERS,
+        "rows_joined_per_iter": 2 * int(n_pairs),
+    }
+
+
 def _pagerank_sql() -> str:
     iters = []
     prev = "pr0"
@@ -1322,7 +1346,17 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc_id partitioning), the prefix self-join on hash, then a verify
     join against the persisted hash sets. At 100 TB this is the standard
     production set-sim join; df is the only global state and it is itself
-    a shuffle-friendly aggregate."""
+    a shuffle-friendly aggregate.
+
+    The verify join is PINNED shuffle-hash (r10 task 6): the hash-sets
+    side sits right at AQE's broadcast threshold at the sf10 tier, so the
+    runtime choice flipped between broadcast and sort-merge with JVM heap
+    state — a nondeterministic "Not enough memory to build and broadcast"
+    in one bench run and a 37%-of-value wall-clock spread across the rest.
+    At 100 TB the sets side can never broadcast, sort-merge would sort
+    array<long> payloads, and the hinted build side (the per-doc sets,
+    always the smaller row count) is exactly what a hash table wants —
+    one deterministic plan across heap states and scales."""
     sets, _prefix, cands = _setsim_parts(spark, sf_dir)
     sa = sets.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
@@ -1332,8 +1366,8 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cands.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        cands.join(sa.hint("shuffle_hash"), "doc_id_a")
+        .join(sb.hint("shuffle_hash"), "doc_id_b")
         .withColumn("inter", inter)
         .filter(
             SETSIM_DEN * F.col("inter")

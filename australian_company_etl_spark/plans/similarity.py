@@ -22,6 +22,7 @@ AQE-coalesced window partitions).
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -190,8 +191,19 @@ def _bucket_sql(e: str, planes: list[list[float]] | None = None) -> str:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2 — sign-LSH bucketed top-k (candidates share the query's bucket)."""
-    base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e")))
+    """G2 — sign-LSH bucketed top-k (candidates share the query's bucket).
+    Registry entry = the frozen 8-plane parity twin; the library default
+    for a growing corpus is ``ann_lsh_topk_adaptive`` (same plan, plane
+    count from ``adaptive_n_planes``)."""
+    return ann_lsh_topk_planes(spark, sf_dir, planes=PLANES)
+
+
+def ann_lsh_topk_planes(
+    spark: SparkSession, sf_dir: str, planes: list[list[float]] | None = None
+) -> DataFrame:
+    """G2 with a parameterized plane set — the scale lever shared with G8
+    (more planes → smaller buckets → bounded per-query candidate sets)."""
+    base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e"), planes))
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
     )
@@ -203,6 +215,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_cos_spark(F.col("qe"), F.col("e")), 6).alias("score"),
     )
     return _topk(pairs)
+
+
+def ann_lsh_topk_adaptive(
+    spark: SparkSession, sf_dir: str, target_bucket_size: int | None = None
+) -> DataFrame:
+    """G2 library default: plane count derived from the corpus (see
+    ``adaptive_n_planes``); identical to the parity twin below the
+    adaptive threshold because the formula floors at N_PLANES."""
+    tbs = TARGET_BUCKET_SIZE if target_bucket_size is None else target_bucket_size
+    return ann_lsh_topk_planes(spark, sf_dir, corpus_adaptive_planes(spark, sf_dir, tbs))
 
 
 def _lsh_sql() -> str:
@@ -777,8 +799,14 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the candidate stage is a bucket EQUI-join with itself — cost
     Σ|bucket|², never N² — and the per-vertex top-k runs through the
     WindowGroupLimit rank-filter pushdown, so only k rows per vertex
-    survive each shuffle side. At 100 TB recall is tuned with more planes
-    (smaller buckets) plus multiple independent plane tables OR'd
+    survive each shuffle side. The LIBRARY default for a growing corpus
+    is ``knn_graph_lsh_adaptive`` (plane count from ``adaptive_n_planes``
+    — the sf10 bench measured the fixed 8-plane config at 187.7M
+    candidate pairs vs 13.9M at the 12 planes the formula picks there);
+    THIS registry entry stays the frozen 8-plane parity twin because the
+    static oracle SQL cannot count the corpus, and it equals the adaptive
+    output at every gate SF (the formula floors at N_PLANES). Recall is
+    additionally tunable with multiple independent plane tables OR'd
     together (union of edge lists, dedup by pair) — same plan shape,
     parameterized; vertices whose bucket is a singleton simply have no
     edges, the standard LSH-graph tradeoff the multi-table variant
@@ -816,6 +844,60 @@ def knn_planes(n_planes: int) -> list[list[float]]:
     """First ``n_planes`` deterministic md5-seeded hyperplanes (table 0 —
     the first N_PLANES are exactly the parity planes)."""
     return [_plane(p) for p in range(n_planes)]
+
+
+#: target mean bucket occupancy for the adaptive plane count. 64 keeps the
+#: in-bucket verify work per row O(target·dim) and reproduces the two
+#: measured anchors: the parity 8 planes at the small SFs (≤ ~16k vectors)
+#: and the bench-measured scale-correct 12 planes at the sf10 corpus
+#: (200k vectors → 13.5× fewer candidate pairs / 13.3× less wall-clock
+#: than the fixed 8-plane config, BENCH_r10 sf10.knn_plane_lever).
+TARGET_BUCKET_SIZE = 64
+
+#: bucket keys are int bitmasks (1 << p); 30 planes = the last shift that
+#: stays positive in int32 — and 2^30 buckets ≈ one bucket per vector at
+#: any corpus this engine meets before the key would move to bigint.
+MAX_PLANES = 30
+
+
+def adaptive_n_planes(n_rows: int, target_bucket_size: int = TARGET_BUCKET_SIZE) -> int:
+    """Corpus-adaptive sign-LSH plane count (VERDICT r10 task 1): enough
+    planes that the MEAN bucket holds ~``target_bucket_size`` vectors —
+    ``ceil(log2(n / target))`` — floored at the N_PLANES parity default
+    (small corpora keep the frozen-parity buckets exactly) and capped at
+    MAX_PLANES. The fixed 8-plane default is scale-WRONG by the repo's own
+    measurement: 256 buckets over the 100× sf10 corpus put 187.7M ordered
+    pairs through the candidate join (~quadratic), vs 13.9M at the 12
+    planes this formula picks for that corpus."""
+    if n_rows <= 0:
+        return N_PLANES
+    return max(N_PLANES, min(MAX_PLANES, math.ceil(math.log2(max(1.0, n_rows / target_bucket_size)))))
+
+
+def corpus_adaptive_planes(
+    spark: SparkSession, sf_dir: str, target_bucket_size: int = TARGET_BUCKET_SIZE
+) -> list[list[float]]:
+    """The adaptive plane set for a corpus: one cheap count aggregate
+    (parquet row-group metadata — no column read) → deterministic planes.
+    A deployment with a stats manifest passes the known count straight to
+    ``adaptive_n_planes`` and skips even that."""
+    n = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].count()
+    return knn_planes(adaptive_n_planes(n, target_bucket_size))
+
+
+def knn_graph_lsh_adaptive(
+    spark: SparkSession, sf_dir: str, target_bucket_size: int = TARGET_BUCKET_SIZE
+) -> DataFrame:
+    """G8, the LIBRARY DEFAULT entry point: k-NN graph with the plane
+    count derived from the corpus (adaptive_n_planes), so Σ|bucket|² stays
+    bounded as the corpus grows instead of degrading quadratically at the
+    fixed parity plane count. The ``knn_graph_lsh`` registry entry remains
+    the FROZEN 8-plane parity twin (static oracle SQL cannot count the
+    corpus); at the small gate SFs the two produce identical graphs
+    because the formula floors at the parity count."""
+    return knn_graph_lsh_planes(
+        spark, sf_dir, planes=corpus_adaptive_planes(spark, sf_dir, target_bucket_size)
+    )
 
 
 def knn_candidate_stats(
@@ -878,12 +960,23 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: probe buckets are generated per query (|queries| · (P+1) rows,
     broadcast); candidate generation stays a bucket equi-join against the
-    corpus — same plan shape as G2, wider probe dim."""
-    base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e")))
+    corpus — same plan shape as G2, wider probe dim. Registry entry = the
+    frozen 8-plane parity twin; ``ann_lsh_multiprobe_adaptive`` derives
+    the plane count from the corpus."""
+    return ann_lsh_multiprobe_planes(spark, sf_dir, planes=PLANES)
+
+
+def ann_lsh_multiprobe_planes(
+    spark: SparkSession, sf_dir: str, planes: list[list[float]] | None = None
+) -> DataFrame:
+    """G11 with a parameterized plane set (probe count tracks the plane
+    count: own bucket + one flip per plane)."""
+    plist = PLANES if planes is None else planes
+    base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e"), plist))
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
     )
-    flips = F.array(*([F.lit(0)] + [F.lit(1 << p) for p in range(N_PLANES)]))
+    flips = F.array(*([F.lit(0)] + [F.lit(1 << p) for p in range(len(plist))]))
     probes = (
         q.select("q_id", "qe", "qb", F.explode(flips).alias("flip"))
         .select("q_id", "qe", (F.col("qb").bitwiseXOR(F.col("flip"))).alias("pb"))
@@ -897,6 +990,38 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_cos_spark(F.col("qe"), F.col("e")), 6).alias("score"),
     ).distinct()
     return _topk(pairs)
+
+
+def ann_lsh_multiprobe_adaptive(
+    spark: SparkSession, sf_dir: str, target_bucket_size: int | None = None
+) -> DataFrame:
+    """G11 library default: plane count derived from the corpus (see
+    ``adaptive_n_planes``)."""
+    tbs = TARGET_BUCKET_SIZE if target_bucket_size is None else target_bucket_size
+    return ann_lsh_multiprobe_planes(
+        spark, sf_dir, corpus_adaptive_planes(spark, sf_dir, tbs)
+    )
+
+
+def lsh_recall_planes(
+    spark: SparkSession, sf_dir: str, planes: list[list[float]] | None = None
+) -> dict:
+    """Measured recall@k of single-table sign-LSH at a given plane set vs
+    the exact G1 baseline — the G10 gauge, parameterized, so the recall
+    COST of the adaptive plane count is recorded next to its candidate
+    savings (VERDICT r10 task 1: more planes = smaller buckets = fewer
+    candidates, but also fewer true neighbors sharing the query's bucket).
+    Returns exact integers: Σ hits over Σ k across the query set."""
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "n_id")
+    approx = ann_lsh_topk_planes(spark, sf_dir, planes).select("q_id", "n_id")
+    hits = brute.join(approx, ["q_id", "n_id"]).count()
+    total = brute.count()
+    return {
+        "n_planes": len(planes) if planes is not None else N_PLANES,
+        "hits": int(hits),
+        "total": int(total),
+        "recall_pct": round(100.0 * hits / total, 1) if total else 0.0,
+    }
 
 
 def _lsh_multiprobe_sql() -> str:
