@@ -13,6 +13,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Local-mode driver heap sized from the HOST, not a flat constant
+    (ADVICE r10): a flat 24g default turns every entry point — unit tests,
+    sf0.001 regime runs — into an OS OOM-killer risk on hosts with less
+    RAM than the 128 GiB bench box, where a graceful in-JVM spill/broadcast
+    failure is the right outcome. Clamp to ~1/5 of detected host memory,
+    floor 8g (the pre-r10 default, ample for every small-SF gate), cap 24g
+    (the sf10-bench-measured need: a borderline AQE broadcast build inside
+    the setsim verify OOM'd nondeterministically at 8g, round-10 bench run
+    2). Detection failure falls back to the conservative 8g. On a real
+    cluster per-executor sizing replaces this knob entirely."""
+    try:
+        total_gib = (os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")) // (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{min(24, max(8, total_gib // 5))}g"
+
+
 def get_spark(
     app_name: str = "australian_company_etl_spark",
     master: str | None = None,
@@ -66,15 +84,17 @@ def get_spark(
                 in ("true", "1", "yes")
             ).lower(),
         )
-        # 24g, not 8g: in local mode this ONE heap holds every executor's
-        # storage + shuffle state + broadcast builds. 8g was measured
-        # marginal at the sf10 bench tier — a borderline AQE
-        # broadcast-join decision inside the setsim verify OOM'd the
-        # build ("Not enough memory to build and broadcast", round 10
-        # bench run 2) nondeterministically, with the identical plan
-        # passing in a fresher JVM. The box has 128 GiB; on a real
-        # cluster per-executor sizing replaces this knob entirely.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # host-clamped, not flat (see _default_driver_mem): in local mode
+        # this ONE heap holds every executor's storage + shuffle state +
+        # broadcast builds — 8g was measured marginal at the sf10 bench
+        # tier ("Not enough memory to build and broadcast" in the setsim
+        # verify, round 10 bench run 2), so big hosts get up to 24g, while
+        # small hosts keep the 8g floor instead of inviting the OS
+        # OOM-killer.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         # ANSI mode is PINNED ON by default — not merely inherited from the
         # Spark 4 build default (which is also on: every gate since this
         # repo moved to pyspark 4 has in fact run under ANSI). Round 9

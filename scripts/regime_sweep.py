@@ -363,6 +363,20 @@ def main() -> int:
             return 2
         args = args[2:]
     if regime == "random":
+        if cli_params:
+            # --params is the exact-replay escape hatch for EXPLICIT dims;
+            # the random sampler overwrites every knob from the seed, so a
+            # replay typed as `--regime random --params {...}` would appear
+            # to work while running a different corpus (ADVICE r10). Replay
+            # a logged random run via its logged dims: `--regime a+b
+            # --params '<logged json>'`.
+            print(
+                "--params is ignored under --regime random (the seed's sampler "
+                "sets every knob); replay the logged run with its logged dims: "
+                "--regime <dim1+dim2> --params '<logged json>'",
+                file=sys.stderr,
+            )
+            return 2
         dims, params = _sample_random(seed)
         label = f"random(seed={seed})→{'+'.join(dims)}"
     elif regime:

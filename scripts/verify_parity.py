@@ -22,10 +22,12 @@ memoize the ORACLE side per (query, oracle-SQL digest, corpus digest) in
 slowest sf1 entries (etl_dag_end_to_end 69s, curate_keep_best 63s) are
 ~90% DuckDB recursive-CTE evaluation; with a warm cache a full sf1 replay
 re-runs every SPARK plan but answers the oracle side from the stored
-canonical hash. The Spark side is NEVER cached. Any oracle-SQL edit or
-corpus regeneration changes the key and recomputes. On a cached-hash
-mismatch the line says so — rerun that query without --cache for row
-diffs.
+canonical hash. The Spark side is NEVER cached. Any oracle-SQL edit
+changes the key and recomputes; the corpus digest covers each file's
+size plus 64 KiB head/tail windows (the parquet footer lives in the
+tail), so regeneration invalidates even when file sizes coincide. On a
+cached-hash mismatch the line says so — rerun that query without
+--cache for row diffs.
 """
 
 from __future__ import annotations
@@ -42,21 +44,39 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _corpus_digest(sf_dir: str) -> str:
-    """Digest of every table file's (relative path, size): any regeneration
-    or layout change invalidates the cache. mtimes are deliberately
+    """Digest of every table file's (relative path, size, head+tail bytes).
+    The tail bytes cover the parquet FOOTER (row-group offsets, column
+    stats, schema), so a regenerated corpus whose files happen to keep
+    identical sizes still changes the key (ADVICE r10 — the earlier
+    size-only digest silently reused stale oracle hashes in that case).
+    Not a full-content checksum: hashing whole multi-GB corpora per replay
+    would cost more than the cache saves, and content changes that leave
+    size AND both 64 KiB windows (including all footer metadata) untouched
+    are not producible by any parquet writer here. mtimes are deliberately
     excluded — identical bytes re-copied should still hit."""
     from australian_company_etl_spark.sources.registry import TABLES, table_path
 
     h = hashlib.sha256()
+
+    def _file(fp: str, label: str) -> None:
+        size = os.path.getsize(fp)
+        h.update(f"{label}:{size};".encode())
+        win = 65536
+        with open(fp, "rb") as f:
+            h.update(f.read(win))
+            if size > win:
+                f.seek(max(win, size - win))
+                h.update(f.read(win))
+
     for name in sorted(TABLES):
         p = table_path(sf_dir, name)
         if os.path.isdir(p):
             for root, _dirs, files in sorted(os.walk(p)):
                 for f in sorted(files):
                     fp = os.path.join(root, f)
-                    h.update(f"{os.path.relpath(fp, sf_dir)}:{os.path.getsize(fp)};".encode())
+                    _file(fp, os.path.relpath(fp, sf_dir))
         elif os.path.exists(p):
-            h.update(f"{name}:{os.path.getsize(p)};".encode())
+            _file(p, name)
     return h.hexdigest()[:16]
 
 
