@@ -1,9 +1,13 @@
-"""Headline benchmark — one JSON line for the driver.
+"""Headline benchmark — one COMPACT JSON line for the driver, full record
+in bench_out.json.
 
 Runs the SURVEY §6 headliners (TPC-H core, minhash dedup, ANN brute force,
 text analysis, event-time agg) at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Each query is forced end-to-end through the
-`noop` sink (full execution, no driver collect bottleneck).
+`noop` sink (full execution, no driver collect bottleneck). The final
+stdout line is kept under ~1.9 KB (the driver stores a 2000-char tail);
+everything — per-query spreads, candidate stats, context — lands in
+bench_out.json next to this file.
 """
 
 from __future__ import annotations
@@ -69,9 +73,28 @@ SF10_PRIMARY_INPUT = {
     "dedup_setsim_prefix": "documents",
     "text_inverted_index": "documents",
     "ann_brute_topk": "embeddings",
-    "knn_graph_lsh_planes12": "embeddings",
+    "knn_graph_lsh_adaptive": "embeddings",
     "events_tumbling_agg": "events",
 }
+
+
+def _plan_source_digest() -> str:
+    """Digest of the plan modules whose code SHAPES the cached candidate
+    stats (ADVICE r10: the cache key carried only the data-generator
+    parameters, so a plane-seed / prefix-filter / shingle change would
+    keep reporting stale candidate counts as current scale evidence)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for rel in (
+        "australian_company_etl_spark/plans/dedup.py",
+        "australian_company_etl_spark/plans/similarity.py",
+        "australian_company_etl_spark/plans/text.py",
+    ):
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
 
 
 
@@ -303,7 +326,47 @@ def main() -> None:
         result["sf10"] = _sf10_section(spark, queries, result)
         print(f"# sf10 totals: {result['sf10']['value']}s", file=sys.stderr)
 
-    print(json.dumps(result))
+    # The FULL record goes to bench_out.json; stdout gets a COMPACT final
+    # line (VERDICT r10 task 2): the driver's artifact keeps only a ~2000-
+    # char stdout tail, and the full one-line JSON outgrew it in round 8 —
+    # BENCH_r08–r10 all carry parsed:null. The compact line keeps the
+    # driver-contract keys (metric/value/unit/queries/sf) plus the
+    # cross-run normalizers (calib, sched) and section totals.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "queries": times,
+        "spread_total": round(sum(spreads.values()), 3),
+        "calib_min": min(calib),
+        "sched_median": sched_probe["median"],
+        "detail": "bench_out.json",
+    }
+    if "large" in result:
+        compact["sf1_sec"] = result["large"]["value"]
+    if "serving_probe_vs_scan" in result:
+        compact["probe_vs_scan_sec"] = [
+            result["serving_probe_vs_scan"]["probe_sec"],
+            result["serving_probe_vs_scan"]["scan_sec"],
+        ]
+    if "sf10" in result:
+        compact["sf10_sec"] = result["sf10"]["value"]
+        compact["sf10_queries"] = result["sf10"]["queries"]
+        compact["knn_adaptive_planes"] = result["sf10"]["knn_plane_lever"][
+            "adaptive_n_planes"
+        ]
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard driver-tail bound: drop per-query detail
+        compact.pop("sf10_queries", None)
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        compact["queries"] = {}
+        line = json.dumps(compact)
+    print(line)
 
 
 def _sf10_section(spark, queries, result: dict) -> dict:
@@ -334,7 +397,12 @@ def _sf10_section(spark, queries, result: dict) -> dict:
         spark.catalog.clearCache()
         queries[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
         runs = []
-        for _ in range(n_timed):
+        # setsim: min-of-3 regardless of the section default (VERDICT r10
+        # task 6) — its r10 spread was ~37% of value (borderline-broadcast
+        # verify join, since pinned shuffle-hash); three runs bound the
+        # spread claim either way
+        n_q = max(n_timed, 3) if name == "dedup_setsim_prefix" else n_timed
+        for _ in range(n_q):
             spark.catalog.clearCache()
             t0 = _time.perf_counter()
             queries[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
@@ -349,12 +417,16 @@ def _sf10_section(spark, queries, result: dict) -> dict:
     # untimed, but the counts ARE the scale claim
     from australian_company_etl_spark.plans.dedup import (
         minhash_candidate_stats,
+        pagerank_graph_stats,
         setsim_candidate_stats,
     )
     from australian_company_etl_spark.plans.similarity import (
+        adaptive_n_planes,
         knn_candidate_stats,
-        knn_graph_lsh_planes,
+        knn_graph_lsh_adaptive,
         knn_planes,
+        knn_graph_lsh_planes,
+        lsh_recall_planes,
     )
     from australian_company_etl_spark.plans.text import inverted_index_stats
 
@@ -368,7 +440,7 @@ def _sf10_section(spark, queries, result: dict) -> dict:
     from scripts.make_benchdata import EMB_NOISE
 
     stats_path = os.path.join(os.path.dirname(sf10_dir), "candidate_stats_cache.json")
-    stats_key = f"v1:replicas{SF10_REPLICAS}:noise{EMB_NOISE}"
+    stats_key = f"v2:replicas{SF10_REPLICAS}:noise{EMB_NOISE}:plans{_plan_source_digest()}"
     stats_cache: dict = {}
     if os.path.exists(stats_path):
         stored = _json.load(open(stats_path))
@@ -400,39 +472,56 @@ def _sf10_section(spark, queries, result: dict) -> dict:
         },
     }
 
-    # G8 at sf10: the fixed-parity 8-plane config is the section's measured
-    # SCALING OFFENDER by construction — 256 buckets over a 100× corpus
-    # puts ~190M ordered pairs through the candidate join (cand stats
-    # above), a ~5-minute single run this section deliberately does NOT
-    # time by default (SPARK_GRAFT_SF10_KNN8=1 opts in). What IS timed is
-    # the documented remedy at the same corpus: 12 planes (4096 buckets,
-    # ~13.5× fewer candidates) — the knob a real deployment turns as the
-    # corpus grows, with both configs' candidate counts recorded so the
-    # lever's effect is a number, not a posture.
-    p12 = knn_planes(12)
-    cand["knn_graph_lsh"]["sf10_planes12"] = _stat(
-        "knn12:sf10", knn_candidate_stats, sf10_dir, p12
+    # G8 at sf10 (VERDICT r10 task 1): the LIBRARY DEFAULT is now
+    # corpus-adaptive — time knn_graph_lsh_adaptive itself (including its
+    # one count aggregate) and record which plane count the formula picked
+    # plus that config's candidate terms. The fixed-parity 8-plane
+    # registry config stays the section's measured scaling offender by
+    # construction (~190M ordered pairs over the 100× corpus, cand stats
+    # above); it is timed only under SPARK_GRAFT_SF10_KNN8=1. The recall
+    # COST of the added planes is recorded alongside the candidate
+    # savings (lsh_recall_planes at the parity and adaptive counts).
+    n_emb = spark.read.parquet(os.path.join(sf10_dir, "embeddings.parquet")).count()
+    n_adapt = adaptive_n_planes(n_emb)
+    p_adapt = knn_planes(n_adapt)
+    cand["knn_graph_lsh"]["sf10_adaptive"] = dict(
+        _stat(f"knn{n_adapt}:sf10", knn_candidate_stats, sf10_dir, p_adapt)
     )
+    recall = {
+        "planes8": _stat("lshrecall8:sf10", lsh_recall_planes, sf10_dir),
+        f"planes{n_adapt}": _stat(
+            f"lshrecall{n_adapt}:sf10", lsh_recall_planes, sf10_dir, p_adapt
+        ),
+    }
+    # F9 trend terms (VERDICT r10 task 7): per-iteration shuffle rows of
+    # the iterative-graph family at both SFs
+    cand["rank_neardup_pagerank"] = {
+        "sf1": _stat("prgraph:sf1", pagerank_graph_stats, sf1_dir),
+        "sf10": _stat("prgraph:sf10", pagerank_graph_stats, sf10_dir),
+    }
     tmp = stats_path + ".tmp"
     with open(tmp, "w") as f:
         _json.dump({"key": stats_key, "entries": stats_cache}, f)
     os.replace(tmp, stats_path)
     spark.catalog.clearCache()
-    knn_graph_lsh_planes(spark, sf10_dir, p12).write.mode("overwrite").format("noop").save()
+    knn_graph_lsh_adaptive(spark, sf10_dir).write.mode("overwrite").format("noop").save()
     runs = []
     for _ in range(n_timed):
         spark.catalog.clearCache()
         t0 = _time.perf_counter()
-        knn_graph_lsh_planes(spark, sf10_dir, p12).write.mode("overwrite").format(
+        knn_graph_lsh_adaptive(spark, sf10_dir).write.mode("overwrite").format(
             "noop"
         ).save()
         runs.append(round(_time.perf_counter() - t0, 3))
-    times["knn_graph_lsh_planes12"] = min(runs)
-    spreads["knn_graph_lsh_planes12"] = round(max(runs) - min(runs), 3)
+    times["knn_graph_lsh_adaptive"] = min(runs)
+    spreads["knn_graph_lsh_adaptive"] = round(max(runs) - min(runs), 3)
     total += min(runs)
     lever = {
-        "knn_planes12_sec": min(runs),
-        "note": "12 planes is the scale-correct G8 config at this corpus; the 8-plane registry config's cost is recorded as cand_pairs (~13.5x more) and timed only under SPARK_GRAFT_SF10_KNN8=1",
+        "adaptive_n_planes": n_adapt,
+        "n_vectors": n_emb,
+        "knn_adaptive_sec": min(runs),
+        "lsh_recall": recall,
+        "note": "library default derives the plane count from the corpus (adaptive_n_planes); the 8-plane registry config stays the frozen parity twin, its cost recorded as cand_pairs and timed only under SPARK_GRAFT_SF10_KNN8=1",
     }
     if os.environ.get("SPARK_GRAFT_SF10_KNN8", "0") == "1":
         spark.catalog.clearCache()
@@ -442,6 +531,33 @@ def _sf10_section(spark, queries, result: dict) -> dict:
         ).save()
         lever["knn_planes8_sec_single_run"] = round(_time.perf_counter() - t0, 3)
     print(f"# [sf10] knn lever: {lever}", file=sys.stderr)
+
+    # F9 pagerank timed at both decades (the one family without an sf10
+    # line through round 10): min-of-n after one untimed warm run each
+    pr_fn = queries["rank_neardup_pagerank"]
+    pr_trend = {}
+    for label, d in (("sf1_sec", sf1_dir), ("sf10_sec", sf10_dir)):
+        spark.catalog.clearCache()
+        pr_fn(spark, d).write.mode("overwrite").format("noop").save()
+        runs = []
+        for _ in range(n_timed):
+            spark.catalog.clearCache()
+            t0 = _time.perf_counter()
+            pr_fn(spark, d).write.mode("overwrite").format("noop").save()
+            runs.append(round(_time.perf_counter() - t0, 3))
+        pr_trend[label] = min(runs)
+    pr_trend["t_ratio"] = (
+        round(pr_trend["sf10_sec"] / pr_trend["sf1_sec"], 2)
+        if pr_trend["sf1_sec"] > 0
+        else None
+    )
+    pr_trend["edges_per_iter"] = {
+        "sf1": cand["rank_neardup_pagerank"]["sf1"]["rows_joined_per_iter"],
+        "sf10": cand["rank_neardup_pagerank"]["sf10"]["rows_joined_per_iter"],
+    }
+    times["rank_neardup_pagerank_sf10"] = pr_trend["sf10_sec"]
+    total += pr_trend["sf10_sec"]
+    print(f"# [sf10] pagerank trend: {pr_trend}", file=sys.stderr)
 
     # decade ratios vs the sf1 section, with the per-family data-growth
     # factor (events/embeddings are frozen at sf0.1 size inside sf1)
@@ -479,6 +595,7 @@ def _sf10_section(spark, queries, result: dict) -> dict:
         "input_rows": input_rows,
         "candidate_stats": cand,
         "knn_plane_lever": lever,
+        "pagerank_trend": pr_trend,
         "context": {
             "data_note": "sf10 scales events (disjoint users, same 30-day range) and embeddings (disjoint ids, hash-perturbed vectors) 100x over sf0.1; sf1 froze both at sf0.1 size, so their rows_factor_vs_sf1 is 100, not 10",
             "bar": "a headliner whose t_ratio_vs_sf1 exceeds its rows_factor by more than the calib ratio is a scaling defect; bucketed joins are judged on cand_pairs growth, not wall-clock alone",
