@@ -80,6 +80,27 @@ Dimensions:
   NaN/Inf LITERALS stay excluded — zero vectors already surface the
   NaN surface without injecting bytes the embedding contract (finite
   float features) rules out. Parameterized: ``hostile_pct``.
+- ``unicode_mixed`` (round 11): documents.text AND the three name columns
+  cycle normalization-hostile BMP content — NFC vs NFD spellings of the
+  same words, stacked combining marks, scalars bounding the surrogate
+  gap (U+D7FF/U+E000, legal but edge-adjacent), zero-width/bidi format
+  characters, compatibility singletons (Å vs U+212B) and fi/fl ligatures
+  — every tokenizer/length/regex/upper() parity seam fed codepoint
+  sequences that LOOK equal but aren't. Non-BMP stays excluded for the
+  same UTF-16-vs-codepoint length reason as hostile_names.
+  Parameterized: ``hostile_pct``.
+- ``long_doc`` (round 11): the minimum-doc_id document's text becomes one
+  ``long_tokens``-token synthetic document (varying tokens, 9973-token
+  vocabulary, ~7 MB at the 1M default) — the single-row envelope for the
+  shingle zip-shift, rolling-window spans, PMI pair expansion, and the
+  documented ngram int32 prune bound. Parameterized: ``long_tokens``.
+- ``extreme_timestamps`` (round 11): events.ts cycles pre-1970 (1777),
+  the one-second-before-epoch boundary, the epoch itself, and year 9999
+  (every date_trunc/epoch/window seam where floor-vs-truncate semantics
+  diverge on negative epochs); orders.o_orderdate / lineitem.l_shipdate
+  cycle 1600-01-01 / 9999-12-31. All values stay inside the proleptic-
+  Gregorian-safe range (post-1582-10-15) so parquet writes need no
+  rebase mode. Parameterized: ``ts_pct``.
 
 All subset selections use murmur3 ``hash(key, seed) pmod 100 < pct`` — the
 corpus is materialized to parquet before either engine reads it, so any
@@ -108,7 +129,25 @@ DIMENSIONS = (
     "hostile_docs",
     "same_dates",
     "extreme_vectors",
+    "unicode_mixed",
+    "long_doc",
+    "extreme_timestamps",
 )
+
+#: unicode_mixed classes (all BMP — see the docstring's non-BMP note);
+#: explicit escapes, never literals, so no editor/VCS normalization can
+#: silently collapse the NFC/NFD distinction the classes exist to probe.
+#: Classes 0 and 1 are the SAME words in NFC vs NFD; class 5 carries the
+#: compatibility forms (U+212B ANGSTROM SIGN, fi/fl ligatures) that NFC
+#: leaves alone but NFKC would fold.
+UNICODE_MIXED = [
+    "Caf\u00e9 r\u00e9sum\u00e9 na\u00efve \u00c5ngstr\u00f6m PTY LTD",
+    "Cafe\u0301 re\u0301sume\u0301 nai\u0308ve A\u030angstro\u0308m PTY LTD",
+    "a\u0301\u0302\u0303\u0304\u0305 combining b\u0316\u0317\u0318 mark stack",
+    "\ud7ff\ue000\ufffd surrogate gap neighbours \ud7a3\uf8ff",
+    "\u200bzero\u200cwidth\u200djoined\u2060 bidi\u200e marks\u200f",
+    "\u212b vs \u00c5 vs A\u030a \ufb01nancial a\ufb02utter",
+]
 
 HOSTILE_DOCS = [
     "",
@@ -130,6 +169,7 @@ DEFAULT_PARAMS = {
     "user_card": 1,
     "hostile_pct": 100,
     "null_pct": 50,
+    "long_tokens": 1_000_000,
     "seed": 0,
 }
 
@@ -228,6 +268,71 @@ def _apply_dim(dim: str, t: str, df, params: dict):
             "embedding",
             F.when(pick, scaled).otherwise(F.col("embedding")).cast("array<float>"),
         )
+    if dim == "unicode_mixed":
+        def _cycle(df, col, key):
+            expr = F.col(col)  # class 6 keeps the original value
+            for i, u in enumerate(UNICODE_MIXED):
+                expr = F.when(
+                    F.col(key) % 7 == i,
+                    F.concat(F.lit(u), F.lit(" "), F.col(key).cast("string")),
+                ).otherwise(expr)
+            return df.withColumn(
+                col,
+                F.when(_pct_pick(F, key, params["hostile_pct"], seed, 9), expr).otherwise(
+                    F.col(col)
+                ),
+            )
+
+        if t == "documents":
+            return _cycle(df, "text", "doc_id").withColumn(
+                "n_chars", F.length("text").cast("bigint")
+            )
+        if t in NAME_COLS:
+            col, key = NAME_COLS[t]
+            return _cycle(df, col, key)
+        return df
+    if dim == "long_doc" and t == "documents":
+        # ONE ~long_tokens-token document on the minimum doc_id: varying
+        # tokens over a 9973-word vocabulary via sequence+transform (pure
+        # column expressions — no driver-side string building), so shingle
+        # sets, rolling windows, and PMI pairs all see real variety at
+        # envelope length instead of one repeated token
+        n_tok = int(params["long_tokens"])
+        body = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_tok - 1)),
+                lambda i: F.concat(F.lit("tok"), F.pmod(i, F.lit(9973)).cast("string")),
+            ),
+        )
+        is_min = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy())
+        return df.withColumn(
+            "text", F.when(is_min, body).otherwise(F.col("text"))
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+    if dim == "extreme_timestamps":
+        if t == "events":
+            pick = _pct_pick(F, "event_id", params["ts_pct"], seed, 10)
+            cls = F.col("event_id") % 5  # class 4 keeps the original ts
+            newts = (
+                F.when(cls == 0, F.lit("1777-07-04 01:02:03").cast("timestamp"))
+                .when(cls == 1, F.lit("1969-12-31 23:59:59").cast("timestamp"))
+                .when(cls == 2, F.lit("1970-01-01 00:00:00").cast("timestamp"))
+                .when(cls == 3, F.lit("9999-12-31 23:59:59").cast("timestamp"))
+                .otherwise(F.col("ts"))
+            )
+            return df.withColumn("ts", F.when(pick, newts).otherwise(F.col("ts")))
+        col = {"orders": "o_orderdate", "lineitem": "l_shipdate"}.get(t)
+        if col is None:
+            return df
+        key = "o_orderkey" if t == "orders" else "l_orderkey"
+        pick = _pct_pick(F, key, params["ts_pct"], seed, 11)
+        cls = F.col(key) % 3  # class 2 keeps the original date
+        newd = (
+            F.when(cls == 0, F.lit("1600-01-01").cast("date"))
+            .when(cls == 1, F.lit("9999-12-31").cast("date"))
+            .otherwise(F.col(col))
+        )
+        return df.withColumn(col, F.when(pick, newd).otherwise(F.col(col)))
     if dim == "all_dup" and t == "documents":
         first = df.orderBy("doc_id").select("text", "lang", "source").limit(1)
         pick = _pct_pick(F, "doc_id", params["dup_pct"], seed, 3)
@@ -301,9 +406,14 @@ def _build_corpus(spark, sf_dir: str, out: str, dims: list[str], params: dict) -
     )
 
     # column transforms first, row-reducers last: a composed corpus must
-    # reduce to rows that CARRY the composed column classes
-    ordered = [d for d in dims if d != "single_row"] + (
-        ["single_row"] if "single_row" in dims else []
+    # reduce to rows that CARRY the composed column classes. long_doc runs
+    # after the other column transforms — composed BEFORE all_dup, the
+    # envelope text would replicate across the whole corpus (300 × multi-MB
+    # rows), which tests corpus size, not the long-document seams.
+    ordered = (
+        [d for d in dims if d not in ("single_row", "long_doc")]
+        + (["long_doc"] if "long_doc" in dims else [])
+        + (["single_row"] if "single_row" in dims else [])
     )
     for t in TABLES:
         df = load_tables(spark, sf_dir, [t])[t]
@@ -336,6 +446,11 @@ def _sample_random(seed: int) -> tuple[list[str], dict]:
         user_card=rng.choice([1, 3, 30]),
         hostile_pct=rng.choice([12, 50, 100]),
         null_pct=rng.choice([10, 30, 50]),
+        # long_doc in a RANDOM composition caps at 200k tokens: the 1M
+        # envelope is the dedicated single-dimension run's job, and a 1M-
+        # token doc under (say) all_dup would replicate the 7 MB text
+        # across the whole corpus
+        long_tokens=rng.choice([50_000, 200_000]),
     )
     return dims, params
 
