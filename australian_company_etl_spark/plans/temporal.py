@@ -507,6 +507,13 @@ GROUP BY event_type
 # ── L9: hourly resample + forward fill ──────────────────────────────────────
 
 
+#: L9 spine bound: max per-user lifetime the hourly grid will materialize
+#: (1e6 hours ≈ 114 years — generous for any real entity, 70× under the
+#: hostile 1777→9999 span that hung both engines in the round-11
+#: extreme_timestamps introducing run). Past it, matched loud refusal.
+RESAMPLE_MAX_HOURS = 1_000_000
+
+
 def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L9 — regularize an irregular event stream onto an hourly grid, per
     user, from their first to their last active hour: gap hours appear
@@ -524,7 +531,13 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime hours, never a global calendar cross join); the hourly
     pre-aggregation shuffles once on (user, hour); spine join and ffill
     window both ride the user_id partitioning. A pathological always-on
-    entity yields ~9k rows/year — bounded."""
+    entity yields ~9k rows/year — bounded for any real lifetime, but
+    UNBOUNDED under timestamp OUTLIERS: the round-11 extreme_timestamps
+    regime (one 1777 event + one year-9999 event per user) made every
+    user's lifetime ~72M hours and both engines hung materializing a
+    ~1e11-row grid. Past RESAMPLE_MAX_HOURS (1e6 hours ≈ 114 years) both
+    engines now refuse loudly with the matched 'envelope' marker —
+    clamp or filter outlier timestamps before resampling."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     base = ev.select(
         "user_id",
@@ -544,9 +557,21 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == 1, F.col("v_centi"))).alias("last_v"),
         )
     )
+    spans = base.groupBy("user_id").agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     spine = (
-        base.groupBy("user_id")
-        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        spans.withColumn(
+            "h1",
+            F.when(
+                F.expr(f"(unix_seconds(h1) - unix_seconds(h0)) div 3600 > {RESAMPLE_MAX_HOURS}"),
+                F.raise_error(
+                    F.lit(
+                        "events_resample_ffill: spine envelope exceeded (a user "
+                        f"lifetime spans > {RESAMPLE_MAX_HOURS} hours) — clamp or "
+                        "filter outlier timestamps before resampling"
+                    )
+                ).cast("timestamp"),
+            ).otherwise(F.col("h1")),
+        )
         .select(
             "user_id",
             F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr"),
@@ -568,7 +593,7 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RESAMPLE_SQL = """
+RESAMPLE_SQL = f"""
 WITH base AS (
   SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id,
          CAST(floor(value * 100) AS BIGINT) AS v_centi
@@ -582,7 +607,10 @@ WITH base AS (
     FROM base
   ) GROUP BY user_id, hr
 ), spine AS (
-  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+  SELECT user_id, unnest(generate_series(h0,
+    CASE WHEN date_diff('hour', h0, h1) > {RESAMPLE_MAX_HOURS}
+         THEN error('events_resample_ffill: spine envelope exceeded (a user lifetime spans > {RESAMPLE_MAX_HOURS} hours) - clamp or filter outlier timestamps before resampling')::TIMESTAMP
+         ELSE h1 END, INTERVAL 1 HOUR)) AS hr
   FROM (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM base GROUP BY user_id)
 )
 SELECT s.user_id,

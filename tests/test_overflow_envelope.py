@@ -192,3 +192,42 @@ def test_decimal_div_is_exact_truncating_bigint(spark):
             ).alias("v")
         ).collect()[0]["v"]
         assert got == a // b, (a, b)
+
+
+def test_resample_spine_envelope_refuses_outlier_lifetimes(spark, sf_dir, tmp_path):
+    """L9 pin (round-11 extreme_timestamps regime): the per-user hourly
+    spine is rows ∝ lifetime hours — one 1777 event + one year-9999 event
+    makes every lifetime ~72M hours and the introducing sweep HUNG both
+    engines materializing a ~1e11-row grid. Past RESAMPLE_MAX_HOURS both
+    engines must refuse loudly with the matched 'envelope' marker; a
+    lifetime just under the bound still resamples."""
+    import duckdb
+
+    from australian_company_etl_spark.plans.temporal import (
+        RESAMPLE_MAX_HOURS,
+        RESAMPLE_SQL,
+        events_resample_ffill,
+    )
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "events.parquet")
+    # one user's single event pushed to year 9999 → lifetime ≈ 70M hours
+    hostile = ev.withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") == 0, F.lit("9999-12-31 23:59:59").cast("timestamp")
+        ).otherwise(F.col("ts")),
+    )
+    hostile.coalesce(1).write.parquet(out)
+    with pytest.raises(Exception, match="envelope"):
+        events_resample_ffill(spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{out}/*.parquet')"
+    )
+    with pytest.raises(Exception, match="envelope"):
+        con.execute(RESAMPLE_SQL).fetchall()
+    assert RESAMPLE_MAX_HOURS == 1_000_000  # documented bound
