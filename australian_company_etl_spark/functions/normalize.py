@@ -44,16 +44,33 @@ CLEANUP_RULES: list[tuple[str, str]] = [
 
 ALL_RULES = ABBREV_RULES + NOISE_RULES + CLEANUP_RULES
 
+#: Tier-0 pre-strip (round-11 unicode_mixed regime): everything outside the
+#: ASCII working set becomes a space BEFORE upper() and before any rule runs.
+#: Two cross-engine primitives diverge on non-ASCII input and both are
+#: unreachable after this strip:
+#: - Java's ``\b`` is Unicode-word-aware (a combining mark or accented
+#:   letter abutting "A" suppresses the boundary) while RE2's is ASCII, so
+#:   ``\b(THE|A|AN)\b`` / ``\bPTY\b`` matched differently next to marks;
+#: - Java's upper() applies FULL case mapping (U+FB01 "ﬁ" → "FI", ß → "SS")
+#:   while DuckDB's is simple (ligatures pass through and die in cleanup).
+#: The kept set is exactly the characters later rules consume: the final
+#: [A-Z0-9 ] alphabet plus ()/[] (noise-pattern content), &+; (HTML-entity
+#: and ampersand expansion). For inputs already inside the working set the
+#: pipeline is unchanged — replacing ASCII punctuation with spaces earlier
+#: cannot alter any later match, since every such character is a non-word
+#: boundary character in both engines, exactly like the space it becomes.
+PRE_CLEAN = r"[^A-Za-z0-9 ()\[\]&+;]+"
+
 
 def norm_name_spark(col: Column) -> Column:
-    out = F.upper(F.trim(col))
+    out = F.upper(F.regexp_replace(F.trim(col), PRE_CLEAN, " "))
     for pat, repl in ALL_RULES:
         out = F.regexp_replace(out, pat, repl)
     return F.trim(out)
 
 
 def norm_name_sql(expr: str) -> str:
-    out = f"upper(trim({expr}))"
+    out = f"upper(regexp_replace(trim({expr}), '{PRE_CLEAN}', ' ', 'g'))"
     for pat, repl in ALL_RULES:
         # DuckDB single-quoted literals don't treat backslash as an escape,
         # so regex patterns pass through verbatim; only quotes need doubling.

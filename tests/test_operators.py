@@ -33,6 +33,34 @@ def test_norm_entities_and_noise(spark):
     assert _norm_one(spark, "  spaced   out  name ") == "SPACED OUT NAME"
 
 
+def test_norm_prestrips_non_ascii_before_any_boundary_rule(spark):
+    """Round-11 unicode_mixed pin: Java's \\b is Unicode-word-aware while
+    RE2's is ASCII, and Java's upper() full-case-maps ligatures while
+    DuckDB's is simple — so the pipeline strips non-ASCII to spaces BEFORE
+    upper() and before any \\b rule. A standalone 'A' next to a combining
+    mark must still be removed by the noise rule, and a ligature must die
+    in the pre-strip (never expand to FI via Java's upper). All inputs are
+    explicit escapes — literals would be normalization-ambiguous."""
+    nfd = "Cafe\u0301 A\u030angstrom Pty Ltd"  # NFD: base letters + marks
+    assert _norm_one(spark, nfd) == "CAFE NGSTROM PROPRIETARY LIMITED"
+    nfc = "Caf\u00e9 \u00c5ngstrom Pty Ltd"  # NFC: precomposed, stripped whole
+    assert _norm_one(spark, nfc) == "CAF NGSTROM PROPRIETARY LIMITED"
+    # combining-mark stack: base letter survives, standalone A removed
+    assert _norm_one(spark, "a\u0301\u0302 combining") == "COMBINING"
+    # ligature: pre-stripped, NOT expanded to FI by Java full case mapping
+    assert _norm_one(spark, "\ufb01nancial Services") == "NANCIAL SERVICES"
+    # the oracle generator agrees on all four (the actual regression)
+    import duckdb
+
+    from australian_company_etl_spark.functions.normalize import norm_name_sql
+
+    con = duckdb.connect()
+    for s in (nfd, nfc, "a\u0301\u0302 combining", "\ufb01nancial Services"):
+        assert con.execute("SELECT " + norm_name_sql("?"), [s]).fetchone()[
+            0
+        ] == _norm_one(spark, s)
+
+
 def test_lev_ratio_bounds(spark):
     df = spark.createDataFrame(
         [("ACME", "ACME"), ("ACME", "ACMES"), ("ABCD", "WXYZ"), ("", "")],
