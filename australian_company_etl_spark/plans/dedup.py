@@ -726,17 +726,21 @@ def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# group-by-position form, NOT slice-per-segment: the slice form carried the
+# full token list through one unnest row per segment — O(n²/S) per document
+# in DuckDB (round-10 shingle-SQL defect class; hung on the round-11
+# long_doc 1M-token corpus). Segments are disjoint, so each token belongs
+# to exactly seg (pos−1)//S and an ordered string_agg reassembles — O(n).
 _SEGMENTS_SQL = f"""
 segs AS (
-  SELECT doc_id, k AS seg_id,
-         array_to_string(list_slice(t, k * {SEG_TOKENS} + 1,
-                                    k * {SEG_TOKENS} + {SEG_TOKENS}), ' ') AS seg
+  SELECT doc_id, (pos - 1) // {SEG_TOKENS} AS seg_id,
+         string_agg(w, ' ' ORDER BY pos) AS seg
   FROM (
-    SELECT doc_id, t,
-           unnest(range(0, (len(t) + {SEG_TOKENS - 1}) // {SEG_TOKENS})) AS k
+    SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS pos
     FROM (SELECT doc_id, {tokens_all_sql('text')} AS t FROM documents)
     WHERE len(t) > 0
   )
+  GROUP BY doc_id, (pos - 1) // {SEG_TOKENS}
 )
 """
 
@@ -990,20 +994,28 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _substring_spans_sql() -> str:
+    # zip-shift gram construction, NOT list_slice-in-lambda: the per-
+    # position slice lambda is O(n²) per document in DuckDB (the measured
+    # round-10 shingle-SQL defect — each lambda re-materializes against the
+    # captured list; hung on the round-11 long_doc 1M-token corpus). Same
+    # form as textfns.shingles_sql but position-keyed: w−1 whole-list tail
+    # slices (each O(n), once), one zip, rows past n−w+1 drop because their
+    # zip tail is NULL-padded.
     w = SPAN_W
-    gh = phash_sql("u.g")
+    zips = ", ".join(["t"] + [f"list_slice(t, {i}, len(t))" for i in range(2, w + 1)])
+    gram = " || ' ' || ".join(f"x[{i}]" for i in range(1, w + 1))
+    gh = phash_sql("g")
     return f"""
 WITH toks AS (SELECT doc_id, {tokens_all_sql('text')} AS t FROM documents),
 grams AS (
-  SELECT doc_id, u.pos AS pos, {gh} AS gh
+  SELECT doc_id, pos, {gh} AS gh
   FROM (
-    SELECT doc_id, unnest(l) AS u
+    SELECT doc_id, pos, ({gram}) AS g
     FROM (
-      SELECT doc_id,
-             list_transform(range(1, len(t) - {w} + 2),
-               i -> {{'pos': i, 'g': array_to_string(list_slice(t, i, i + {w} - 1), ' ')}}) AS l
-      FROM toks WHERE len(t) >= {w}
+      SELECT doc_id, unnest(z) AS x, unnest(range(1, len(z) + 1)) AS pos
+      FROM (SELECT doc_id, list_zip({zips}) AS z FROM toks WHERE len(t) >= {w})
     )
+    WHERE x[{w}] IS NOT NULL
   )
 ),
 multi AS (

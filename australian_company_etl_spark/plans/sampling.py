@@ -246,23 +246,39 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunk_sql() -> str:
+    """Token-fanout form, NOT slice-per-chunk: the earlier oracle unnested
+    one row per chunk while CARRYING the full token list and list_slice'ing
+    it per row — O(n²/S) per document in DuckDB (the round-10 shingle-SQL
+    defect class), which HUNG on the round-11 long_doc regime's 1M-token
+    document. Here each token fans out to the ≤ ⌈C/S⌉ chunks that contain
+    it (k from ⌈(pos−C)/S⌉ to ⌊(pos−1)/S⌋, clamped to the chunk count) and
+    chunks reassemble with an ordered string_agg — O(n·C/S) total, identical
+    output."""
     from australian_company_etl_spark.functions.textfns import tokens_all_sql
 
+    c, s = CHUNK_C, CHUNK_S
     return f"""
 WITH toks AS (
   SELECT doc_id, {tokens_all_sql('text')} AS t FROM documents
 ), d AS (
-  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
-)
-, e AS (
-  SELECT doc_id, t, n,
-         unnest(range(0, ((greatest(n - {CHUNK_C}, 0) + {CHUNK_S - 1}) // {CHUNK_S}) + 1)) AS k
+  SELECT doc_id, t, len(t) AS n,
+         ((greatest(len(t) - {c}, 0) + {s - 1}) // {s}) + 1 AS nc
+  FROM toks WHERE len(t) > 0
+), tok AS (
+  SELECT doc_id, n, nc,
+         unnest(t) AS w, unnest(range(1, n + 1)) AS pos
   FROM d
+), tk AS (
+  SELECT doc_id, n, w, pos,
+         unnest(range(greatest(0, (pos - {c} + {s} - 1) // {s}),
+                      least((pos - 1) // {s}, nc - 1) + 1)) AS k
+  FROM tok
 )
 SELECT doc_id, k AS chunk_id,
-       array_to_string(list_slice(t, k * {CHUNK_S} + 1, k * {CHUNK_S} + {CHUNK_C}), ' ') AS chunk_text,
-       least({CHUNK_C}, n - k * {CHUNK_S}) AS n_chunk_tokens
-FROM e
+       string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+       least({c}, any_value(n) - k * {s}) AS n_chunk_tokens
+FROM tk
+GROUP BY doc_id, k
 """
 
 
