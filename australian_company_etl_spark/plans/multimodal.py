@@ -109,48 +109,63 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an explicit >127→63 clamp, so parity is exact for ANY unicode text, not
 # just the ASCII corpus (an unclamped codepoint ≥192 would also overflow
 # the WAV path's int16 on the Spark side).
-_PX = "CASE WHEN ascii(substring(text, i, 1)) > 127 THEN 63 ELSE ascii(substring(text, i, 1)) END"
+#
+# Char-FANOUT form, not substring-in-lambda (round 11, long_doc regime):
+# `substring(text, i, 1)` inside a per-position lambda is O(n) per call on
+# a large VARCHAR in DuckDB (codepoint seek against the captured string),
+# so the old per-position list_transform was O(n²) per document — the
+# same defect class as the round-10 shingle SQL, invisible at 4k chars and
+# a hang at the 1M-token envelope. One regexp_extract_all pass splits the
+# text to codepoints in O(n); positions zip in via a parallel unnest.
+_CHARS_CTE = """chars AS (
+  SELECT doc_id, pos,
+         CASE WHEN ascii(ch) > 127 THEN 63 ELSE ascii(ch) END AS px
+  FROM (SELECT doc_id, unnest(cs) AS ch, unnest(range(1, len(cs) + 1)) AS pos
+        FROM (SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs FROM documents))
+)"""
 
 _IMAGE_SQL = f"""
-SELECT doc_id,
+WITH {_CHARS_CTE},
+agg AS (SELECT doc_id, sum(px) AS s, max(px) AS m FROM chars GROUP BY doc_id)
+SELECT d.doc_id,
        16 AS width,
-       CAST(greatest((length(text) + 15) // 16, 1) AS INT) AS height,
-       CAST(16 * greatest((length(text) + 15) // 16, 1) AS BIGINT) AS n_px,
-       CAST(coalesce(list_sum(px), 0) AS BIGINT) AS sum_px,
-       CAST(coalesce(list_max(px), 0) AS INT) AS max_px,
-       CAST(CASE WHEN length(text) > 0
-                 THEN floor(coalesce(list_sum(px), 0)::DOUBLE
-                            / (16 * greatest((length(text) + 15) // 16, 1)) * 10000)
+       CAST(greatest((length(d.text) + 15) // 16, 1) AS INT) AS height,
+       CAST(16 * greatest((length(d.text) + 15) // 16, 1) AS BIGINT) AS n_px,
+       CAST(coalesce(a.s, 0) AS BIGINT) AS sum_px,
+       CAST(coalesce(a.m, 0) AS INT) AS max_px,
+       CAST(CASE WHEN length(d.text) > 0
+                 THEN floor(coalesce(a.s, 0)::DOUBLE
+                            / (16 * greatest((length(d.text) + 15) // 16, 1)) * 10000)
                  ELSE 0 END AS BIGINT) AS mean_e4
-FROM (SELECT doc_id, text,
-             list_transform(range(1, length(text) + 1),
-                            i -> {_PX}) AS px
-      FROM documents)
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
 def _audio_sql(step: int) -> str:
-    # samples from characters: (clamped codepoint − 64) · 256, 1-based index
-    # with stride `step` — identical to the decoded PCM by construction
-    samples = (
-        f"list_transform(range(1, length(text) + 1, {step}), "
-        f"i -> CAST((({_PX}) - 64) * 256 AS BIGINT))"
-    )
-    # coalesce(len(s), 0): NULL text yields a NULL sample list here, but
-    # the encoder's contract is NULL text → empty (0-sample) WAV, so the
-    # decoded Spark side reports n_samples=0 — the one feature column that
-    # was missing the coalesce its siblings already carry (NULL-heavy-
-    # corpus sweep finding)
+    # samples from characters: (clamped codepoint − 64) · 256, 1-based
+    # positions 1, 1+step, … — identical to the decoded PCM by
+    # construction. NULL/empty text yields no char rows, so every feature
+    # coalesces to 0 — the encoder's NULL text → empty (0-sample) WAV
+    # contract (NULL-heavy-corpus sweep finding).
     return f"""
-SELECT doc_id,
+WITH {_CHARS_CTE},
+s AS (
+  SELECT doc_id, CAST((px - 64) * 256 AS BIGINT) AS x
+  FROM chars WHERE (pos - 1) % {step} = 0
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, max(abs(x)) AS peak, sum(x * x) AS ssq
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id,
        8000 AS sample_rate,
-       CAST(coalesce(len(s), 0) AS BIGINT) AS n_samples,
-       CAST(coalesce(list_max(list_transform(s, x -> abs(x))), 0) AS BIGINT) AS peak,
-       CAST(coalesce(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT) AS sum_sq,
-       CAST(CASE WHEN len(s) > 0
-                 THEN floor(sqrt(list_sum(list_transform(s, x -> x * x))::DOUBLE / len(s)) * 10000)
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_samples,
+       CAST(coalesce(a.peak, 0) AS BIGINT) AS peak,
+       CAST(coalesce(a.ssq, 0) AS BIGINT) AS sum_sq,
+       CAST(CASE WHEN coalesce(a.n, 0) > 0
+                 THEN floor(sqrt(a.ssq::DOUBLE / a.n) * 10000)
                  ELSE 0 END AS BIGINT) AS rms_e4
-FROM (SELECT doc_id, {samples} AS s FROM documents)
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -174,29 +189,29 @@ def mm_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frames hold 32 chars each (8×4, zero-padded); stride-2 sampling keeps
 # frames 0,2,4,… — i.e. chars whose 0-based frame index is even. The zero
 # padding adds nothing to sum/max, so the oracle reproduces every feature
-# from the characters alone.
+# from the characters alone (char-fanout form — see _CHARS_CTE).
 _VIDEO_SQL = f"""
-WITH base AS (
-  SELECT doc_id,
-         greatest((length(text) + 31) // 32, 1) AS n_frames,
-         list_transform(range(1, length(text) + 1),
-                        i -> CASE WHEN ((i - 1) // 32) % 2 = 0
-                                  THEN {_PX} END) AS px0
-  FROM documents
+WITH {_CHARS_CTE},
+agg AS (
+  SELECT doc_id, sum(px) AS s, max(px) AS m
+  FROM chars WHERE ((pos - 1) // 32) % 2 = 0
+  GROUP BY doc_id
 ),
 s AS (
-  SELECT doc_id, n_frames,
-         (n_frames + 1) // 2 AS n_sampled,
-         list_filter(px0, x -> x IS NOT NULL) AS px
-  FROM base
+  SELECT d.doc_id,
+         greatest((length(d.text) + 31) // 32, 1) AS n_frames,
+         (greatest((length(d.text) + 31) // 32, 1) + 1) // 2 AS n_sampled,
+         coalesce(a.s, 0) AS sum_px,
+         coalesce(a.m, 0) AS max_px
+  FROM documents d LEFT JOIN agg a USING (doc_id)
 )
 SELECT doc_id,
        n_frames::INT AS n_frames,
        n_sampled::INT AS n_sampled,
        (32 * n_sampled)::BIGINT AS n_px,
-       CAST(coalesce(list_sum(px), 0) AS BIGINT) AS sum_px,
-       CAST(coalesce(list_max(px), 0) AS INT) AS max_px,
-       CAST(floor(coalesce(list_sum(px), 0)::DOUBLE / (32 * n_sampled) * 10000)
+       CAST(sum_px AS BIGINT) AS sum_px,
+       CAST(max_px AS INT) AS max_px,
+       CAST(floor(sum_px::DOUBLE / (32 * n_sampled) * 10000)
             AS BIGINT) AS mean_e4
 FROM s
 """

@@ -407,12 +407,11 @@ def _collocations_sql() -> str:
     toks = tokens_all_sql("text")
     return f"""
 WITH ex AS (
-  SELECT doc_id, u.pos AS pos, u.x AS x
-  FROM (
-    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
-             i -> {{'pos': i, 'x': t[i]}})) AS u
-    FROM (SELECT doc_id, {toks} AS t FROM documents)
-  )
+  -- parallel unnest, not t[i]-in-lambda: indexing the captured list per
+  -- position re-materializes against it in DuckDB (the round-10/11
+  -- quadratic oracle class) — O(n) this way
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS x
+  FROM (SELECT doc_id, {toks} AS t FROM documents)
 ),
 bi AS (
   SELECT x, y, count(*) AS c_xy
