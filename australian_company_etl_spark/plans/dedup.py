@@ -1333,6 +1333,31 @@ def setsim_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
     return stats
 
 
+#: F10 verify-join strategy bound (r10 task 6): documents input at or under
+#: this ON-DISK size broadcasts the per-doc hash-sets side of the verify
+#: join. 128 MB of compressed document parquet expands to roughly 1-2 GB of
+#: in-memory hash-set arrays (the sf10 tier: 58 MB -> ~0.5 GB), comfortably
+#: inside the session's >=8g local heap and Spark's 8 GB broadcast hard cap;
+#: past it the join is shuffle-hash - the 100 TB shape. Derived from file
+#: metadata only: no extra Spark job, deterministic for a given corpus.
+SETSIM_BROADCAST_MAX_INPUT_BYTES = 128 * 1024 * 1024
+
+
+def _docs_bytes(sf_dir: str) -> int:
+    import os
+
+    from australian_company_etl_spark.sources.registry import table_path
+
+    p = table_path(sf_dir, "documents")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, files in os.walk(p)
+            for f in files
+        )
+    return os.path.getsize(p) if os.path.exists(p) else 0
+
+
 def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10 — set-similarity self-join with EXACT-recall prefix filtering
     (Bayardo et al. WWW'07 "Scaling Up All Pairs", Xiao et al. WWW'08
@@ -1360,15 +1385,20 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     production set-sim join; df is the only global state and it is itself
     a shuffle-friendly aggregate.
 
-    The verify join is PINNED shuffle-hash (r10 task 6): the hash-sets
-    side sits right at AQE's broadcast threshold at the sf10 tier, so the
-    runtime choice flipped between broadcast and sort-merge with JVM heap
-    state — a nondeterministic "Not enough memory to build and broadcast"
-    in one bench run and a 37%-of-value wall-clock spread across the rest.
-    At 100 TB the sets side can never broadcast, sort-merge would sort
-    array<long> payloads, and the hinted build side (the per-doc sets,
-    always the smaller row count) is exactly what a hash table wants —
-    one deterministic plan across heap states and scales."""
+    The verify-join strategy is PINNED, size-aware (r10 task 6): the
+    hash-sets side sits right at AQE's broadcast threshold at the sf10
+    tier, so the runtime choice flipped between broadcast and sort-merge
+    with JVM heap state — a nondeterministic "Not enough memory to build
+    and broadcast" in one bench run and a 37%-of-value spread across the
+    rest; a flat shuffle-hash pin then measured +59% over the broadcast
+    runs (it pays two extra 44M-row candidate shuffles). The choice is
+    now made from the INPUT's on-disk size — a pure data property: below
+    SETSIM_BROADCAST_MAX_INPUT_BYTES the sets side broadcasts explicitly
+    (no candidate shuffle at all, the measured-fast plan, deterministic
+    at any heap); above it, shuffle-hash with the per-doc sets as build
+    side (sort-merge would sort array<long> payloads), the only strategy
+    that exists at 100 TB. Either way the plan is a function of the
+    corpus, never of JVM heap state."""
     sets, _prefix, cands = _setsim_parts(spark, sf_dir)
     sa = sets.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
@@ -1376,10 +1406,14 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sets.select(
         F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
     )
+    if _docs_bytes(sf_dir) <= SETSIM_BROADCAST_MAX_INPUT_BYTES:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    else:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cands.join(sa.hint("shuffle_hash"), "doc_id_a")
-        .join(sb.hint("shuffle_hash"), "doc_id_b")
+        cands.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
         .withColumn("inter", inter)
         .filter(
             SETSIM_DEN * F.col("inter")

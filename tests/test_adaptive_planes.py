@@ -189,3 +189,23 @@ def test_regime_sweep_rejects_params_with_random(monkeypatch, capsys):
     assert rs.main() == 2
     err = capsys.readouterr().err
     assert "ignored under --regime random" in err
+
+
+# ── r10 task 6: the setsim verify join strategy is a function of the corpus ──
+
+
+def test_setsim_verify_join_strategy_is_size_pinned(spark, sf_dir, monkeypatch):
+    """Below SETSIM_BROADCAST_MAX_INPUT_BYTES the verify join broadcasts
+    the per-doc hash sets (measured 2× faster than shuffle-hash at sf10 —
+    no candidate shuffle); above it, shuffle-hash (the only strategy that
+    exists at 100 TB). Either way the physical plan is decided by the
+    input's on-disk size, never by AQE's heap-state-dependent estimate —
+    the r10 bench recorded that estimate flipping plans run-to-run."""
+    from australian_company_etl_spark.plans import dedup as dd
+
+    assert dd._docs_bytes(sf_dir) > 0
+    plan = dd.dedup_setsim_prefix(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "ResolvedHint" in plan or "broadcast" in plan.lower()
+    monkeypatch.setattr(dd, "SETSIM_BROADCAST_MAX_INPUT_BYTES", 0)
+    plan2 = dd.dedup_setsim_prefix(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "shuffle_hash" in plan2.lower() or "ShuffledHashJoin" in plan2
