@@ -10,6 +10,18 @@ list drives two code generators:
 - ``norm_name_sql(expr)``   → the equivalent DuckDB SQL expression
 
 so the engine and the correctness oracle can never drift.
+
+Intentional reference divergence (ADVICE r11): the PRE_CLEAN tier-0 strip
+(see its comment) replaces every non-ASCII character with a space BEFORE
+upper(), so full-case-mapping characters that the reference's Python
+``.upper()`` would expand are stripped instead — reference 'Straße' →
+'STRASSE' / 'ﬁnancial' → 'FINANCIAL', here 'STRA E' / 'NANCIAL'. This is
+deliberate: Java's full case mapping and Unicode-aware ``\\b`` cannot be
+reproduced in DuckDB/RE2, and cross-engine (Spark ≡ oracle) parity on the
+ASCII working set — the reference corpus's actual alphabet (Australian
+company registry names) — is the contract this module keeps. Callers who
+need reference-equivalent output on non-ASCII input must expand ß/ligatures
+before normalizing.
 """
 
 from __future__ import annotations

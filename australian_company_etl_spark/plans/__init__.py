@@ -13,74 +13,67 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # Registration order is the driver's verification order (it checks the first
-# 50 registered queries per round). Round-11 rotation (VERDICT r10 task 4):
-# ALL 37 rows whose latest driver check is still ROUND 7 (the full list the
-# r10 verdict enumerates — extract/curate families, the heavy TPC-H tail
-# q2/q7/q8/q9/q11/q15/q16/q17/q20/q21 plus q3/q21, phonetic/pagerank/
-# pareto/market-basket, tfidf/pmi/unigram, cms/hll-merge/theta sketches,
-# temperature mix, weighted sampling, funnel/cdc/watermark events,
-# mm image/video), then knn_graph_lsh (the r11 adaptive-plane work keeps
-# the registry entry as the frozen 8-plane parity twin — re-pin it green
-# the same round the adaptive default ships), then the 12 oldest round-8
-# rows alphabetical to fill 50. Rolls to round 12: the remaining r8 rows
-# (privacy_*, q1/q4/q5/q6/q10, quality_* profile/constraint/drift/dup/null/
-# row, sketch_bottomk/hll_sliding, text_inverted_index, text_langid,
-# window_top_orders_per_cust), then the r9 tier.
+# 50 registered queries per round). Round-12 rotation (VERDICT r11 task 2):
+# ALL 18 rows whose latest driver check is still ROUND 8 (the full list the
+# r11 verdict enumerates — privacy_*, q1/q4/q5/q6/q10, the quality family,
+# sketch_bottomk/hll_sliding, text_inverted_index/langid,
+# window_top_orders_per_cust), then the 32 oldest ROUND-9 rows alphabetical
+# to fill 50. Rolls to round 13: the two remaining r9 rows
+# (text_quality_score, unify_entities), then the r10 tier.
 # The registry stays FROZEN at 155 keys.
 _VERIFY_FIRST = [
-    # ---- latest driver row = round 7 (37) -------------------------------
-    "curate_corpus",
-    "curate_keep_best",
-    "events_cdc_snapshot",
-    "events_funnel_3step",
-    "events_funnel_steps",
-    "events_watermark_lag_audit",
-    "extract_first_wins_upsert",
-    "extract_json_props",
-    "extract_regex_fields",
-    "extract_title_company",
-    "extract_url_filter",
-    "filter_valid_names",
-    "match_phonetic_block",
-    "mix_corpus_temperature",
-    "mm_image_features",
-    "mm_video_framesample",
-    "orders_market_basket",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    "q20_surplus_suppliers",
-    "q21_last_shipper",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "rank_neardup_pagerank",
-    "sample_weighted_priority",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_daily_merge",
-    "sketch_theta_setops",
-    "suppliers_pareto_abc",
-    "text_collocations_pmi",
-    "text_tfidf_topterms",
-    "text_unigram_logprob",
-    # ---- G8 parity twin re-pinned alongside the adaptive-default ship ---
-    "knn_graph_lsh",
-    # ---- oldest round-8 rows, alphabetical (fill to 50) -----------------
-    "api_by_state",
-    "api_lookup_by_key",
-    "api_page_keyset",
-    "api_search_ilike",
-    "api_search_trigram",
-    "dedup_exact",
-    "events_attribution_last_touch",
-    "events_peak_concurrency",
-    "match_keyword_jaccard",
-    "mm_audio_features",
-    "mm_audio_resample",
-    "norm_names",
+    # ---- latest driver row = round 8 (18) -------------------------------
+    "privacy_k_anonymity",
+    "privacy_pseudonymize",
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "quality_column_profile",
+    "quality_constraint_checks",
+    "quality_drift_psi",
+    "quality_dup_keys",
+    "quality_null_counts",
+    "quality_row_counts",
+    "sketch_bottomk_daily_merge",
+    "sketch_hll_sliding_window",
+    "text_inverted_index",
+    "text_langid",
+    "window_top_orders_per_cust",
+    # ---- latest driver row = round 9, alphabetical (fill to 50) ---------
+    "asof_join_last_error",
+    "chunk_documents",
+    "dedup_cluster_cc",
+    "dedup_incremental",
+    "dedup_lines",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_substring_spans",
+    "etl_dag_end_to_end",
+    "extract_xml_fields",
+    "match_blocked_fuzzy",
+    "match_fuzzy_levenshtein",
+    "match_multi_scorer",
+    "mix_corpus_weighted",
+    "q12_priority_shipping",
+    "q13_cust_order_dist",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_global_sales_opp",
+    "quality_conf_distribution",
+    "quantiles_event_value",
+    "range_join_close_pairs",
+    "sample_stratified_hash",
+    "sketch_bloom_membership",
+    "sketch_kmv_distinct",
+    "split_train_holdout",
+    "text_contamination",
+    "text_fingerprint",
+    "text_gopher_filters",
+    "text_idf_vocab",
+    "text_pii_scrub",
 ]
 
 

@@ -1340,7 +1340,37 @@ def setsim_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
 #: inside the session's >=8g local heap and Spark's 8 GB broadcast hard cap;
 #: past it the join is shuffle-hash - the 100 TB shape. Derived from file
 #: metadata only: no extra Spark job, deterministic for a given corpus.
+#: This module constant is the CAP; the effective bound additionally scales
+#: with the configured driver heap (see _setsim_broadcast_max_bytes) so a
+#: small SPARK_GRAFT_DRIVER_MEM cannot make the explicit broadcast a
+#: deterministic OOM (ADVICE r11: the two knobs were uncoupled).
 SETSIM_BROADCAST_MAX_INPUT_BYTES = 128 * 1024 * 1024
+
+
+def _parse_jvm_mem(s: str) -> int:
+    """JVM memory string ('8g', '512m', '8192') -> bytes."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(float(s))
+
+
+def _setsim_broadcast_max_bytes(spark) -> int:
+    """Effective broadcast bound: min(cap, driver_heap/64) — at the 8g
+    session floor this is exactly the measured 128 MiB cap (no behavior
+    change), while an explicitly smaller SPARK_GRAFT_DRIVER_MEM shrinks
+    the bound proportionally instead of deterministically broadcasting
+    ~1-2 GB of expanded hash sets into a heap that cannot hold them. The
+    plan remains a pure function of (corpus, configured heap) — both fixed
+    per deployment — never of runtime JVM heap *state*."""
+    try:
+        heap = _parse_jvm_mem(
+            spark.sparkContext.getConf().get("spark.driver.memory", "8g")
+        )
+    except (ValueError, TypeError):
+        heap = 8 << 30
+    return min(SETSIM_BROADCAST_MAX_INPUT_BYTES, heap // 64)
 
 
 def _docs_bytes(sf_dir: str) -> int:
@@ -1393,7 +1423,8 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest; a flat shuffle-hash pin then measured +59% over the broadcast
     runs (it pays two extra 44M-row candidate shuffles). The choice is
     now made from the INPUT's on-disk size — a pure data property: below
-    SETSIM_BROADCAST_MAX_INPUT_BYTES the sets side broadcasts explicitly
+    the heap-coupled bound (_setsim_broadcast_max_bytes, 128 MiB at the
+    default >=8g heap) the sets side broadcasts explicitly
     (no candidate shuffle at all, the measured-fast plan, deterministic
     at any heap); above it, shuffle-hash with the per-doc sets as build
     side (sort-merge would sort array<long> payloads), the only strategy
@@ -1406,7 +1437,7 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sets.select(
         F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
     )
-    if _docs_bytes(sf_dir) <= SETSIM_BROADCAST_MAX_INPUT_BYTES:
+    if _docs_bytes(sf_dir) <= _setsim_broadcast_max_bytes(spark):
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     else:
         sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")

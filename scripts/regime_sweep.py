@@ -461,7 +461,7 @@ def main() -> int:
     args = sys.argv[1:]
     regime = None
     seed = 0
-    cli_params: dict = {}
+    cli_params: dict | None = None
     while args and args[0].startswith("--"):
         if args[0] == "--regime":
             regime = args[1]
@@ -478,7 +478,10 @@ def main() -> int:
             return 2
         args = args[2:]
     if regime == "random":
-        if cli_params:
+        # `is not None`, not truthiness: an explicitly typed `--params '{}'`
+        # must error the same way (ADVICE r11 — the falsy empty dict slipped
+        # through the guard it exists to close).
+        if cli_params is not None:
             # --params is the exact-replay escape hatch for EXPLICIT dims;
             # the random sampler overwrites every knob from the seed, so a
             # replay typed as `--regime random --params {...}` would appear
@@ -500,11 +503,11 @@ def main() -> int:
             print(__doc__, file=sys.stderr)
             return 2
         params = dict(DEFAULT_PARAMS, seed=seed)
-        unknown_params = set(cli_params) - set(params)
+        unknown_params = set(cli_params or {}) - set(params)
         if unknown_params:
             print(f"unknown --params keys: {sorted(unknown_params)}", file=sys.stderr)
             return 2
-        params.update(cli_params)
+        params.update(cli_params or {})
         label = regime
     else:
         print(__doc__, file=sys.stderr)

@@ -50,10 +50,13 @@ def _corpus_digest(sf_dir: str) -> str:
     identical sizes still changes the key (ADVICE r10 — the earlier
     size-only digest silently reused stale oracle hashes in that case).
     Not a full-content checksum: hashing whole multi-GB corpora per replay
-    would cost more than the cache saves, and content changes that leave
-    size AND both 64 KiB windows (including all footer metadata) untouched
-    are not producible by any parquet writer here. mtimes are deliberately
-    excluded — identical bytes re-copied should still hit."""
+    would cost more than the cache saves. Beyond the windows, eight 4 KiB
+    probes at evenly spaced interior offsets are hashed (ADVICE r11): a
+    hand-edited or externally produced file that preserves size and both
+    windows would previously reuse stale oracle hashes; now a mid-file
+    change must dodge the probes too — ~96 KiB read per file total, still
+    O(1) per file. mtimes are deliberately excluded — identical bytes
+    re-copied should still hit."""
     from australian_company_etl_spark.sources.registry import TABLES, table_path
 
     h = hashlib.sha256()
@@ -67,6 +70,11 @@ def _corpus_digest(sf_dir: str) -> str:
             if size > win:
                 f.seek(max(win, size - win))
                 h.update(f.read(win))
+            interior = size - 2 * win
+            if interior > 0:
+                for i in range(8):
+                    f.seek(win + (interior * i) // 8)
+                    h.update(f.read(4096))
 
     for name in sorted(TABLES):
         p = table_path(sf_dir, name)

@@ -170,11 +170,18 @@ def test_corpus_digest_changes_on_same_size_content_change(tmp_path):
     # identical bytes re-written (mtime changes) still hit
     p.write_bytes(blob)
     assert _corpus_digest(str(tmp_path)) == d2
-    # a middle-of-file change outside both 64 KiB windows is the declared
-    # blind spot — document it by pinning the behavior
+    # ADVICE r11: a middle-of-file change is no longer a guaranteed blind
+    # spot — eight evenly spaced 4 KiB interior probes catch this one
+    # (offset 100_000 lands exactly on probe 4 of this 200 kB file)
     blob[100_000] = ord("z")
     p.write_bytes(blob)
-    assert _corpus_digest(str(tmp_path)) == d2
+    d3 = _corpus_digest(str(tmp_path))
+    assert d3 != d2
+    # the residual blind spot between probes is declared, not silent —
+    # pin it so a future densify shows up as a deliberate test change
+    blob[70_500] = ord("w")  # after probe 0's 4 KiB, before probe 1
+    p.write_bytes(blob)
+    assert _corpus_digest(str(tmp_path)) == d3
 
 
 # ── ADVICE r10: --params under --regime random is an error, not a no-op ─────
@@ -189,6 +196,43 @@ def test_regime_sweep_rejects_params_with_random(monkeypatch, capsys):
     assert rs.main() == 2
     err = capsys.readouterr().err
     assert "ignored under --regime random" in err
+
+
+def test_regime_sweep_rejects_empty_params_with_random(monkeypatch, capsys):
+    # ADVICE r11: an explicitly typed `--params '{}'` is falsy but still
+    # supplied — it must hit the same guard, not silently pass through
+    import scripts.regime_sweep as rs
+
+    monkeypatch.setattr(
+        "sys.argv", ["regime_sweep.py", "--regime", "random", "--params", "{}"]
+    )
+    assert rs.main() == 2
+    assert "ignored under --regime random" in capsys.readouterr().err
+
+
+# ── ADVICE r11: setsim broadcast bound scales with the configured heap ──────
+
+
+def test_parse_jvm_mem():
+    from australian_company_etl_spark.plans.dedup import _parse_jvm_mem
+
+    assert _parse_jvm_mem("8g") == 8 << 30
+    assert _parse_jvm_mem("512m") == 512 << 20
+    assert _parse_jvm_mem("1t") == 1 << 40
+    assert _parse_jvm_mem("8192") == 8192
+
+
+def test_setsim_broadcast_bound_couples_with_driver_heap(spark):
+    from australian_company_etl_spark.plans import dedup as dd
+
+    heap = dd._parse_jvm_mem(
+        spark.sparkContext.getConf().get("spark.driver.memory", "8g")
+    )
+    got = dd._setsim_broadcast_max_bytes(spark)
+    # at the session's >=8g floor this is exactly the measured 128 MiB cap
+    # (no behavior change); a smaller explicit heap shrinks it as heap/64
+    assert got == min(dd.SETSIM_BROADCAST_MAX_INPUT_BYTES, heap // 64)
+    assert got == dd.SETSIM_BROADCAST_MAX_INPUT_BYTES  # 8g floor ⇒ cap
 
 
 # ── r10 task 6: the setsim verify join strategy is a function of the corpus ──
