@@ -25,18 +25,43 @@ def phash_sql(expr: str) -> str:
 
 
 # ── tokenization: lowercase word split ──────────────────────────────────────
+#
+# Split-FIRST casing order (round-12 locale_casing regime, the tokenizer
+# twin of normalize.py's tier-0 pre-strip): the separator class is applied
+# to the RAW string and lower() runs per-token afterwards. Rationale: a
+# token produced by splitting on [^A-Za-z0-9]+ is a maximal ASCII-
+# alphanumeric run BY CONSTRUCTION, so the per-token lower() only ever
+# sees ASCII, where Spark and DuckDB agree trivially — whereas the old
+# lower()-then-split order let Java's FULL case mapping disagree with
+# DuckDB's simple utf8proc mapping before the separators were even
+# decided. The one multi-char lowercase mapping in Unicode, İ U+0130 →
+# "i" + U+0307, made Spark tokenize "İstanbul" as [i, stanbul] while
+# DuckDB produced [istanbul]; singletons like the Kelvin sign (K → ASCII
+# k in both) relied on the engines' tables agreeing char by char. ASCII
+# corpora tokenize exactly as before (uppercase runs lower per-token to
+# the identical result), so every gate-corpus oracle hash is unchanged.
+# Implementation notes, both measured on the 500k-doc sf10 corpus:
+# (a) expressed as split→transform(lower), NOT as a regexp_replace
+# pre-strip — Spark's regexp_replace is pathologically slow on negated
+# classes (28s vs 0.9s per tokenization pass, which would have DOUBLED
+# dedup_setsim_prefix); (b) spelled [\W_]+ and not [^A-Za-z0-9]+ —
+# Java's Pattern compiles 2-range character classes to a fast node but
+# falls off a cliff at 3 ranges (0.6s vs 21s for the SAME class), while
+# \W (ASCII [^a-zA-Z0-9_] in both Java-default and RE2) ∪ {_} is the
+# identical set with a fast spelling in both engines.
+TOKEN_SEP = r"[\W_]+"
 
 
 def tokens_spark(col: Column) -> Column:
     """Distinct lowercase word tokens, empties removed, sorted."""
-    toks = F.split(F.lower(F.trim(col)), r"[^a-z0-9]+")
+    toks = F.transform(F.split(col, TOKEN_SEP), lambda x: F.lower(x))
     return F.array_sort(F.array_distinct(F.filter(toks, lambda x: x != "")))
 
 
 def tokens_sql(expr: str) -> str:
     return (
-        f"list_sort(list_distinct(list_filter("
-        f"string_split_regex(lower(trim({expr})), '[^a-z0-9]+'), x -> x <> '')))"
+        f"list_sort(list_distinct(list_filter(list_transform("
+        f"string_split_regex({expr}, '{TOKEN_SEP}'), x -> lower(x)), x -> x <> '')))"
     )
 
 
@@ -44,12 +69,15 @@ def tokens_sql(expr: str) -> str:
 
 
 def tokens_all_spark(col: Column) -> Column:
-    toks = F.split(F.lower(F.trim(col)), r"[^a-z0-9]+")
+    toks = F.transform(F.split(col, TOKEN_SEP), lambda x: F.lower(x))
     return F.filter(toks, lambda x: x != "")
 
 
 def tokens_all_sql(expr: str) -> str:
-    return f"list_filter(string_split_regex(lower(trim({expr})), '[^a-z0-9]+'), x -> x <> '')"
+    return (
+        f"list_filter(list_transform(string_split_regex({expr}, '{TOKEN_SEP}'),"
+        f" x -> lower(x)), x -> x <> '')"
+    )
 
 
 # ── word k-gram shingles (distinct) over an ordered token array ─────────────

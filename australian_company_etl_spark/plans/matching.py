@@ -391,7 +391,14 @@ def match_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a pure per-row key projection + one map-side-combined count —
     no pairs are materialized here; the matcher joins within blocks."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
-    w = F.regexp_extract(F.lower(F.trim(F.col("p_name"))), "^[a-z]+", 0)
+    # tier-0 non-ASCII strip BEFORE lower() (round-12 locale_casing regime):
+    # Java's full lowercase of İ U+0130 is "i"+U+0307 while DuckDB's simple
+    # mapping is "i", so "İstanbul" keyed as "i" vs "istanbul". Stripping
+    # non-ASCII to space first (NOT all punctuation — leading ASCII
+    # punctuation must keep yielding w='' exactly as before) leaves lower()
+    # a pure-ASCII input where the engines agree by construction.
+    pre = F.regexp_replace(F.col("p_name"), r"[^\x00-\x7f]+", " ")
+    w = F.regexp_extract(F.lower(F.trim(pre)), "^[a-z]+", 0)
     code = F.translate(F.expr("substring(w, 2)"), _SOUNDEX_FROM, _SOUNDEX_TO)
     d = part.select("p_partkey", w.alias("w")).filter(F.col("w") != "")
     d = d.select("p_partkey", "w", code.alias("code"))
@@ -429,7 +436,8 @@ def _phonetic_sql() -> str:
     collapse = f"regexp_replace({collapse}, '0', '', 'g')"
     return f"""
 WITH words AS (
-  SELECT p_partkey, regexp_extract(lower(trim(p_name)), '^[a-z]+') AS w
+  SELECT p_partkey,
+         regexp_extract(lower(trim(regexp_replace(p_name, '[^\\x00-\\x7f]+', ' ', 'g'))), '^[a-z]+') AS w
   FROM part
 ),
 coded AS (

@@ -56,6 +56,13 @@ FULLTEXT_INDEX = "fulltext_index"
 #: n_docs (idf's denominator) is always exactly the ledger count. At 100 TB
 #: this is the processed-doc ledger a Bloom filter (M3) fronts.
 FULLTEXT_DOCS = "fulltext_docs"
+#: sharded posting segments beside the flat index (r12): one row per
+#: (tok, shard) carrying doc_id-sorted arrays — the bounded-row form the
+#: H12 docstring promises past ~1e6 docs/token, served under /search?shard=1
+FULLTEXT_SHARDED = "fulltext_sharded"
+#: doc_ids per shard segment; small locally so gate corpora produce real
+#: multi-shard tokens — at scale pick ~1e5-1e6 (segment row ≈ one row group)
+FT_SHARD_DOCS = 100
 
 
 @contextlib.contextmanager
@@ -246,6 +253,76 @@ def build_fulltext_index(
     n_docs = spark.read.parquet(table_path(out_dir, FULLTEXT_DOCS)).count()
     _write_fulltext_stats(spark, spark.read.parquet(path), out_dir, mode="overwrite")
     return {"rows": spark.read.parquet(path).count(), "n_docs": n_docs}
+
+
+def _shard_segments(tf: DataFrame, shard_docs: int) -> DataFrame:
+    """(tok, doc_id, tf) postings → (tok, shard_id, doc_ids, tfs, seg_df)
+    SEGMENT rows, shard_id = doc_id div shard_docs: a stop-word token's
+    single unbounded posting run becomes ⌈N/shard_docs⌉ bounded rows.
+    Within a segment the arrays are doc_id-sorted; ACROSS segments order
+    is shard_id order (the shard function is monotone), and a consumer
+    treats multiple segment rows per (tok, shard) as ADDITIVE — append
+    batches create new rows, never rewrites, so the structure feeds the
+    same archive-once append dataflow as the flat index."""
+    arr = F.array_sort(F.collect_list(F.struct("doc_id", "tf")))
+    return (
+        tf.withColumn("shard_id", (F.col("doc_id") / shard_docs).cast("bigint"))
+        .groupBy("tok", "shard_id")
+        .agg(
+            F.transform(arr, lambda s: s["doc_id"]).alias("doc_ids"),
+            F.transform(arr, lambda s: s["tf"]).alias("tfs"),
+            F.count("*").cast("long").alias("seg_df"),
+        )
+    )
+
+
+def build_fulltext_index_sharded(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    shard_docs: int = FT_SHARD_DOCS,
+    n_files: int = 8,
+) -> dict:
+    """Publish the SHARDED full-text index (VERDICT r11 task 7 — the H12
+    docstring's past-1e6-docs/token form, runnable): posting SEGMENTS per
+    (tok, shard) instead of one row per (tok, doc). Same information as
+    the flat index — `/search?shard=1` serves from it through the
+    identical scoring plan (segments exploded back to postings at probe
+    time, term filter still pushed into the tok-sorted scan) and is proven
+    row-identical to the flat probe in tests on a crafted hot-token
+    corpus. At 100 TB each segment row is one bounded row-group write,
+    and an ingest batch's segments append without touching existing rows."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    seg = _shard_segments(_doc_postings(docs), shard_docs)
+    path = table_path(out_dir, FULLTEXT_SHARDED)
+    seg.repartitionByRange(n_files, "tok").sortWithinPartitions(
+        "tok", "shard_id"
+    ).write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    return {"rows": n, "shard_docs": shard_docs}
+
+
+def append_documents_to_sharded(
+    spark: SparkSession, new_docs: DataFrame, data_dir: str, shard_docs: int | None = None
+) -> dict:
+    """Append an ingest batch's posting segments to the sharded index —
+    the library-variant feed into the serving append path: new (tok,
+    shard) segment rows are ADDED (a batch sharing a shard with existing
+    rows yields a second additive segment row — the probe unions them, so
+    df and scores stay exact without any read-modify-write). Membership
+    dedup against the doc ledger is the flat append path's job; this
+    writer assumes ``new_docs`` is already the fresh set (call it from
+    the same maintenance batch, after the ledger anti-join)."""
+    path = table_path(data_dir, FULLTEXT_SHARDED)
+    if shard_docs is None:
+        shard_docs = FT_SHARD_DOCS
+    seg = _shard_segments(_doc_postings(new_docs), shard_docs)
+    if seg.isEmpty():
+        return {"segments_appended": 0}
+    seg.repartitionByRange(2, "tok").sortWithinPartitions("tok", "shard_id").write.mode(
+        "append"
+    ).parquet(path)
+    return {"segments_appended": spark.read.parquet(path).count()}
 
 
 def append_documents_to_index(
@@ -1214,6 +1291,14 @@ def fulltext_rank_from_index(
     idx = spark.read.parquet(table_path(data_dir, FULLTEXT_INDEX)).filter(
         F.col("tok").isin(*terms)
     )
+    return _rank_matched_postings(idx, topk, n_docs)
+
+
+def _rank_matched_postings(idx: DataFrame, topk: int, n_docs: int) -> DataFrame:
+    """The shared exact scorer over term-matched (tok, doc_id, tf) rows —
+    df counted from each term's own matched postings, DECIMAL(38,0) tf·idf
+    sum per doc, sort-limit top-k. Identical expressions whichever layout
+    (flat rows or exploded shard segments) produced ``idx``."""
     dfreq = idx.groupBy("tok").agg(F.count("*").alias("df_docs"))
     scored = (
         idx.join(F.broadcast(dfreq), "tok")
@@ -1241,6 +1326,30 @@ def fulltext_rank_from_index(
         .limit(topk)
         .select("doc_id", "n_terms_hit", "score_micro")
     )
+
+
+def fulltext_rank_from_sharded(
+    spark: SparkSession, data_dir: str, terms: list[str], topk: int, n_docs: int
+) -> DataFrame:
+    """D5's exact ranking served from the SHARDED posting segments
+    (`/search?shard=1`): term filter pushed into the tok-sorted segment
+    scan, matched segments exploded back to (tok, doc_id, tf) postings,
+    then the identical shared scorer. EXACTNESS: segments partition each
+    token's postings (additive across duplicate (tok, shard) rows from
+    appends — exploding unions them), so the exploded frame is row-for-row
+    the flat index's matched postings and every downstream expression is
+    shared code. Proven row-identical to `fulltext_rank_from_index` in
+    tests, including on a hot-token corpus where one term spans many
+    segments."""
+    seg = spark.read.parquet(table_path(data_dir, FULLTEXT_SHARDED)).filter(
+        F.col("tok").isin(*terms)
+    )
+    idx = seg.select(
+        "tok", F.explode(F.arrays_zip("doc_ids", "tfs")).alias("p")
+    ).select(
+        "tok", F.col("p.doc_ids").alias("doc_id"), F.col("p.tfs").alias("tf")
+    )
+    return _rank_matched_postings(idx, topk, n_docs)
 
 
 def _table_digest(df: DataFrame) -> tuple[int, int]:
@@ -1277,6 +1386,7 @@ def snapshot_tables(
         manifest[name] = {"rows": expected[0], "content_hash": expected[1]}
     if "documents" in manifest:
         manifest[FULLTEXT_INDEX] = build_fulltext_index(spark, sf_dir, out_dir)
+        manifest[FULLTEXT_SHARDED] = build_fulltext_index_sharded(spark, sf_dir, out_dir)
     if "part" in manifest:
         manifest[TRIGRAM_INDEX] = {"rows": build_trigram_index(spark, sf_dir, out_dir)}
     _write_manifest(os.path.join(out_dir, "_SNAPSHOT.json"), manifest)
@@ -1349,7 +1459,7 @@ class _Handler(BaseHTTPRequestHandler):
     | /companies/search?q=[&after=&limit=] | D2 api_search_ilike, keyset-paged | main.py:40-49 |
     | /companies/by_state?state=[&after=&limit=] | D3 api_by_state, keyset-paged | main.py:51-59 |
     | /companies?after=&limit= | D4 api_page_keyset | (keyset pagination) |
-    | /search?q=w+w&k= | D5 api_fulltext_rank | (ranked full-text) |
+    | /search?q=w+w&k=[&shard=1] | D5 api_fulltext_rank | (ranked full-text; shard=1 serves from posting segments) |
     | /fuzzy?q=&k= | D6 api_search_trigram | (pg_trgm similarity) |
 
     Every result set is capped at MAX_PAGE_SIZE; the filter routes page by
@@ -1446,6 +1556,18 @@ class _Handler(BaseHTTPRequestHandler):
             # snapshot layout (0 forces the plain probe, (0,1] sets the
             # hot-term threshold)
             max_df = _maxdf_param(q)
+            # ?shard=1 answers from the sharded posting segments (r12 —
+            # proven row-identical to the flat probe); absent sharded
+            # snapshot is a client error, not a silent fallback
+            if q.get("shard") == "1":
+                if not self._live_index(FULLTEXT_SHARDED):
+                    raise ValueError("snapshot has no sharded fulltext index")
+                with open(os.path.join(d, "_SNAPSHOT.json")) as f:
+                    n_docs = json.load(f)[FULLTEXT_INDEX]["n_docs"]
+                self._send(
+                    200, _rows_payload(fulltext_rank_from_sharded(spark, d, terms, k, n_docs))
+                )
+                return
             # serve from the published index (term-pruned probe) when the
             # snapshot has one; ?scan=1 forces the corpus-scan plan (the
             # two are proven row-identical in tests)

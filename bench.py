@@ -326,6 +326,10 @@ def main() -> None:
         result["sf10"] = _sf10_section(spark, queries, result)
         print(f"# sf10 totals: {result['sf10']['value']}s", file=sys.stderr)
 
+    if os.environ.get("SPARK_GRAFT_STREAMING", "1") != "0":
+        result["streaming"] = _streaming_section(spark)
+        print(f"# streaming: {result['streaming']}", file=sys.stderr)
+
     # The FULL record goes to bench_out.json; stdout gets a COMPACT final
     # line (VERDICT r10 task 2): the driver's artifact keeps only a ~2000-
     # char stdout tail, and the full one-line JSON outgrew it in round 8 —
@@ -599,6 +603,46 @@ def _sf10_section(spark, queries, result: dict) -> dict:
     total += pr_trend["sf10_sec"]
     print(f"# [sf10] pagerank trend: {pr_trend}", file=sys.stderr)
 
+    # L/M/J decade lines (VERDICT r11 task 5): those families previously
+    # had no sf10 trend at all — time one representative each at sf1 AND
+    # sf10 (L6 RANGE-frame rolling window over the event stream, M5 HLL
+    # build, M9 HLL sliding window w/ merge, J19 max-struct CDC combine)
+    # and record t_ratio beside the measured events rows factor, same
+    # sublinear-or-adjudicated bar as the pagerank line.
+    fam_trend: dict = {}
+    ev_rows = {
+        "sf1": spark.read.parquet(os.path.join(sf1_dir, "events.parquet")).count(),
+        "sf10": spark.read.parquet(os.path.join(sf10_dir, "events.parquet")).count(),
+    }
+    for name in (
+        "rolling_window_24h",
+        "sketch_hll_distinct",
+        "sketch_hll_sliding_window",
+        "events_cdc_snapshot",
+    ):
+        fn = queries[name]
+        entry: dict = {}
+        for label, d in (("sf1_sec", sf1_dir), ("sf10_sec", sf10_dir)):
+            spark.catalog.clearCache()
+            fn(spark, d).write.mode("overwrite").format("noop").save()
+            runs = []
+            for _ in range(n_timed):
+                spark.catalog.clearCache()
+                t0 = _time.perf_counter()
+                fn(spark, d).write.mode("overwrite").format("noop").save()
+                runs.append(round(_time.perf_counter() - t0, 3))
+            entry[label] = min(runs)
+        entry["t_ratio"] = (
+            round(entry["sf10_sec"] / entry["sf1_sec"], 2)
+            if entry["sf1_sec"] > 0
+            else None
+        )
+        entry["rows_factor"] = round(ev_rows["sf10"] / ev_rows["sf1"], 1)
+        fam_trend[name] = entry
+        times[name + "_sf10"] = entry["sf10_sec"]
+        total += entry["sf10_sec"]
+    print(f"# [sf10] L/M/J family trend: {fam_trend}", file=sys.stderr)
+
     # decade ratios vs the sf1 section, with the per-family data-growth
     # factor (events/embeddings are frozen at sf0.1 size inside sf1)
     large_times = result.get("large", {}).get("queries", {})
@@ -636,11 +680,76 @@ def _sf10_section(spark, queries, result: dict) -> dict:
         "candidate_stats": cand,
         "knn_plane_lever": lever,
         "pagerank_trend": pr_trend,
+        "family_trend": fam_trend,
         "context": {
             "data_note": "sf10 scales events (disjoint users, same 30-day range) and embeddings (disjoint ids, hash-perturbed vectors) 100x over sf0.1; sf1 froze both at sf0.1 size, so their rows_factor_vs_sf1 is 100, not 10",
             "bar": "a headliner whose t_ratio_vs_sf1 exceeds its rows_factor by more than the calib ratio is a scaling defect; bucketed joins are judged on cand_pairs growth, not wall-clock alone",
         },
     }
+
+
+def _streaming_section(spark) -> dict:
+    """J3/J13 streaming micro-bench (VERDICT r11 task 8): replay the 10M-
+    event sf10 table as a file-source stream through BOTH dedup modes and
+    record throughput + state-store size — the numbers that size the
+    100 TB/day posture in SURVEY §4:
+
+    - `exact`: plain dropDuplicates(event_id) — correct-forever ledger,
+      state grows with stream HISTORY (one row per distinct key, ever).
+    - `watermark`: withWatermark(ts, 1h).dropDuplicatesWithinWatermark —
+      state bounded by the duplication window; the only viable mode at
+      100 TB/day, at the documented cost that a later-than-watermark
+      duplicate is re-admitted.
+
+    Sink is noop (the measurement is the pipeline, not a collect);
+    maxFilesPerTrigger splits the replay into real micro-batches so the
+    state store is exercised ACROSS batches, not inside one. State rows
+    and bytes come from the query's own progress metrics
+    (stateOperators: numRowsTotal / memoryUsedBytes)."""
+    import time as _time
+
+    from scripts.make_benchdata import ensure_sf10
+
+    sf10_dir = ensure_sf10(spark)
+    src = os.path.join(sf10_dir, "events.parquet")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    n_rows = spark.read.parquet(src).count()
+    out: dict = {"rows": n_rows}
+    for mode in ("exact", "watermark"):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(src)
+        )
+        if mode == "exact":
+            ded = stream.dropDuplicates(["event_id"])
+        else:
+            ded = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+                ["event_id"]
+            )
+        t0 = _time.perf_counter()
+        q = (
+            ded.writeStream.format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sec = round(_time.perf_counter() - t0, 3)
+        state_rows = state_bytes = 0
+        n_batches = 0
+        for p in q.recentProgress:
+            n_batches += 1
+            for op in p.get("stateOperators") or []:
+                state_rows = max(state_rows, int(op.get("numRowsTotal") or 0))
+                state_bytes = max(state_bytes, int(op.get("memoryUsedBytes") or 0))
+        out[mode] = {
+            "sec": sec,
+            "rows_per_sec": int(n_rows / sec) if sec > 0 else None,
+            "n_batches": n_batches,
+            "state_rows_max": state_rows,
+            "state_bytes_max": state_bytes,
+            "bytes_per_key": round(state_bytes / state_rows, 1) if state_rows else None,
+        }
+    return out
 
 
 if __name__ == "__main__":

@@ -74,3 +74,47 @@ def test_partial_intensity_transforms_a_strict_subset(spark, sf_dir):
     n = docs.count()
     n_dup = out.filter(F.col("text") == first_text).count()
     assert 0 < n_dup < n, f"dup_pct=50 must duplicate a strict subset ({n_dup}/{n})"
+
+
+# ── round-12: the locale_casing tokenizer seam, pinned cross-engine ─────────
+
+
+def test_tokenizers_agree_with_oracle_on_locale_pathological_text(spark):
+    """The locale_casing introducing sweep (regime_locale_casing_r12.log)
+    caught Java's FULL lowercase of İ U+0130 ("i"+U+0307) splitting tokens
+    differently from DuckDB's simple mapping ("i") — 22 token-family
+    queries diverged. The tier-0 ASCII pre-strip in the shared tokenizers
+    closes the whole class: lower() only ever sees ASCII. Pin every
+    locale_casing regime class plus the named İ case through BOTH dialects."""
+    import duckdb
+
+    from australian_company_etl_spark.functions.textfns import (
+        tokens_all_spark,
+        tokens_all_sql,
+        tokens_spark,
+        tokens_sql,
+    )
+
+    rows = [(s,) for s in rs.LOCALE_CASING] + [
+        ("İstanbul Tıcaret PTY LTD",),
+        ("ASCII stays exactly as before!",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [
+        (r[0], r[1])
+        for r in df.select(
+            tokens_all_spark(F.col("text")), tokens_spark(F.col("text"))
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = con.execute(
+        f"SELECT {tokens_all_sql('text')}, {tokens_sql('text')} FROM t"
+    ).fetchall()
+    for (g_all, g_set), (w_all, w_set), (src,) in zip(got, want, rows):
+        assert g_all == w_all, (src, g_all, w_all)
+        assert g_set == w_set, (src, g_set, w_set)
+    # the İ case specifically: one token, not a split pair
+    i_case = got[len(rs.LOCALE_CASING)][0]
+    assert "stanbul" in i_case and "i" not in i_case

@@ -29,7 +29,8 @@ def server(spark, tmp_path_factory):
     snap = str(tmp_path_factory.mktemp("serving_snapshot"))
     manifest = snapshot_tables(spark, SF_DIR, snap)
     assert set(manifest) == {
-        "customer", "nation", "part", "documents", "fulltext_index", "trigram_index",
+        "customer", "nation", "part", "documents", "fulltext_index",
+        "fulltext_sharded", "trigram_index",
     }
     srv = make_server(spark, snap, port=0)
     serve_in_thread(srv)
