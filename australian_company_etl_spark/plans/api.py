@@ -200,34 +200,44 @@ TRGM_TOPK = 10
 def _pg_trigrams(words: list[str]) -> list[str]:
     """pg_trgm's trigram set: each word padded '  w ' then 3-gram'd.
 
-    Words are first lowercased and split on non-alphanumerics — the SAME
-    normalization `_TRGM_EXPR` applies to the indexed/scanned side (and
-    what pg_trgm's show_trgm does): without it a query like "red-widgit"
-    would carry '-wi'-style trigrams that can never match any indexed
-    part, silently deflating every sim through the |q| term while a
-    pg_trgm user would get the "red widgit" ranking."""
+    Words are split on non-alphanumerics FIRST and lowercased per piece —
+    the SAME normalization `_TRGM_EXPR` applies to the indexed/scanned
+    side (and what pg_trgm's show_trgm does): without the split a query
+    like "red-widgit" would carry '-wi'-style trigrams that can never
+    match any indexed part, silently deflating every sim through the |q|
+    term. Split-FIRST order (round-12 locale_casing regime, the
+    tokenizer fix's twin): a piece from the ASCII split is pure ASCII,
+    so lower() agrees across Python, Java, and DuckDB by construction —
+    the old lower()-first order let Java's full lowercase of İ U+0130
+    produce different word splits than DuckDB's simple mapping (seed-905
+    sweep, api_search_trigram sim drift)."""
     import re
 
     out: set[str] = set()
     for w in words:
-        for piece in re.split(r"[^a-z0-9]+", w.lower()):
+        for piece in re.split(r"[\W_]+", w, flags=re.ASCII):
             if not piece:
                 continue
-            p = f"  {piece} "
+            p = f"  {piece.lower()} "
             out.update(p[i : i + 3] for i in range(len(p) - 2))
     return sorted(out)
 
 
+# separator spelled [\W_]+ (not [^A-Za-z0-9]+) for the same measured Java
+# 3-range-class cliff documented at textfns.TOKEN_SEP; in the Spark-SQL
+# string literal the backslash must itself be escaped ('\\W').
 _TRGM_EXPR = (
     "array_distinct(flatten(transform("
-    "  transform(filter(split(lower(trim({c})), '[^a-z0-9]+'), x -> x != ''),"
+    "  transform(filter(transform(split({c}, '[\\\\W_]+'), x -> lower(x)),"
+    "                   x -> x != ''),"
     "            w -> concat('  ', w, ' ')),"
     "  p -> transform(sequence(1, length(p) - 2), i -> substring(p, i, 3)))))"
 )
 
 _TRGM_SQL = (
     "list_distinct(flatten(list_transform("
-    "  list_transform(list_filter(string_split_regex(lower(trim({c})), '[^a-z0-9]+'),"
+    "  list_transform(list_filter(list_transform("
+    "                   string_split_regex({c}, '[\\W_]+'), x -> lower(x)),"
     "                             x -> x <> ''),"
     "            w -> concat('  ', w, ' ')),"
     "  p -> list_transform(range(1, length(p) - 1), i -> substring(p, i, 3)))))"

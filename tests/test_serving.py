@@ -1309,6 +1309,11 @@ def test_pg_trigrams_matches_spark_expr_and_splits_punctuation(spark):
         "trailing! punct?",
         "ALL CAPS AND 123",
         "dash-joined-words and_underscored",
+        # r12 locale_casing (seed-905 sweep): İ's full-vs-simple lowercase
+        # must not split words differently — split-first keeps all three
+        # implementations (Python / Java / DuckDB) on pure-ASCII lower()
+        "Dış TİCARET lımıted 1",
+        "İstanbul Tıcaret",
     ]
     df = spark.createDataFrame([(s,) for s in samples], "txt string").select(
         "txt", F.expr(_TRGM_EXPR.format(c="txt")).alias("trg")
