@@ -607,7 +607,18 @@ def dedup_cluster_cc(
 
 def _cluster_cc_sql() -> str:
     """Oracle: recursive-CTE label reachability — (x, l) ∈ walk iff label l
-    reaches x along near-dup edges; min l per x is the component min."""
+    reaches x along near-dup edges; min l per x is the component min.
+
+    The recursive step carries a monotone prune (``w.lbl < e.dst``): a label
+    is only worth propagating to nodes it is smaller than. This cannot lose
+    the component min m — for any member x ≠ m there is an edge path
+    m → … → x, every intermediate node y satisfies m < y (m is the strict
+    component minimum, ids are unique), so each hop passes the prune; (m, m)
+    itself is a base row. Any totally ordered id domain works (the regime
+    corpora rewrite doc_ids). Halves the enumerated (node, label) closure —
+    without it the walk is the full Σ|component|² and the sf1 replay paid
+    ~90s per CC-rooted oracle (measured r12: 90 → 53s, digest-identical at
+    sf0.01 and sf1)."""
     return f"""
 WITH RECURSIVE
 pairs AS ({_minhash_pairs_body()}),
@@ -620,6 +631,7 @@ walk(doc_id, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc_id
+  WHERE w.lbl < e.dst
 ),
 labels AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id)
 SELECT l.doc_id, l.cluster_id, s.cluster_size
