@@ -260,9 +260,28 @@ def token_set_strings_sql(ta: str, tb: str) -> tuple[str, str, str]:
     return t0, t1, t2
 
 
+def _prefix_lev_ratio_spark(short: Column, full: Column) -> Column:
+    """lev_ratio specialized to ``short`` being a PREFIX of ``full``:
+    levenshtein(s, s+u) is exactly len(u) (insertions achieve it; the length
+    difference lower-bounds any edit script), so the ratio collapses to
+    floor(100·len(short)/len(full)) with the same empty/NULL handling as
+    ``lev_ratio_spark``. By `token_set_strings_spark`'s construction t0 is
+    always a prefix of t1 and of t2 (t1/t2 = t0 ++ ' ' ++ diff), so two of
+    the three token_set levenshteins are O(1) length arithmetic — the same
+    shortcut rapidfuzz's own token_set implementation uses (r12, guide §1.2
+    step 2: per-task work). Value-identical to the full levenshtein form —
+    the DuckDB oracle keeps that form and parity pins the equality."""
+    ls, lf = F.length(short), F.length(full)
+    return (
+        F.when(lf == 0, F.lit(100)).otherwise(F.floor(100 * ls / lf)).cast("int")
+    )
+
+
 def token_set_ratio_spark(t0: Column, t1: Column, t2: Column) -> Column:
     return F.greatest(
-        lev_ratio_spark(t0, t1), lev_ratio_spark(t0, t2), lev_ratio_spark(t1, t2)
+        _prefix_lev_ratio_spark(t0, t1),
+        _prefix_lev_ratio_spark(t0, t2),
+        lev_ratio_spark(t1, t2),
     )
 
 

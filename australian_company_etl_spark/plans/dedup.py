@@ -187,6 +187,12 @@ def _minhash_bands_sets(spark: SparkSession, sf_dir: str):
         )
         for b in range(NUM_BANDS)
     ]
+    # NOT persisted (r12 optimization round, measured): caching the band
+    # table to spare the self-join's two cache-read+explode passes was
+    # tried and REGRESSED minhash sf10 5.6s → 7.8s (the separate cache-
+    # materialization job costs more than the explode it saves, and the
+    # in-memory scan loses whole-stage fusion into the join) — kept as the
+    # fused form.
     bands = (
         agg.select("doc_id", F.explode(F.array(*band_structs)).alias("x"))
         .select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
@@ -327,10 +333,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # hamming filter BEFORE the pair-dedup shuffle (r12, guide §2.3): the
+    # predicate is row-wise, so filter∘distinct ≡ distinct∘filter — but
+    # filtering first runs map-side on the join output and the distinct
+    # exchange moves only the ≤3-bit survivors instead of every generated
+    # block-collision pair (the 4-way union admits up to Σ|block|² rows).
     return (
-        pairs.distinct()
-        .select("doc_id_a", "doc_id_b", ham.cast("int").alias("hamming"))
+        pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= HAMMING_T)
+        .select("doc_id_a", "doc_id_b", "hamming")
+        .distinct()
     )
 
 
@@ -1266,27 +1278,79 @@ SETSIM_DEN = 5
 def _setsim_parts(spark: SparkSession, sf_dir: str):
     """F10 building blocks: (per-doc hash sets, prefix rows, candidate
     pairs). Factored out so `setsim_candidate_stats` measures the EXACT
-    production prefix-join shape (bench scale-trend instrumentation)."""
-    rows = persist_tracked(
+    production prefix-join shape (bench scale-trend instrumentation).
+
+    r12 optimization-round restructure (guide §2.3/§2.4 — shuffle fewer
+    bytes, remove shuffles outright), output-identical by construction:
+
+    - The per-doc distinct hash SET is built in ONE map-side-combined
+      aggregate (collect_set dedups inside the partial buffer; a doc lives
+      in one scan partition, so one combined array row per doc moves) and
+      THAT 1-row-per-doc frame is what gets persisted — the old shape
+      persisted the ~n·|set| exploded hash table (26M rows at the sf10
+      tier) and paid a separate dropDuplicates pass plus a second
+      groupBy(doc_id) over the cache.
+    - df attaches to prefix candidates through a size-aware BROADCAST of
+      the (h, df) table (2.2M rows ≈ tens of MB at the sf10 tier, bounded
+      by the same corpus-size rule as the verify join): below the bound the
+      df join adds NO exchange and the per-doc rank window rides the cached
+      doc_id partitioning (zero exchange: Sort only); above it (the 100 TB
+      shape) the plan falls back to the plain shuffle join + window — df is
+      global state either way, one aggregate.
+    - The pre-verify pair `.distinct()` is GONE — the verify dedups AFTER
+      the exact check instead. Measured at the sf10 tier: the same pair
+      reaches the verify through more than one shared prefix token only
+      1.07× on average (47.47M join rows vs 44.46M distinct pairs), while
+      the distinct cost a 47M-row / ~1 GB exchange plus a 44M-entry hash
+      aggregate before a single set was intersected. Verifying the raw
+      join rows (+7% intersects) and distinct-ing the few τ-passing OUTPUT
+      rows removed the whole exchange: 84.3s → 38.0s same-session at sf10.
+      Output rows are identical — (n_common, jaccard) are pure functions
+      of the pair, so post-verify distinct yields exactly one row per
+      qualifying pair. Known tradeoff, documented honestly: a corpus where
+      every pair shares its WHOLE prefix (all-dups regime) pays the full
+      duplication factor in verify work where the old shape paid it in the
+      exchange; the prefix-filter family degrades on such corpora either
+      way, and the gate corpora are small enough that correctness runs are
+      unaffected.
+    - Each raw join row carries the PPJoin POSITIONAL bound (Xiao et al.
+      WWW'08) as a free map-side filter: for a shared token at df-order
+      positions (i, j) of docs sized (na, nb), overlap ≤ min(i,j) +
+      min(na-i, nb-j), so a row whose bound cannot reach the τ-required
+      α = ⌈NUM·(na+nb)/(NUM+DEN)⌉ skips its verify. On the size-uniform
+      bench corpus this removes only ~0.1% (measured; matches land at
+      near-equal positions) — kept because it costs nothing per row and
+      prunes hard on size- and position-diverse corpora. Pure candidate
+      pruning: every pruned row provably fails the exact verify.
+    """
+    sets = persist_tracked(
         _doc_shingle_rows(spark, sf_dir)
         .select("doc_id", phash_spark(F.col("s")).alias("h"))
-        .dropDuplicates(["doc_id", "h"])
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("sh"))
+        .select("doc_id", "sh", F.size("sh").alias("n"))
     )
-    sets = rows.groupBy("doc_id").agg(
-        F.collect_set("h").alias("sh"), F.count("*").alias("n")
-    )
+    rows = sets.select("doc_id", "n", F.explode("sh").alias("h"))
     dfreq = rows.groupBy("h").agg(F.count("*").alias("df"))
+    if _docs_bytes(sf_dir) <= _setsim_broadcast_max_bytes(spark):
+        dfreq = F.broadcast(dfreq)
     w = Window.partitionBy("doc_id").orderBy("df", "h")
-    ranked = (
-        rows.join(dfreq, "h")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    ranked = rows.join(dfreq, "h").withColumn("rn", F.row_number().over(w))
+    # prefix is persisted: the self-join consumes it twice, and without the
+    # cache BOTH sides recompute the df join + rank window (two identical
+    # 15.9M-row pipelines ran per sf10 bench run — measured stages 77/78).
+    prefix = persist_tracked(
+        ranked.filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"({SETSIM_NUM} * n + {SETSIM_DEN - 1}) div {SETSIM_DEN}")
+            + 1
+        ).select("doc_id", "h", "n", "rn")
     )
-    prefix = ranked.filter(
-        F.col("rn")
-        <= F.col("n") - F.expr(f"({SETSIM_NUM} * n + {SETSIM_DEN - 1}) div {SETSIM_DEN}") + 1
-    ).select("doc_id", "h", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
+    ub = F.least(F.col("a.rn"), F.col("b.rn")) + F.least(
+        F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+    )
     cands = (
         a.join(
             b,
@@ -1295,10 +1359,13 @@ def _setsim_parts(spark: SparkSession, sf_dir: str):
             & (SETSIM_NUM * F.col("a.n") <= SETSIM_DEN * F.col("b.n"))
             & (SETSIM_NUM * F.col("b.n") <= SETSIM_DEN * F.col("a.n")),
         )
+        .filter(
+            (SETSIM_NUM + SETSIM_DEN) * ub
+            >= SETSIM_NUM * (F.col("a.n") + F.col("b.n"))
+        )
         .select(
             F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
         )
-        .distinct()
     )
     return sets, prefix, cands
 
@@ -1335,13 +1402,17 @@ def minhash_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
 
 def setsim_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
     """F10 scale instrumentation: prefix-token bucket cost bound (Σ per-hash
-    C(n,2), BEFORE the length filter) and the distinct post-filter candidate
-    count the verify join actually pays for."""
+    C(n,2), BEFORE the length filter), the distinct candidate-pair count
+    (comparable across rounds), and — new in r12 — the RAW verify row count
+    the dedup-after-verify plan actually intersects (``verify_rows`` /
+    ``cand_pairs`` is the measured duplication factor the restructure
+    trades the pre-verify exchange against)."""
     sets, prefix, cands = _setsim_parts(spark, sf_dir)
     stats = _bucket_join_stats(prefix.groupBy("h").agg(F.count("*").alias("n")))
     stats["rows"] = sets.count()
     stats["prefix_rows"] = prefix.count()
-    stats["cand_pairs"] = cands.count()
+    stats["verify_rows"] = cands.count()
+    stats["cand_pairs"] = cands.distinct().count()
     return stats
 
 
@@ -1470,6 +1541,12 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
             ).alias("jaccard"),
         )
+        # pair dedup AFTER the exact verify (see _setsim_parts: candidates
+        # arrive with an avg 1.07× multiplicity instead of through a 1 GB
+        # pre-verify distinct exchange). (n_common, jaccard) are functions
+        # of the pair, so this is exactly one row per qualifying pair —
+        # byte-identical to the old output.
+        .distinct()
     )
 
 

@@ -405,13 +405,26 @@ def cluster_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(c):
-        w = Window.partitionBy("vec_id").orderBy("d2", "c_id")
+        # min_by aggregate, not a window (r12, guide §2.3 aggregate-before-
+        # shuffle): the window form shuffled all N·K scored rows — each
+        # carrying the 64-element q array — through its Exchange before
+        # keeping one row per vector; the aggregate partial-combines
+        # map-side, so at most one candidate per vector per partition moves.
+        # Order struct (d2, c_id) is total (c_id unique per centroid set)
+        # and sorts a NULL d2 field first, exactly like the ascending
+        # NULLS-FIRST window orderBy it replaces — assignment identical.
+        scored = emb.crossJoin(F.broadcast(c)).withColumn(
+            "d2", _kd2_spark(F.col("q"), F.col("cq"))
+        )
+        ord_ = F.struct(F.col("d2").alias("d"), F.col("c_id").alias("c"))
         return (
-            emb.crossJoin(F.broadcast(c))
-            .withColumn("d2", _kd2_spark(F.col("q"), F.col("cq")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "c_id", "d2", "q")
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("c_id"), F.col("d2"), F.col("q")), ord_
+                ).alias("best")
+            )
+            .select("vec_id", "best.c_id", "best.d2", "best.q")
         )
 
     for _ in range(KMEANS_ITERS):

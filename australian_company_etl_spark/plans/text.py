@@ -178,6 +178,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diverging from the oracle, whose array_to_string propagates NULL;
     # NULL-heavy-corpus sweep finding). An EMPTY string still fingerprints
     # as md5('') in both engines.
+    # KEPT two-pass explode+groupBy+join (r12 optimization round, measured):
+    # a shuffle-free per-row rewrite (same zip-shift gram structs, md5 via
+    # one `transform`, per-row `array_min` — removing the double tokenize,
+    # the groupBy AND the join) was tried and REGRESSED sf10 2.5s → 4.7s:
+    # the md5 then evaluates inside an interpreted higher-order lambda
+    # (~1 µs/element) where the exploded row form runs it under whole-stage
+    # codegen, and that dominates everything the rewrite saved. The explode
+    # + map-side-combined min + join remains the fastest measured shape.
     norm = F.when(
         F.col("text").isNotNull(), F.concat_ws(" ", tokens_all_spark(F.col("text")))
     )
@@ -810,16 +818,19 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     see CORRECTNESS_r03 text_inverted_index) — no collect_list order
     dependence survives into the result.
 
-    Scale: one shuffle on tok after the per-doc distinct (map-side
-    combine collapses each doc's repeats before anything moves). A real
-    web-scale index would shard postings by (tok, bucket) past ~1e6 docs
-    per token to bound a stop-word row; at that point df stays exact and
-    the posting array becomes segment files — same plan shape, noted not
+    Scale: one shuffle on tok after the per-doc distinct (r12: the
+    distinct is the per-ROW `array_distinct` — a doc's repeats collapse
+    inside its own token array before the explode, so no (doc_id, tok)
+    dedup exchange exists at all; the old explode-then-`.distinct()`
+    paid a full extra shuffle of the distinct pairs). A real web-scale
+    index would shard postings by (tok, bucket) past ~1e6 docs per token
+    to bound a stop-word row; at that point df stays exact and the
+    posting array becomes segment files — same plan shape, noted not
     needed at gate scale."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     toks = docs.select(
-        "doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok")
-    ).distinct()
+        "doc_id", F.explode(F.array_distinct(tokens_all_spark(F.col("text")))).alias("tok")
+    )
     return toks.groupBy("tok").agg(
         F.count("*").alias("df_docs"),
         F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
@@ -853,8 +864,10 @@ def text_inverted_index_sharded(
     corpus (tests/test_sharded_index.py)."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     toks = (
-        docs.select("doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok"))
-        .distinct()
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens_all_spark(F.col("text")))).alias("tok"),
+        )
         .withColumn("shard_id", (F.col("doc_id") / shard_docs).cast("bigint"))
     )
     return toks.groupBy("tok", "shard_id").agg(
@@ -888,8 +901,8 @@ def inverted_index_stats(spark: SparkSession, sf_dir: str) -> dict:
     shuffle volume). NOT part of the timed bench region."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     toks = docs.select(
-        "doc_id", F.explode(tokens_all_spark(F.col("text"))).alias("tok")
-    ).distinct()
+        "doc_id", F.explode(F.array_distinct(tokens_all_spark(F.col("text")))).alias("tok")
+    )
     row = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("df"))
