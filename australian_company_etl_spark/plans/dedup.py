@@ -578,7 +578,17 @@ def dedup_cluster_cc(
     unchanged.
     """
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    # pairs persisted BEFORE the union (r12, guide §1.2 step 1: don't
+    # compute things twice) — the two union branches are independent
+    # subtrees, so unpersisted the ENTIRE minhash pipeline (signature agg,
+    # band join, verify) evaluated once per branch; the cache makes the
+    # reversal a re-read of the ~1-row-per-dup-pair result. Measured in
+    # F9 (same graph build) at sf10: 13.2-19.9s → 10.9-12.1s; at sf0.1 the
+    # extra cache-materialization job costs ~0.5s — the scale tier is what
+    # this family is for, so the cache stays.
+    pairs = persist_tracked(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    )
     edges = persist_tracked(
         pairs.union(
             pairs.select(F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b"))
@@ -862,7 +872,13 @@ def rank_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one equi-join shuffle on src + a map-side-combined sum on dst — the
     canonical distributed-pagerank shape (same loop posture as F6:
     checkpoint lineage periodically at 100 TB)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    # pairs persisted BEFORE the union (r12): the two union branches are
+    # independent subtrees — unpersisted, the whole minhash pipeline ran
+    # once per branch (measured: duplicated band-join/verify stages in the
+    # sf10 profile); the cache makes the reversal a tiny re-read.
+    pairs = persist_tracked(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    )
     edges = persist_tracked(
         pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
         .union(
@@ -1095,6 +1111,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the shared edge frame."""
     e = persist_tracked(dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b"))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # tri deliberately NOT persisted (r12 optimization round, measured): the
+    # three per-corner unions re-run the 3-join enumeration, but its inputs
+    # are the already-cached tiny edge frame at any scale — caching tri
+    # itself regressed sf0.1 2.05s → 2.48s (the extra materialization job
+    # costs more than three joins over a cached dim-sized frame).
     tri = (
         e1.join(e2, F.col("e2.doc_id_a") == F.col("e1.doc_id_b"))
         .join(

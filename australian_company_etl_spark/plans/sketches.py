@@ -817,10 +817,76 @@ def sketch_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "win_end")
         .agg(F.count("*").cast("int").alias("n_days_in_win"))
     )
+    # Exact validation twin via per-user coverage INTERVALS + a delta
+    # cumulative sum (r12 optimization round, guide §2.3/§8) instead of the
+    # old `in_window(raw events) → countDistinct`: that form expanded every
+    # event row into each of the ≤W windows covering it — measured 60.2M
+    # rows / 737 MB through one exchange at the sf10 tier, 86% of the whole
+    # query's executor time — to validate windows answerable from ~8M
+    # distinct (type, day, user) triples. Equivalence (exact, not
+    # approximate): a user counts in the window ending at e iff some active
+    # day d has e ∈ [d, d+W-1]; truncating each day's interval at the
+    # user's next active day makes the per-user intervals DISJOINT, so
+    # +1/−1 deltas at [start, end+1) summed cumulatively over day give, at
+    # any e, exactly |{users active in (e−W, e]}| — the same integer
+    # count(DISTINCT user_id) computed per window before. NULL user/day
+    # rows are excluded up front exactly as countDistinct and the old
+    # join's null-rejecting equi/range conditions excluded them. The heavy
+    # shuffle is now the ~rows-sized distinct + one per-user sort; windows
+    # are answered from O(types × days) delta rows.
+    triples = (
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .filter(F.col("user_id").isNotNull() & F.col("day").isNotNull())
+        .distinct()
+    )
+    wu = Window.partitionBy("event_type", "user_id").orderBy("day")
+    cover_end = F.date_add(F.col("day"), HLL_WIN_DAYS - 1)
+    nxt = F.lead("day").over(wu)
+    iv = triples.select(
+        "event_type",
+        F.col("day").alias("start"),
+        F.when(
+            nxt.isNotNull() & (nxt <= cover_end), F.date_sub(nxt, 1)
+        ).otherwise(cover_end).alias("end"),
+    )
+    deltas = (
+        iv.select("event_type", F.col("start").alias("day"), F.lit(1).alias("delta"))
+        .unionAll(
+            iv.select(
+                "event_type",
+                F.date_add(F.col("end"), 1).alias("day"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("delta").alias("d"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = deltas.withColumn("cum", F.sum("d").over(wc)).alias("c")
+    dd = days.alias("d")
+    # LEFT join + coalesce(0): a window whose events all carry NULL user_id
+    # has no coverage interval at all, but the old countDistinct form still
+    # emitted its row with an exact count of 0 — preserve that row.
     exact = (
-        in_window(ev.select("event_type", F.to_date("ts").alias("day"), "user_id"), days)
-        .groupBy("event_type", "win_end")
-        .agg(F.countDistinct("user_id").alias("n_distinct_exact"))
+        dd.join(
+            F.broadcast(cum),
+            (F.col("c.event_type") == F.col("d.event_type"))
+            & (F.col("c.day") <= F.col("d.win_end")),
+            "left",
+        )
+        .groupBy("d.event_type", "d.win_end")
+        .agg(
+            F.coalesce(
+                F.max_by("cum", F.col("c.day")), F.lit(0).cast("bigint")
+            ).alias("n_distinct_exact")
+        )
+        .select(
+            F.col("event_type"), F.col("win_end"), F.col("n_distinct_exact")
+        )
     )
     agg = win_regs.groupBy("event_type", "win_end").agg(
         F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m_reg)")).alias("z_present"),

@@ -131,13 +131,25 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t["customer"].filter(F.col("c_mktsegment") == Q3_SEGMENT)
     orders = t["orders"].filter(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp"))
     li = t["lineitem"].filter(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+    # r12 (measured, guide §3.1): reduce orders by the segment-filtered
+    # customer FIRST (the dim filter prunes ~80% of orders before the big
+    # lineitem join), and take the pruned side as the shuffled-HASH build of
+    # that join — it is far below lineitem (no sort of the 60M-row stream
+    # side). Interleaved sf10 A/B: 5.1s → 2.7s min, consistent across three
+    # rounds. The segment-filtered customer is ~20% of ALL customers — it
+    # scales with SF, so a mandatory broadcast would die collecting it
+    # instead of degrading to a shuffle join; unhinted, AQE still broadcasts
+    # it INSIDE the orders⋈customer join at any SF where it fits. The
+    # build side per partition is orders×0.2/shuffle-partitions — bounded
+    # on any deployment that sizes partitions to the corpus (session
+    # default scales with cores; a cluster sets ~2-3× total cores).
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # segment-filtered customer is ~20% of ALL customers — it scales with
-        # SF, so a mandatory broadcast would die collecting it instead of
-        # degrading to the shuffle join the module header promises; unhinted,
-        # AQE still broadcasts it at any SF where it fits
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(
+            orders.join(cust, orders.o_custkey == cust.c_custkey).hint(
+                "shuffle_hash"
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_money(F.sum(_rev_e4().cast(_D38)), 4).alias("revenue"))
         .select(
@@ -170,7 +182,15 @@ LIMIT 10
 
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: revenue by nation where supplier and customer share the
-    nation, within one region and order-date year."""
+    nation, within one region and order-date year.
+
+    r12 optimization round, measured NEGATIVE: a shuffled-hash hint on the
+    date-filtered orders side of the lineitem join (the q3/q10 win) was
+    tried and REJECTED — the ~7M-row build (the year window keeps ~45% of
+    orders, vs q10's one quarter) thrashes the allocator at this heap:
+    interleaved sf10 runs went 34.9/16.3/7.6s vs the sort-merge plan's
+    steady 5.2-6.4s, with GCLocker retry warnings. Sort-merge spills
+    gracefully and stays."""
     t = load_tables(spark, sf_dir, ["region", "nation", "customer", "orders", "lineitem", "supplier"])
     region = t["region"].filter(F.col("r_name") == Q5_REGION)
     orders = t["orders"].filter(
@@ -250,6 +270,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
     )
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    # r12 optimization round, measured NEUTRAL-to-NEGATIVE: shuffled-hash
+    # hints on the quarter-filtered orders and the customer dim (the q3
+    # win) looked good in one interleaved sf10 probe (3.2s → 2.7s) but a
+    # second independent A/B showed 3.0-3.2s (sort-merge) vs 3.2-4.8s
+    # (hinted) — the ~1.9M-row orders + 1.5M-row customer builds sit in the
+    # same allocator-pressure band that made q5's hint thrash. Kept as
+    # sort-merge: it never exhibits the slow mode.
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
