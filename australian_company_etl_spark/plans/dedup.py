@@ -236,13 +236,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _band_candidates(bands)
     sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
-    jac = _jaccard_spark(F.col("sh_a"), F.col("sh_b"))
-    return (
+    # r13 (guide §1.2/§7.2): the τ filter used to collapse into the verify
+    # JOIN CONDITION with `size(array_intersect)` textually duplicated —
+    # Catalyst has no CSE inside one condition/projection tree, so every
+    # candidate row paid 3 full O(|a|+|b|) intersects (r12 plan dump,
+    # dedup_minhash_lsh_before.txt:230-233). The explode(array(inter))
+    # generator is an evaluate-once barrier: predicates referencing
+    # generator output cannot be pushed below the Generate, so the
+    # intersect runs exactly once per row and both the filter and the
+    # output reuse the attribute. Interleaved sf10 A/B: 8.5 → 6.0 s.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    once = (
         cand.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
-        .select("doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_T)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size("sh_a").alias("la"),
+            F.size("sh_b").alias("lb"),
+            F.explode(F.array(inter)).alias("inter"),
+        )
     )
+    jac = F.col("inter") / (F.col("la") + F.col("lb") - F.col("inter"))
+    return once.select(
+        "doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_T)
 
 
 def _minhash_pairs_body() -> str:
@@ -440,7 +458,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bkt"),
         )
     ).alias("b")
-    jac = _jaccard_spark(F.col("a.sh"), F.col("b.sh"))
     sa, sb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
     # exact size-ratio prune BEFORE the O(|a|+|b|) intersect: J ≤ min/max,
     # so rounded-J ≥ 0.2 (true J ≥ 0.19995) forces min/max ≥ 0.1999 (a hair
@@ -458,21 +475,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(sa, sb).cast("bigint") * 10000
         >= F.greatest(sa, sb).cast("bigint") * 1999
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & ratio_ok,
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_T)
+    # r13: evaluate-once generator barrier for the intersect (see
+    # dedup_minhash_lsh — same 3-intersects-per-row collapse, same fix)
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    once = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & ratio_ok,
+    ).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        sa.alias("la"),
+        sb.alias("lb"),
+        F.explode(F.array(inter)).alias("inter"),
     )
+    jac_once = F.col("inter") / (F.col("la") + F.col("lb") - F.col("inter"))
+    return once.select(
+        "doc_id_a", "doc_id_b", F.round(jac_once, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_T)
 
 
 def _ngram_sql() -> str:
@@ -521,16 +543,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = base.alias("a"), base.alias("b")
     cos = _dot_spark(F.col("a.e"), F.col("b.e"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            F.col("a.label").alias("label"),
-            F.round(cos, 4).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= COSINE_T)
+    # r13: evaluate-once generator barrier for the interpreted 64-dim fold
+    # (the τ filter used to collapse into the join condition — the r12 plan
+    # dump shows the fold in the condition AND the projection, 2-3
+    # evaluations per candidate pair; same fix as dedup_minhash_lsh)
+    once = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_id_a"),
+        F.col("b.vec_id").alias("vec_id_b"),
+        F.col("a.label").alias("label"),
+        F.explode(F.array(cos)).alias("cos"),
     )
+    return once.select(
+        "vec_id_a",
+        "vec_id_b",
+        "label",
+        F.round(F.col("cos"), 4).alias("cosine"),
+    ).filter(F.col("cosine") >= COSINE_T)
 
 
 def _emb_cosine_sql() -> str:
@@ -1232,11 +1262,28 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sh.select(F.col("doc_id").alias("lo"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("hi"), F.col("sh").alias("sh_b"))
-    vp = (
+    # r13: evaluate-once generator barrier for the intersect (the τ filter
+    # used to collapse into the verify join condition with the intersect
+    # duplicated — see dedup_minhash_lsh), and vp PERSISTED: it feeds the
+    # two qual branches plus the best_match join-back, which re-ran the
+    # whole candidate+verify pipeline per reference (guide §1.2).
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    once = (
         cand.join(sa, "lo")
         .join(sb, "hi")
-        .select("lo", "hi", F.round(_jaccard_spark(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_T)
+        .select(
+            "lo",
+            "hi",
+            F.size("sh_a").alias("la"),
+            F.size("sh_b").alias("lb"),
+            F.explode(F.array(inter)).alias("inter"),
+        )
+    )
+    jac = F.col("inter") / (F.col("la") + F.col("lb") - F.col("inter"))
+    vp = persist_tracked(
+        once.select("lo", "hi", F.round(jac, 4).alias("jaccard")).filter(
+            F.col("jaccard") >= JACCARD_T
+        )
     )
     # qualifying (new_doc, partner): the partner is existing (any id) or an
     # earlier new doc; pairs are (lo < hi) so a new hi always qualifies
@@ -1353,7 +1400,15 @@ def _setsim_parts(spark: SparkSession, sf_dir: str):
     )
     rows = sets.select("doc_id", "n", F.explode("sh").alias("h"))
     dfreq = rows.groupBy("h").agg(F.count("*").alias("df"))
-    if _docs_bytes(sf_dir) <= _setsim_broadcast_max_bytes(spark):
+    # ADVICE r12: this broadcast's in-memory size scales with the DISTINCT
+    # shingle count, not with the compressed document bytes the verify-join
+    # gate was built for — measured at the sf10 tier, ~2.2M distinct hashes
+    # (~1.75× docs_bytes as a built hash relation at ~48 B/entry) per 60 MB
+    # of zstd documents. Gate it at HALF the verify bound (2× divisor on
+    # docs_bytes) so the relation stays under the same heap budget the
+    # verify join honors; above it the plain shuffle join stands (the
+    # 100 TB shape either way).
+    if 2 * _docs_bytes(sf_dir) <= _setsim_broadcast_max_bytes(spark):
         dfreq = F.broadcast(dfreq)
     w = Window.partitionBy("doc_id").orderBy("df", "h")
     ranked = rows.join(dfreq, "h").withColumn("rn", F.row_number().over(w))
@@ -1549,11 +1604,20 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
-        .withColumn("inter", inter)
+        # r13 (guide §7.2): DEN·i ≥ NUM·(na+nb−i) ⇔ (NUM+DEN)·i ≥
+        # NUM·(na+nb) — exact integers both sides, but the left form names
+        # `inter` TWICE and Catalyst duplicated the O(na+nb) intersect
+        # inside the collapsed join condition (r12 plan dump line 335: two
+        # array_intersect calls per candidate row, a third in the output
+        # projection). The single-use form pays exactly one intersect on
+        # the hot path. Interleaved sf10 A/B: 35.5 → 32.6 s (and a
+        # generator-barrier variant measured equal — the algebra needs no
+        # plan hack; scripts/verify_ab_r13.py).
         .filter(
-            SETSIM_DEN * F.col("inter")
-            >= SETSIM_NUM * (F.col("na") + F.col("nb") - F.col("inter"))
+            (SETSIM_NUM + SETSIM_DEN) * inter
+            >= SETSIM_NUM * (F.col("na") + F.col("nb"))
         )
+        .withColumn("inter", inter)
         .select(
             "doc_id_a",
             "doc_id_b",

@@ -236,12 +236,20 @@ def match_keyword_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = base.select(F.col("name").alias("name_a"), F.col("toks").alias("toks_a"), "block")
     b = base.select(F.col("name").alias("name_b"), F.col("toks").alias("toks_b"), "block")
+    # r13: evaluate-once generator barrier — the threshold filter used to
+    # collapse into the block join's condition with jaccard_pct's
+    # array_intersect duplicated per candidate row (see dedup_minhash_lsh)
     return (
         a.join(b, "block")
         .filter(F.col("name_a") < F.col("name_b"))
-        .withColumn("jaccard_pct", jaccard_pct_spark(F.col("toks_a"), F.col("toks_b")))
+        .select(
+            "name_a",
+            "name_b",
+            F.explode(
+                F.array(jaccard_pct_spark(F.col("toks_a"), F.col("toks_b")))
+            ).alias("jaccard_pct"),
+        )
         .filter(F.col("jaccard_pct") >= JACCARD_THRESHOLD)
-        .select("name_a", "name_b", "jaccard_pct")
     )
 
 

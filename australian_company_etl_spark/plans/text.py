@@ -822,7 +822,17 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct is the per-ROW `array_distinct` — a doc's repeats collapse
     inside its own token array before the explode, so no (doc_id, tok)
     dedup exchange exists at all; the old explode-then-`.distinct()`
-    paid a full extra shuffle of the distinct pairs). A real web-scale
+    paid a full extra shuffle of the distinct pairs).
+
+    PRECONDITION (ADVICE r12): the per-row array_distinct equals the
+    oracle's global SELECT DISTINCT (doc_id, tok) only because doc_id is
+    a ROW KEY of documents — one row per doc_id. That invariant is part
+    of the documents table contract (the generators offset doc_id per
+    replica; dedup_exact exists precisely to enforce it upstream) and is
+    asserted by tests/test_boundary_new_ops.py::
+    test_documents_doc_id_is_a_row_key — a corpus with repeated doc_id
+    rows would overcount df_docs and duplicate postings on this side
+    only. A real web-scale
     index would shard postings by (tok, bucket) past ~1e6 docs per token
     to bound a stop-word row; at that point df stays exact and the
     posting array becomes segment files — same plan shape, noted not

@@ -151,5 +151,87 @@ def main():
     print({k: {"min": min(v), "runs": v} for k, v in results.items()})
 
 
+
+
+def setsim_gen(spark, sf_dir):
+    """Barrier variant: inter materialized ONCE per candidate row behind a
+    generator; integer filter and both output columns reuse the attribute."""
+    from australian_company_etl_spark.plans.dedup import (
+        SETSIM_DEN,
+        SETSIM_NUM,
+        _docs_bytes,
+        _setsim_broadcast_max_bytes,
+        _setsim_parts,
+    )
+
+    sets, _prefix, cands = _setsim_parts(spark, sf_dir)
+    sa = sets.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
+    )
+    if _docs_bytes(sf_dir) <= _setsim_broadcast_max_bytes(spark):
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    else:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    once = (
+        cands.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a", "doc_id_b", "na", "nb",
+            F.explode(F.array(inter)).alias("inter"),
+        )
+    )
+    return (
+        once.filter(
+            (SETSIM_NUM + SETSIM_DEN) * F.col("inter")
+            >= SETSIM_NUM * (F.col("na") + F.col("nb"))
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("inter").cast("int").alias("n_common"),
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .distinct()
+    )
+
+
+def main2():
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    from australian_company_etl_spark.session import get_spark
+    from scripts.make_benchdata import ensure_sf10
+
+    spark = get_spark(app_name="verify-ab2-r13")
+    small = "/root/testdata/sf0.1"
+    exp = sorted(tuple(r) for r in setsim_onemul(spark, small).collect())
+    got = sorted(tuple(r) for r in setsim_gen(spark, small).collect())
+    print(f"# identity setsim_gen: {'OK' if got == exp else 'MISMATCH'} ({len(exp)})")
+    if got != exp:
+        return
+    sf_dir = ensure_sf10(spark)
+    variants = {
+        "setsim_onemul": setsim_onemul,
+        "setsim_gen": setsim_gen,
+    }
+    for name, fn in variants.items():
+        spark.catalog.clearCache()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    results = {k: [] for k in variants}
+    for r in range(rounds):
+        for name, fn in variants.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.perf_counter() - t0, 3)
+            results[name].append(dt)
+            print(f"# round {r} {name}: {dt}s", flush=True)
+    print({k: {"min": min(v), "runs": v} for k, v in results.items()})
+
+
 if __name__ == "__main__":
-    main()
+    main2() if len(sys.argv) > 1 and sys.argv[1] == "gen" else main()

@@ -169,3 +169,21 @@ class TestSnapshotDiffBoundary:
         # ts == cutoff is excluded from v1 (strict <) so the key is 'added'
         rows = [(1, cutoff, 1, "view", 1.0)]
         assert self._both(spark, tmp_path, rows) == {"added": 1}
+
+
+def test_documents_doc_id_is_a_row_key(spark, sf_dir):
+    """ADVICE r12: the inverted-index family's per-row array_distinct is
+    equivalent to the oracle's global SELECT DISTINCT (doc_id, tok) ONLY
+    while doc_id is a row key of documents. Pin the invariant on every
+    gate corpus so a generator change that breaks it fails loudly here
+    instead of silently overcounting df_docs."""
+    from australian_company_etl_spark.sources.registry import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    total = docs.count()
+    distinct = docs.select("doc_id").distinct().count()
+    assert total == distinct, (
+        f"documents has {total - distinct} repeated doc_id rows — the "
+        f"text_inverted_index per-row-distinct rewrite requires doc_id "
+        f"to be a row key (see its docstring)"
+    )
