@@ -866,6 +866,7 @@ def _knn_cogroup_score(_key, ldf, rdf):
     rb = rdf["ne"].to_numpy()
     lok = _np.fromiter((x is not None for x in la), dtype=bool, count=len(la))
     rok = _np.fromiter((x is not None for x in rb), dtype=bool, count=len(rb))
+    all_ok = bool(lok.all() and rok.all())
     n = len(nbr)
     B = _np.stack(rb[rok]) if rok.any() else None
     chunk = max(1, (4 << 20) // max(1, n))
@@ -873,16 +874,25 @@ def _knn_cogroup_score(_key, ldf, rdf):
     for lo in range(0, len(src), chunk):
         hi = min(lo + chunk, len(src))
         s_chunk = src[lo:hi]
-        ok_chunk = lok[lo:hi]
-        S = _np.full((hi - lo, n), _np.nan)
-        if B is not None and ok_chunk.any():
-            A = _np.stack(la[lo:hi][ok_chunk])
-            S[_np.ix_(ok_chunk, rok)] = seq_dot_cross(A, B)
+        if all_ok:
+            # fast path (every real corpus row): plain float64 all the way
+            S = seq_dot_cross(_np.stack(la[lo:hi]), B)
+        else:
+            ok_chunk = lok[lo:hi]
+            S = _np.full((hi - lo, n), _np.nan)
+            if B is not None and ok_chunk.any():
+                A = _np.stack(la[lo:hi][ok_chunk])
+                S[_np.ix_(ok_chunk, rok)] = seq_dot_cross(A, B)
         keep = s_chunk[:, None] != nbr[None, :]
         si, ni = _np.nonzero(keep)
         dots = S[si, ni]
         out = _pd.DataFrame({"src_id": s_chunk[si], "nbr_id": nbr[ni]})
-        out["dot"] = _pd.Series(dots).astype(object).where(~_pd.isna(dots), None)
+        if all_ok:
+            out["dot"] = dots
+        else:
+            # NULL-vector pairs must reach the JVM as SQL NULL, not NaN
+            # (NaN sorts ABOVE every number in the DESC rank ordering)
+            out["dot"] = _pd.Series(dots).astype(object).where(~_pd.isna(dots), None)
         if len(out):
             outs.append(out)
     if not outs:
@@ -1178,11 +1188,8 @@ def adaptive_probe_budget(n_planes: int) -> int:
     return max(0, n_planes - N_PLANES)
 
 
-def _keys_with_probes(e, planes: list[list[float]], n_probes: int):
-    """array<int> of 1 + n_probes bucket keys for a vector: its own key
-    plus the keys with the n_probes least-confident sign bits flipped
-    (smallest |dot| first; plane index breaks exact ties). Evaluates the
-    same per-plane dots the bucket key needs — one O(planes·dim) fold."""
+def _plane_dots(e, planes: list[list[float]]):
+    """array<double> of the per-plane dots — ONE O(planes·dim) fold pass."""
     dots = []
     for plane in planes:
         lits = F.array(*[F.lit(float(x)) for x in plane])
@@ -1191,25 +1198,67 @@ def _keys_with_probes(e, planes: list[list[float]], n_probes: int):
                 F.zip_with(e, lits, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
             )
         )
+    return F.array(*dots)
+
+
+def _bucket_from_dots(ds, n_planes: int):
+    """Sign-bucket key from a MATERIALIZED dots array (cheap element_at
+    references — the folds are paid once wherever `ds` was computed)."""
     bucket = None
-    for p, d in enumerate(dots):
+    for p in range(n_planes):
+        d = F.element_at(ds, p + 1)
         term = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
-    bucket = bucket.cast("int")
-    if n_probes <= 0:
-        return F.array(bucket)
-    margins = F.array_sort(
+    return bucket.cast("int")
+
+
+def _margins_from_dots(ds, n_planes: int):
+    """(|dot|, bit) structs sorted ascending — least-confident plane first,
+    plane index breaking exact ties (struct ordering is field-by-field)."""
+    return F.array_sort(
         F.array(
             *[
-                F.struct(F.abs(d).alias("m"), F.lit(1 << p).alias("bit"))
-                for p, d in enumerate(dots)
+                F.struct(
+                    F.abs(F.element_at(ds, p + 1)).alias("m"),
+                    F.lit(1 << p).alias("bit"),
+                )
+                for p in range(n_planes)
             ]
         )
     )
+
+
+def _keys_from(bucket, margins, n_probes: int):
+    """Probe-key array from MATERIALIZED bucket/margins COLUMNS. The
+    transform lambda references `bucket` once per probe element — that is
+    only safe when `bucket` is an attribute; an inline bucket EXPRESSION
+    here re-evaluates its 12 interpreted plane folds per element (the r13
+    REST profile measured the old inline form at ~6 fold-passes per row:
+    ~180 exec-s of the probed lhs stage at sf10)."""
+    if n_probes <= 0:
+        return F.array(bucket)
     probes = F.transform(
         F.slice(margins, 1, n_probes), lambda s: bucket.bitwiseXOR(s["bit"])
     )
     return F.concat(F.array(bucket), probes)
+
+
+def _keys_with_probes(e, planes: list[list[float]], n_probes: int):
+    """array<int> of 1 + n_probes bucket keys for a vector: its own key
+    plus the keys with the n_probes least-confident sign bits flipped
+    (smallest |dot| first; plane index breaks exact ties).
+
+    NOTE: as one inline expression this evaluates the plane dots several
+    times (bucket + margins + per-probe lambda) — fine for the tiny query
+    sets it is applied to (G2/G11 probes, stats instrumentation). The
+    corpus-sized knn_graph_lsh_probed lhs instead materializes dots/
+    bucket/margins as columns below the explode (see there)."""
+    ds = _plane_dots(e, planes)
+    bucket = _bucket_from_dots(ds, len(planes))
+    if n_probes <= 0:
+        return F.array(bucket)
+    margins = _margins_from_dots(ds, len(planes))
+    return _keys_from(bucket, margins, n_probes)
 
 
 def knn_graph_lsh_probed(
@@ -1227,10 +1276,29 @@ def knn_graph_lsh_probed(
     if n_probes <= 0:
         return knn_graph_lsh_planes(spark, sf_dir, plist)
     base = _base(spark, sf_dir)
-    lhs = base.select(
+    # r13 (REST-profiled): dots → (bucket, margins) → keys are built over
+    # THREE projections so each row pays the 12 interpreted plane folds
+    # exactly ONCE. The old single-expression form re-evaluated the bucket
+    # (all 12 folds) inside the per-probe transform lambda and again in
+    # the margins — ~6 fold-passes per row, 180 exec-s of this stage at
+    # sf10, the largest cost left after the Arrow scoring kernel.
+    # CollapseProject cannot re-inline the fold array: it is an expensive
+    # alias referenced more than once (SPARK-36718), and the explode is a
+    # Generate, which no rule collapses a Project into.
+    pre = base.select(
         F.col("vec_id").alias("src_id"),
         F.col("e").alias("se"),
-        F.explode(_keys_with_probes(F.col("e"), plist, n_probes)).alias("bucket"),
+        _plane_dots(F.col("e"), plist).alias("ds"),
+    ).select(
+        "src_id",
+        "se",
+        _bucket_from_dots(F.col("ds"), len(plist)).alias("b0"),
+        _margins_from_dots(F.col("ds"), len(plist)).alias("mg"),
+    )
+    lhs = pre.select(
+        "src_id",
+        "se",
+        F.explode(_keys_from(F.col("b0"), F.col("mg"), n_probes)).alias("bucket"),
     )
     rhs = base.select(
         F.col("vec_id").alias("nbr_id"),

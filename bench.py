@@ -390,35 +390,60 @@ def _sf10_section(spark, queries, result: dict) -> dict:
 
     sf1_dir = ensure(spark)
     sf10_dir = ensure_sf10(spark)
-    # default ONE timed run after the untimed full-scale warm: the section
-    # already adds ~8 min to the driver's bench; the builder's multi-run
-    # records (bench_r10_run*.json, SPARK_GRAFT_SF10_RUNS=2) carry the
-    # spread evidence for the same plans
-    n_timed = int(os.environ.get("SPARK_GRAFT_SF10_RUNS", "1"))
+    # r13 (VERDICT r12 item 2): the sf10 section defaults to MIN-OF-2 timed
+    # runs — the r12 single-run rows let pure host dispatch-regime noise
+    # read as regression (q5 7.1 → 17.5 s, minhash 7.2 → 10.6 s with zero
+    # code change, on a host the r12 GC probe showed swinging ~2-4× between
+    # windows). SPARK_GRAFT_SF10_RUNS=1 restores the old cheaper section.
+    n_timed = int(os.environ.get("SPARK_GRAFT_SF10_RUNS", "2"))
+
+    def _calib_probe() -> float:
+        """Quarter-size sha2 yardstick timed IMMEDIATELY before a query's
+        timed runs (r13, VERDICT r12 item 2): every sf10 row carries the
+        host's CPU-dense throughput AT THAT INSTANT, so a cross-round
+        delta can be normalized row-by-row instead of by the one calib
+        taken minutes earlier at bench start."""
+        t0 = _time.perf_counter()
+        spark.range(0, 16_000_000, 1, 32).selectExpr(
+            "count(sha2(cast(id as string), 256)) as n"
+        ).collect()
+        return round(_time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    calib_rows: dict[str, float] = {}
     total = 0.0
     load_before = [round(x, 2) for x in os.getloadavg()]
-    for name in SF10_HEADLINERS:
+
+    def _timed(name: str, fn, d, n_runs: int) -> float:
+        """One untimed full-scale warm + calib stamp + min-of-n timed."""
         spark.catalog.clearCache()
-        queries[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
+        fn(spark, d).write.mode("overwrite").format("noop").save()
+        calib_rows[name] = _calib_probe()
         runs = []
+        for _ in range(n_runs):
+            spark.catalog.clearCache()
+            t0 = _time.perf_counter()
+            fn(spark, d).write.mode("overwrite").format("noop").save()
+            runs.append(round(_time.perf_counter() - t0, 3))
+        best = min(runs)
+        times[name] = best
+        spreads[name] = round(max(runs) - best, 3)
+        return best
+
+    for name in SF10_HEADLINERS:
         # setsim: min-of-3 regardless of the section default (VERDICT r10
         # task 6) — its r10 spread was ~37% of value (borderline-broadcast
         # verify join, since pinned shuffle-hash); three runs bound the
         # spread claim either way
         n_q = max(n_timed, 3) if name == "dedup_setsim_prefix" else n_timed
-        for _ in range(n_q):
-            spark.catalog.clearCache()
-            t0 = _time.perf_counter()
-            queries[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
-            runs.append(round(_time.perf_counter() - t0, 3))
-        best = min(runs)
-        times[name] = best
-        spreads[name] = round(max(runs) - best, 3)
+        best = _timed(name, queries[name], sf10_dir, n_q)
         total += best
-        print(f"# [sf10] {name}: {best}s (spread {spreads[name]}s)", file=sys.stderr)
+        print(
+            f"# [sf10] {name}: {best}s (spread {spreads[name]}s,"
+            f" calib {calib_rows[name]}s)",
+            file=sys.stderr,
+        )
 
     # candidate-pair instrumentation for the bucketed-join families —
     # untimed, but the counts ARE the scale claim
@@ -545,24 +570,13 @@ def _sf10_section(spark, queries, result: dict) -> dict:
     with open(tmp, "w") as f:
         _json.dump({"key": stats_key, "entries": stats_cache}, f)
     os.replace(tmp, stats_path)
-    spark.catalog.clearCache()
-    knn_graph_lsh_adaptive(spark, sf10_dir).write.mode("overwrite").format("noop").save()
-    runs = []
-    for _ in range(n_timed):
-        spark.catalog.clearCache()
-        t0 = _time.perf_counter()
-        knn_graph_lsh_adaptive(spark, sf10_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        runs.append(round(_time.perf_counter() - t0, 3))
-    times["knn_graph_lsh_adaptive"] = min(runs)
-    spreads["knn_graph_lsh_adaptive"] = round(max(runs) - min(runs), 3)
-    total += min(runs)
+    best = _timed("knn_graph_lsh_adaptive", knn_graph_lsh_adaptive, sf10_dir, n_timed)
+    total += best
     lever = {
         "adaptive_n_planes": n_adapt,
         "adaptive_n_probes": n_probe_budget,
         "n_vectors": n_emb,
-        "knn_adaptive_sec": min(runs),
+        "knn_adaptive_sec": best,
         "lsh_recall": recall,
         "configs": configs,
         "note": "library default = adaptive planes + one query-directed Hamming-1 probe per plane past the parity floor (adaptive_probe_budget); measured holding the recall gauge at the 8-plane floor at ~36% of the 8-plane candidate cost (configs rows; the bare adaptive config was 7% of that cost but half the recall). Probing-with-more-planes (13-16 planes, up to 12 probes) was measured WORSE on this corpus: near-random embeddings put true neighbors 2-3 sign bits away, so recall collapses as planes grow faster than single-flip probes repair. The 8-plane registry config stays the frozen parity twin, timed only under SPARK_GRAFT_SF10_KNN8=1",
@@ -583,6 +597,8 @@ def _sf10_section(spark, queries, result: dict) -> dict:
     for label, d in (("sf1_sec", sf1_dir), ("sf10_sec", sf10_dir)):
         spark.catalog.clearCache()
         pr_fn(spark, d).write.mode("overwrite").format("noop").save()
+        if d is sf10_dir:
+            calib_rows["rank_neardup_pagerank_sf10"] = _calib_probe()
         runs = []
         for _ in range(n_timed):
             spark.catalog.clearCache()
@@ -625,6 +641,8 @@ def _sf10_section(spark, queries, result: dict) -> dict:
         for label, d in (("sf1_sec", sf1_dir), ("sf10_sec", sf10_dir)):
             spark.catalog.clearCache()
             fn(spark, d).write.mode("overwrite").format("noop").save()
+            if d is sf10_dir:
+                calib_rows[name + "_sf10"] = _calib_probe()
             runs = []
             for _ in range(n_timed):
                 spark.catalog.clearCache()
@@ -672,6 +690,7 @@ def _sf10_section(spark, queries, result: dict) -> dict:
         "unit": "sec",
         "queries": times,
         "spread": spreads,
+        "calib_per_query": calib_rows,
         "timed_runs": n_timed,
         "load_avg_before": load_before,
         "load_avg_after": [round(x, 2) for x in os.getloadavg()],
@@ -684,6 +703,7 @@ def _sf10_section(spark, queries, result: dict) -> dict:
         "context": {
             "data_note": "sf10 scales events (disjoint users, same 30-day range) and embeddings (disjoint ids, hash-perturbed vectors) 100x over sf0.1; sf1 froze both at sf0.1 size, so their rows_factor_vs_sf1 is 100, not 10",
             "bar": "a headliner whose t_ratio_vs_sf1 exceeds its rows_factor by more than the calib ratio is a scaling defect; bucketed joins are judged on cand_pairs growth, not wall-clock alone",
+            "calib_note": "calib_per_query = a 16M-row sha2 all-core probe timed immediately before that row's timed runs (quarter of the bench-start calib's 64M rows; idle floor ~0.15-0.25s). Normalize a cross-round per-row delta by the calib ratio BEFORE claiming regression - r12's q5/minhash sf10 'regressions' were pure dispatch-regime noise (2-4x swings within one day)",
         },
     }
 

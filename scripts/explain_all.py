@@ -21,15 +21,18 @@ def main() -> None:
     tag = args[0] if args else "before"
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     only = None
+    sub = "r12"
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--dir="):
+            sub = a.split("=", 1)[1]
 
     from australian_company_etl_spark.plans import all_queries
     from australian_company_etl_spark.session import get_spark
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(repo, "plans", "r12")
+    out_dir = os.path.join(repo, "plans", sub)
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="explain-all")
