@@ -178,6 +178,7 @@ def lev_ratio_sql(a: str, b: str) -> str:
     )
 
 
+
 # ── multi-scorer fuzzy primitives (entity_matching.py:405-418) ──────────────
 # The reference scores each candidate pair with three rapidfuzz scorers and
 # keeps the best: token_sort_ratio, token_set_ratio, ratio. Re-expressed as

