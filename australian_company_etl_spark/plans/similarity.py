@@ -884,6 +884,24 @@ def _knn_cogroup_score(_key, ldf, rdf):
                 A = _np.stack(la[lo:hi][ok_chunk])
                 S[_np.ix_(ok_chunk, rok)] = seq_dot_cross(A, B)
         keep = s_chunk[:, None] != nbr[None, :]
+        if all_ok and n > KNN_GRAPH_K + 1:
+            # margin-safe per-(src,bucket) top-K prune (r13): the global
+            # per-src rank is over round(dot, 6) DESC — any candidate that
+            # can reach the bucket's top-K under that comparator satisfies
+            # dot ≥ kth - 1e-6 (round(y) ≥ round(t) ⇒ y ≥ t − 1e-6; HALF_UP
+            # on the exact decimal), kept here with a 2e-6 float-dust
+            # margin. Global top-K ⊆ union of per-bucket top-K (pairs are
+            # unique across buckets — probe keys per src are distinct), so
+            # pruning below the margin is lossless; it cuts the Arrow→JVM
+            # pair stream and the window's local sorts ~n/K-fold. Rows
+            # with fewer than K real candidates keep everything (kth is
+            # −inf). The null-vector (not all_ok) path never prunes: NULL
+            # scores can reach the global top-K only when a src has
+            # < K real candidates ACROSS buckets, which one bucket cannot
+            # decide — and such corpora are tiny by construction.
+            Sneg = _np.where(keep, S, -_np.inf)
+            kth = _np.partition(Sneg, n - KNN_GRAPH_K, axis=1)[:, n - KNN_GRAPH_K]
+            keep = keep & (S >= (kth - 2e-6)[:, None])
         si, ni = _np.nonzero(keep)
         dots = S[si, ni]
         out = _pd.DataFrame({"src_id": s_chunk[si], "nbr_id": nbr[ni]})
