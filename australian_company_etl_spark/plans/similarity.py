@@ -1303,25 +1303,33 @@ def knn_graph_lsh_probed(
     # CollapseProject cannot re-inline the fold array: it is an expensive
     # alias referenced more than once (SPARK-36718), and the explode is a
     # Generate, which no rule collapses a Project into.
-    pre = base.select(
-        F.col("vec_id").alias("src_id"),
-        F.col("e").alias("se"),
-        _plane_dots(F.col("e"), plist).alias("ds"),
-    ).select(
-        "src_id",
-        "se",
+    from australian_company_etl_spark.operators.cache import persist_tracked
+
+    # r13 second pass (interleaved sf10 A/B 6.45 → 5.29 s): the normalized
+    # vectors + plane dots are computed ONCE and persisted; lhs (probe
+    # keys) and rhs (own bucket) both derive from the cached frame instead
+    # of each re-running the scan + normalize + 12-fold pass. ~130 MB
+    # cached at the sf10 tier, released at the next query start
+    # (persist_tracked). Small corpora never reach this path (the adaptive
+    # default floors to the probe-free planes twin below the threshold).
+    pre = persist_tracked(
+        base.select("vec_id", "e", _plane_dots(F.col("e"), plist).alias("ds"))
+    )
+    keyed = pre.select(
+        "vec_id",
+        "e",
         _bucket_from_dots(F.col("ds"), len(plist)).alias("b0"),
         _margins_from_dots(F.col("ds"), len(plist)).alias("mg"),
     )
-    lhs = pre.select(
-        "src_id",
-        "se",
+    lhs = keyed.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("e").alias("se"),
         F.explode(_keys_from(F.col("b0"), F.col("mg"), n_probes)).alias("bucket"),
     )
-    rhs = base.select(
+    rhs = keyed.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("e").alias("ne"),
-        _bucket_spark(F.col("e"), plist).alias("bucket"),
+        F.col("b0").alias("bucket"),
     )
     return _knn_topk_from_buckets(lhs, rhs)
 
